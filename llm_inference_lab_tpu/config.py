@@ -1,0 +1,151 @@
+"""Centralized configuration: dataclasses + YAML + environment flags.
+
+Reference parity: the reference merges hardcoded defaults <- YAML <- CLI args
+(src/specdec/core/pipeline.py:398-438) and reads ~20 `SPECDEC_*` env flags
+inline at use-sites (SURVEY.md §2.10). Here the whole flag surface is read in
+ONE place (`EnvFlags.from_env`) and threaded explicitly — no use-site
+`os.environ` reads in hot paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+try:
+    import yaml
+
+    _HAVE_YAML = True
+except ImportError:  # pragma: no cover - yaml is in the base image
+    _HAVE_YAML = False
+
+
+def _env_bool(name: str, default: bool = False) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.strip().lower() not in ("0", "false", "no", "off", "")
+
+
+def _env_str(name: str, default: Optional[str] = None) -> Optional[str]:
+    return os.environ.get(name, default)
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v is not None else default
+
+
+@dataclass(frozen=True)
+class EnvFlags:
+    """The complete runtime flag surface, mirrored from the reference's
+    SPECDEC_* flags (reference README.md:283-298) under the SPECDX_ prefix.
+    Read once; never consulted inline in jitted code."""
+
+    deterministic: bool = True  # SPECDEC_DETERMINISTIC
+    profile: bool = False  # SPECDEC_PROFILE
+    detailed_metrics: bool = False  # SPECDEC_DETAILED_METRICS
+    force_reference_kernels: bool = False  # SPECDEC_FORCE_PY / FORCE_PYTORCH_BACKEND
+    dtype: Optional[str] = None  # SPECDEC_DTYPE
+    debug: bool = False  # SPECDEC_DEBUG
+    dry_run: bool = False  # SPECDEC_DRY_RUN
+    sync_steps: bool = False  # SPECDEC_SYNC_KERNELS analogue: block after each step
+    seed: int = 0
+    batch_size: int = 0  # SPECDEC_BATCH_SIZE (0 = auto)
+
+    @classmethod
+    def from_env(cls) -> "EnvFlags":
+        return cls(
+            deterministic=_env_bool("SPECDX_DETERMINISTIC", True),
+            profile=_env_bool("SPECDX_PROFILE", False),
+            detailed_metrics=_env_bool("SPECDX_DETAILED_METRICS", False),
+            force_reference_kernels=_env_bool("SPECDX_FORCE_REFERENCE_KERNELS", False),
+            dtype=_env_str("SPECDX_DTYPE"),
+            debug=_env_bool("SPECDX_DEBUG", False),
+            dry_run=_env_bool("SPECDX_DRY_RUN", False),
+            sync_steps=_env_bool("SPECDX_SYNC_STEPS", False),
+            seed=_env_int("SPECDX_SEED", 0),
+            batch_size=_env_int("SPECDX_BATCH_SIZE", 0),
+        )
+
+
+@dataclass
+class EngineConfig:
+    """Engine-level configuration (reference: pipeline defaults at
+    src/specdec/core/pipeline.py:400-426 + configs/*.yaml)."""
+
+    # Models
+    base_model: str = "gpt2"
+    draft_model: Optional[str] = "distilgpt2"
+    implementation: str = "fake"  # "fake" | "hf" (reference pipeline.py:466-472)
+    draft_mode: str = "vanilla"  # "vanilla" | "medusa" | "eagle"
+
+    # Speculation
+    max_draft: int = 4  # K
+    policy: str = "longest_prefix"  # | conf_threshold | topk_agree | typical | rejection
+    policy_params: dict = field(default_factory=dict)
+    controller: str = "fixed"  # | adaptive
+    controller_params: dict = field(default_factory=dict)
+
+    # Sampling
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
+    greedy: bool = True
+    # Reference subtlety required for acceptance parity: draft samples at
+    # temperature/1.5 while verification is greedy argmax at temp 1.0
+    # (reference pipeline.py:2324-2328, speculative_scheduler.py:192-198).
+    draft_temperature_scale: float = 1.5
+
+    # Shapes / limits
+    max_seq_len: int = 1024
+    max_batch_size: int = 8
+    max_new_tokens: int = 64
+
+    # Numerics
+    dtype: str = "bfloat16"  # compute/weights dtype on TPU
+    quantization: Optional[str] = None  # None | "int8" | "int4"
+    kv_quantization: Optional[str] = None  # None | "int8"
+
+    # Parallelism (green-field vs reference Phase 4C "Planned")
+    mesh_shape: dict = field(default_factory=dict)  # e.g. {"data": 1, "model": 4}
+    shard_draft: bool = False
+
+    # Medusa / EAGLE (reference configs/specdec_hf.yaml:12-21)
+    medusa: dict = field(
+        default_factory=lambda: {
+            "num_heads": 2,
+            "head_init": "tie",
+            "temperature": 0.7,
+            "top_p": 0.9,
+        }
+    )
+    eagle: dict = field(default_factory=lambda: {"alpha": 0.7, "max_draft": 2})
+
+    # Runtime
+    seed: int = 0
+    eos_token_id: Optional[int] = None
+    profile: bool = False
+
+    def override(self, **kwargs: Any) -> "EngineConfig":
+        """Return a copy with non-None overrides applied (CLI layer)."""
+        updates = {k: v for k, v in kwargs.items() if v is not None}
+        return dataclasses.replace(self, **updates)
+
+
+def load_config(path: Optional[str] = None, **overrides: Any) -> EngineConfig:
+    """defaults <- YAML file <- explicit overrides (reference precedence,
+    pipeline.py:398-438)."""
+    cfg = EngineConfig()
+    if path:
+        if not _HAVE_YAML:
+            raise RuntimeError("pyyaml unavailable; cannot load YAML config")
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        known = {f.name for f in dataclasses.fields(EngineConfig)}
+        cfg = dataclasses.replace(cfg, **{k: v for k, v in data.items() if k in known})
+    if overrides:
+        cfg = cfg.override(**overrides)
+    return cfg

@@ -1,0 +1,292 @@
+"""Engine: the user-facing generation orchestrator.
+
+Reference parity: `SpeculativePipeline` (src/specdec/core/pipeline.py:195) —
+config loading, model/policy/controller factories, `generate()` and
+`generate_batch()`, result-dict schema (pipeline.py:1350-1409, SURVEY.md §5.5).
+
+TPU architecture: the engine owns params + a small cache of jitted step
+functions (one per draft length K — K is a shape under jit). The host loop
+only *dispatches* steps; completion polling reads a one-step-delayed `any
+active` scalar so the device pipeline never stalls on the host (replaces the
+reference's stream/event machinery). Shapes are bucketed (prompt block to 32,
+sequence buffer to 128) so repeated calls reuse compiled programs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_inference_lab_tpu.config import EngineConfig, EnvFlags
+from llm_inference_lab_tpu.core.controllers import create_controller
+from llm_inference_lab_tpu.core.policies import create_policy
+from llm_inference_lab_tpu.core.specstep import (
+    make_baseline_step,
+    make_prefill,
+    make_spec_step,
+)
+from llm_inference_lab_tpu.core.state import DecodeState, init_state
+from llm_inference_lab_tpu.metrics.profiler import StructuredProfiler, device_memory_stats
+from llm_inference_lab_tpu.models.registry import get_model
+from llm_inference_lab_tpu.ops.quant import quantize_params
+from llm_inference_lab_tpu.utils.tokenizer import (
+    check_tokenizer_compat,
+    get_tokenizer,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}
+
+
+class Engine:
+    def __init__(
+        self,
+        config: Optional[EngineConfig] = None,
+        *,
+        target_model=None,
+        draft_model=None,
+        tokenizer=None,
+        flags: Optional[EnvFlags] = None,
+        **overrides: Any,
+    ):
+        cfg = (config or EngineConfig()).override(**overrides)
+        self.config = cfg
+        self.flags = flags or EnvFlags.from_env()
+        dtype = _DTYPES[self.flags.dtype or cfg.dtype]
+        rng = jax.random.PRNGKey(cfg.seed)
+        rng_t, rng_d = jax.random.split(rng)
+
+        # Models (dependency injection supported, reference test_pipeline_new
+        # :178; otherwise the factory path pipeline.py:464-515).
+        self.target = target_model or get_model(
+            cfg.base_model, cfg.implementation, rng=rng_t, dtype=dtype
+        )
+        if draft_model is not None:
+            self.draft = draft_model
+        elif cfg.draft_model is None:
+            self.draft = None  # baseline (non-speculative) mode
+        elif cfg.implementation == "fake":
+            # A fake draft that disagrees with the target at a controlled
+            # rate (reference FakeLMWithAcceptance, fake_lm.py:150).
+            self.draft = get_model("fake-draft", "fake", miss_permille=150)
+        else:
+            self.draft = get_model(
+                cfg.draft_model, cfg.implementation, rng=rng_d, dtype=dtype
+            )
+
+        if cfg.quantization:
+            self.target.params = quantize_params(self.target.params, cfg.quantization)
+            if self.draft is not None and cfg.implementation != "fake":
+                self.draft.params = quantize_params(self.draft.params, cfg.quantization)
+
+        self.tokenizer = tokenizer or get_tokenizer(cfg.base_model, cfg.implementation)
+        if self.draft is not None and cfg.implementation != "fake":
+            draft_tok = get_tokenizer(cfg.draft_model, cfg.implementation)
+            if not check_tokenizer_compat(self.tokenizer, draft_tok):
+                raise ValueError(
+                    "draft/target tokenizers incompatible "
+                    f"({self.tokenizer.vocab_size} vs {draft_tok.vocab_size})"
+                )
+
+        self.eos_token_id = (
+            cfg.eos_token_id
+            if cfg.eos_token_id is not None
+            else self.tokenizer.eos_token_id
+        )
+        self.policy_fn = create_policy(cfg.policy)
+        self.controller = create_controller(
+            cfg.controller, k=cfg.max_draft, **cfg.controller_params
+        )
+        self.profiler = StructuredProfiler(enabled=cfg.profile or self.flags.profile)
+        self.profiler.run_metadata = {
+            "base_model": cfg.base_model,
+            "draft_model": cfg.draft_model,
+            "policy": cfg.policy,
+            "controller": cfg.controller,
+            "dtype": str(dtype.__name__),
+            "backend": jax.default_backend(),
+        }
+
+        self._prefill = make_prefill(self.target, self.draft or self.target)
+        self._step_cache: Dict[tuple, Any] = {}
+        self._max_k = getattr(self.controller, "max_k", cfg.max_draft)
+
+    # ------------------------------------------------------------------
+    def _get_step(self, k: int, max_new_tokens: int):
+        key = (k, max_new_tokens)
+        fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        cfg = self.config
+        if self.draft is None:
+            fn = make_baseline_step(
+                self.target,
+                greedy=cfg.greedy,
+                temperature=cfg.temperature,
+                top_k=cfg.top_k,
+                top_p=cfg.top_p,
+                max_new_tokens=max_new_tokens,
+                eos_token_id=self.eos_token_id,
+            )
+        else:
+            fn = make_spec_step(
+                self.target,
+                self.draft,
+                k=k,
+                policy_fn=self.policy_fn,
+                policy_params=cfg.policy_params,
+                greedy=cfg.greedy,
+                temperature=cfg.temperature,
+                top_k=cfg.top_k,
+                top_p=cfg.top_p,
+                draft_temperature_scale=cfg.draft_temperature_scale,
+                max_new_tokens=max_new_tokens,
+                eos_token_id=self.eos_token_id,
+                use_rejection_bonus=(cfg.policy == "rejection"),
+            )
+        self._step_cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def generate(self, prompt: str, **kw) -> Dict[str, Any]:
+        """Single-prompt generation (reference pipeline.generate,
+        pipeline.py:893)."""
+        return self.generate_batch([prompt], **kw)[0]
+
+    def generate_batch(
+        self,
+        prompts: List[str],
+        max_new_tokens: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> List[Dict[str, Any]]:
+        """Batched generation (reference pipeline.generate_batch,
+        pipeline.py:1605). Returns one result dict per prompt with the
+        SURVEY.md §5.5 schema."""
+        cfg = self.config
+        max_new = max_new_tokens or cfg.max_new_tokens
+        seed = cfg.seed if seed is None else seed
+        B = len(prompts)
+
+        enc = [self.tokenizer.encode(p)[: cfg.max_seq_len - max_new - self._max_k - 2]
+               for p in prompts]
+        plens = np.array([len(e) for e in enc], np.int32)
+        P = _round_up(max(int(plens.max()), 1), 32)
+        max_len = _round_up(P + max_new + self._max_k + 2, 128)
+        block = np.zeros((B, P), np.int32)
+        for i, e in enumerate(enc):
+            block[i, : len(e)] = e
+
+        dparams = self.draft.params if self.draft is not None else self.target.params
+        t_start = time.perf_counter()
+        state = init_state(
+            self.target, self.draft or self.target, B, max_len, seed=seed
+        )
+        state = self._prefill(
+            self.target.params, dparams, state, jnp.asarray(block), jnp.asarray(plens)
+        )
+        if self.profiler.enabled:
+            jax.block_until_ready(state.lengths)
+            self.profiler.record_prefill((time.perf_counter() - t_start) * 1e3)
+        t_decode = time.perf_counter()
+
+        adaptive = hasattr(self.controller, "_hist")
+        prev_prop, prev_acc = 0, 0
+        done_handle = None
+        steps_run = 0
+        # Each active step commits >= 1 token, so max_new steps always finish.
+        for step_i in range(max_new + 1):
+            k = self.controller.get_k(step_i)
+            step_fn = self._get_step(k, max_new)
+            if self.draft is None:
+                t0 = time.perf_counter()
+                state = step_fn(self.target.params, state)
+            else:
+                t0 = time.perf_counter()
+                state = step_fn(self.target.params, dparams, state)
+            steps_run += 1
+
+            if self.profiler.enabled or self.flags.sync_steps:
+                jax.block_until_ready(state.lengths)
+                self.profiler.record_step((time.perf_counter() - t0) * 1e3)
+            if adaptive:
+                prop = int(jnp.sum(state.proposed))
+                acc = int(jnp.sum(state.accepted))
+                self.controller.update(prop - prev_prop, acc - prev_acc)
+                prev_prop, prev_acc = prop, acc
+
+            # One-step-delayed completion poll: reading last step's flag
+            # never stalls the step already in flight.
+            if done_handle is not None and not bool(done_handle):
+                break
+            done_handle = jnp.any(state.active)
+
+        jax.block_until_ready(state.tokens)
+        decode_s = time.perf_counter() - t_decode
+        total_s = time.perf_counter() - t_start
+        return self._build_results(
+            state, prompts, plens, max_new, steps_run, decode_s, total_s
+        )
+
+    # ------------------------------------------------------------------
+    def _build_results(
+        self, state: DecodeState, prompts, plens, max_new, steps_run, decode_s, total_s
+    ) -> List[Dict[str, Any]]:
+        cfg = self.config
+        tokens = np.asarray(state.tokens)
+        lengths = np.asarray(state.lengths)
+        proposed = np.asarray(state.proposed)
+        accepted = np.asarray(state.accepted)
+        bonus = np.asarray(state.bonus)
+        mem = device_memory_stats().as_dict()
+        B = len(prompts)
+        total_generated = int((lengths - plens).sum())
+        results = []
+        for b in range(B):
+            gen_ids = tokens[b, plens[b] : lengths[b]].tolist()
+            # Strip EOS from the decoded text (reference decode EOS filtering,
+            # tests/test_batch_decode.py:39-131) but keep it in the ids.
+            text_ids = [t for t in gen_ids if t != self.eos_token_id]
+            n_gen = len(gen_ids)
+            prop_b, acc_b = int(proposed[b]), int(accepted[b])
+            results.append(
+                {
+                    "text": self.tokenizer.decode(text_ids),
+                    "generated_tokens": n_gen,
+                    "generated_ids": gen_ids,
+                    "latency_ms": total_s * 1e3,
+                    "generation_time_ms": decode_s * 1e3,
+                    "proposed": prop_b,
+                    "accepted": acc_b,
+                    "bonus_tokens": int(bonus[b]),
+                    "acceptance_rate": acc_b / prop_b if prop_b else 0.0,
+                    "tokens_per_sec": n_gen / decode_s if decode_s > 0 else 0.0,
+                    "steps": steps_run,
+                    "policy": cfg.policy,
+                    "controller": self.controller.info(),
+                    "impl": cfg.implementation,
+                    "device": jax.default_backend(),
+                    "dtype": self.flags.dtype or cfg.dtype,
+                    "quantization": cfg.quantization,
+                    "base_model": cfg.base_model,
+                    "draft_model": cfg.draft_model,
+                    "draft_mode": cfg.draft_mode,
+                    "batch_index": b,
+                    "batch_size": B,
+                    "batch_metrics": {
+                        "aggregate_tokens_per_sec": (
+                            total_generated / decode_s if decode_s > 0 else 0.0
+                        ),
+                        "total_generated": total_generated,
+                    },
+                    **mem,
+                }
+            )
+        return results

@@ -1,0 +1,282 @@
+"""The jitted speculative-decoding step: one shape-static state transition.
+
+This is the TPU replacement for the reference's entire eager orchestration
+(draft stream + verify stream + acceptance loop + KV realignment,
+src/specdec/core/pipeline.py:1984-3708). Per step:
+
+  1. Draft K tokens autoregressively (lax.scan over K single-token forwards,
+     KV cache threaded through the carry).
+  2. Verify with ONE target forward over [last_committed, d_1..d_K] — K+1
+     logit rows. (The reference re-runs a full autoregressive generate to
+     verify, speculative_scheduler.py:192-198; and needs an *extra* forward
+     for the bonus token when everything is accepted, pipeline.py:3174-3248.
+     Here row K of the verify logits IS the bonus distribution — free.)
+  3. Acceptance policy -> accept_len a in [0, K] per sequence.
+  4. Bonus token sampled from target row a — this uniformly covers the
+     EQSPEC bonus (a < K), the all-accepted bonus (a == K), and the
+     all-rejected fallback (a == 0 samples from the target's first row,
+     reference pipeline.py:3341-3420) with zero special cases.
+  5. Commit: write a+1 tokens, advance lengths, truncate at EOS, deactivate
+     finished lanes. KV "rollback" is just not advancing the length.
+
+Draft and verify overlap (the reference's CUDA-stream raison d'être) falls
+out of XLA's async dispatch: the K draft forwards and the verify forward are
+all one fused program; XLA's scheduler overlaps their HBM traffic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from llm_inference_lab_tpu.core.policies import rejection_bonus_logits
+from llm_inference_lab_tpu.core.state import DecodeState
+from llm_inference_lab_tpu.ops.sampling import sample_tokens
+
+
+def _gather_last(tokens: jax.Array, lengths: jax.Array) -> jax.Array:
+    """tokens[b, lengths[b]-1] — the last committed token per sequence."""
+    idx = jnp.maximum(lengths - 1, 0)
+    return jnp.take_along_axis(tokens, idx[:, None], axis=1)[:, 0]
+
+
+def make_spec_step(
+    target_model,
+    draft_model,
+    *,
+    k: int,
+    policy_fn: Callable,
+    policy_params: Optional[dict] = None,
+    greedy: bool = True,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    draft_temperature_scale: float = 1.5,
+    max_new_tokens: int = 64,
+    eos_token_id: Optional[int] = None,
+    use_rejection_bonus: bool = False,
+    donate: bool = True,
+):
+    """Build the jitted step: (target_params, draft_params, state) -> state."""
+    policy_params = dict(policy_params or {})
+    target_apply = target_model.apply_fn
+    draft_apply = draft_model.apply_fn
+    K = int(k)
+    # Reference subtlety for acceptance parity: the draft samples at
+    # temperature/1.5 (pipeline.py:2324-2328) while verify stays greedy.
+    draft_temp = temperature / draft_temperature_scale
+
+    def step(target_params, draft_params, state: DecodeState) -> DecodeState:
+        B = state.tokens.shape[0]
+        max_len = state.tokens.shape[1]
+        rng, rng_draft, rng_policy, rng_bonus = jax.random.split(state.rng, 4)
+        last = _gather_last(state.tokens, state.lengths)  # [B]
+        base = state.lengths - 1  # write/read offset: cache holds [0, L-1)
+
+        # ---- 1. Draft K tokens (scan over K single-token forwards) ----
+        def draft_body(carry, inp):
+            x, cache = carry
+            i, rng_i = inp
+            pos = base + i  # [B]
+            logits, cache = draft_apply(
+                draft_params, x[:, None], pos[:, None], cache, pos
+            )
+            logits = logits[:, 0]
+            nxt = sample_tokens(
+                rng_i, logits, temperature=draft_temp, top_k=top_k,
+                top_p=top_p, greedy=greedy,
+            )
+            return (nxt, cache), (nxt, logits)
+
+        (_, draft_cache), (d, draft_logits) = jax.lax.scan(
+            draft_body,
+            (last, state.draft_cache),
+            (jnp.arange(K, dtype=jnp.int32), jax.random.split(rng_draft, K)),
+        )
+        d = jnp.moveaxis(d, 0, 1)  # [B, K]
+        draft_logits = jnp.moveaxis(draft_logits, 0, 1)  # [B, K, V]
+
+        # ---- 2. Verify: ONE forward over K+1 positions ----
+        verify_in = jnp.concatenate([last[:, None], d], axis=1)  # [B, K+1]
+        positions = base[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+        target_logits, target_cache = target_apply(
+            target_params, verify_in, positions, state.target_cache, base
+        )  # [B, K+1, V]
+
+        # ---- 3. Acceptance ----
+        a = policy_fn(rng_policy, d, draft_logits, target_logits, **policy_params)
+        a = jnp.clip(a, 0, K)
+
+        # ---- 4. Bonus token ----
+        if use_rejection_bonus:
+            bonus_logits = rejection_bonus_logits(
+                draft_logits, target_logits, a, temperature=temperature
+            )
+        else:
+            bonus_logits = jnp.take_along_axis(
+                target_logits, a[:, None, None], axis=1
+            )[:, 0]
+        bonus = sample_tokens(
+            rng_bonus, bonus_logits, temperature=temperature, top_k=top_k,
+            top_p=top_p, greedy=greedy,
+        )
+
+        # ---- 5. Commit ----
+        # Slot values: accepted draft tokens then the bonus everywhere after
+        # (only slot `a` of the tail matters — length stops there).
+        arange = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+        d_pad = jnp.concatenate([d, d[:, -1:]], axis=1)  # [B, K+1]
+        write_vals = jnp.where(arange < a[:, None], d_pad, bonus[:, None])
+
+        commit = a + 1
+        if eos_token_id is not None:
+            is_eos = (write_vals == eos_token_id) & (arange < commit[:, None])
+            any_eos = jnp.any(is_eos, axis=1)
+            first_eos = jnp.argmax(is_eos, axis=1).astype(jnp.int32)
+            commit = jnp.where(any_eos, first_eos + 1, commit)
+        remaining = state.prompt_lens + max_new_tokens - state.lengths
+        commit = jnp.minimum(commit, jnp.maximum(remaining, 0))
+        commit = jnp.minimum(commit, max_len - state.lengths - 1)
+        commit = jnp.where(state.active, commit, 0)
+
+        def write(tok_b, vals_b, start):
+            return jax.lax.dynamic_update_slice(tok_b, vals_b, (start,))
+
+        new_tokens = jax.vmap(write)(state.tokens, write_vals, state.lengths)
+        # Inactive lanes wrote junk beyond their length — harmless by the
+        # state invariant, but keep the buffer bit-stable for determinism:
+        new_tokens = jnp.where(state.active[:, None], new_tokens, state.tokens)
+
+        new_lengths = state.lengths + commit
+        hit_eos = (
+            jnp.any(
+                (write_vals == eos_token_id) & (arange < commit[:, None]), axis=1
+            )
+            if eos_token_id is not None
+            else jnp.zeros((B,), jnp.bool_)
+        )
+        exhausted = (new_lengths - state.prompt_lens) >= max_new_tokens
+        # Next step needs room for K+1 writes starting at new_lengths-1.
+        no_room = new_lengths + K + 1 > max_len
+        new_active = state.active & ~hit_eos & ~exhausted & ~no_room
+
+        act = state.active.astype(jnp.int32)
+        return DecodeState(
+            tokens=new_tokens,
+            lengths=new_lengths,
+            prompt_lens=state.prompt_lens,
+            active=new_active,
+            target_cache=target_cache,
+            draft_cache=draft_cache,
+            rng=rng,
+            proposed=state.proposed + K * act,
+            accepted=state.accepted + a * act,
+            bonus=state.bonus + act,
+            steps=state.steps + 1,
+        )
+
+    return jax.jit(step, donate_argnums=(2,) if donate else ())
+
+
+def make_baseline_step(
+    target_model,
+    *,
+    greedy: bool = True,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    max_new_tokens: int = 64,
+    eos_token_id: Optional[int] = None,
+    donate: bool = True,
+):
+    """Non-speculative decode step: forward the last token, sample one
+    (reference `_generate_batch_baseline`, pipeline.py:1415-1603).
+    Ignores the draft cache in the state."""
+    target_apply = target_model.apply_fn
+
+    def step(target_params, state: DecodeState) -> DecodeState:
+        max_len = state.tokens.shape[1]
+        rng, rng_s = jax.random.split(state.rng)
+        last = _gather_last(state.tokens, state.lengths)
+        base = state.lengths - 1
+        logits, target_cache = target_apply(
+            target_params, last[:, None], base[:, None], state.target_cache, base
+        )
+        nxt = sample_tokens(
+            rng_s, logits[:, 0], temperature=temperature, top_k=top_k,
+            top_p=top_p, greedy=greedy,
+        )
+        commit = jnp.where(state.active, 1, 0)
+        remaining = state.prompt_lens + max_new_tokens - state.lengths
+        commit = jnp.minimum(commit, jnp.maximum(remaining, 0))
+        new_tokens = jax.vmap(
+            lambda t, v, s: jax.lax.dynamic_update_slice(t, v[None], (s,))
+        )(state.tokens, nxt, state.lengths)
+        new_tokens = jnp.where(state.active[:, None], new_tokens, state.tokens)
+        new_lengths = state.lengths + commit
+        hit_eos = (
+            (nxt == eos_token_id) & (commit > 0)
+            if eos_token_id is not None
+            else jnp.zeros_like(state.active)
+        )
+        exhausted = (new_lengths - state.prompt_lens) >= max_new_tokens
+        no_room = new_lengths + 2 > max_len
+        return DecodeState(
+            tokens=new_tokens,
+            lengths=new_lengths,
+            prompt_lens=state.prompt_lens,
+            active=state.active & ~hit_eos & ~exhausted & ~no_room,
+            target_cache=target_cache,
+            draft_cache=state.draft_cache,
+            rng=rng,
+            proposed=state.proposed,
+            accepted=state.accepted,
+            bonus=state.bonus + commit,
+            steps=state.steps + 1,
+        )
+
+    return jax.jit(step, donate_argnums=(1,) if donate else ())
+
+
+def make_prefill(target_model, draft_model, prefill_draft: bool = True):
+    """Jitted prompt prefill: populate both caches over the padded prompt
+    block in one forward each. Prompts are right-padded; junk KV rows beyond
+    each prompt's length sit at positions the attention mask never reaches
+    until they are overwritten (see ops/attention.py masking rule)."""
+    target_apply = target_model.apply_fn
+    draft_apply = draft_model.apply_fn if draft_model is not None else None
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def prefill(
+        target_params, draft_params, state: DecodeState,
+        prompt_block: jax.Array,  # [B, P] right-padded prompt tokens
+        prompt_lens: jax.Array,  # [B]
+    ) -> DecodeState:
+        B, P = prompt_block.shape
+        positions = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (B, P))
+        zeros = jnp.zeros((B,), jnp.int32)
+        _, target_cache = target_apply(
+            target_params, prompt_block, positions, state.target_cache, zeros
+        )
+        if prefill_draft and draft_apply is not None:
+            _, draft_cache = draft_apply(
+                draft_params, prompt_block, positions, state.draft_cache, zeros
+            )
+        else:
+            draft_cache = state.draft_cache
+        tokens = jax.lax.dynamic_update_slice(
+            state.tokens, prompt_block, (0, 0)
+        )
+        return state.replace(
+            tokens=tokens,
+            lengths=prompt_lens,
+            prompt_lens=prompt_lens,
+            active=prompt_lens > 0,
+            target_cache=target_cache,
+            draft_cache=draft_cache,
+        )
+
+    return prefill

@@ -1,0 +1,64 @@
+"""DecodeState: the complete, immutable, device-resident decoding state.
+
+This single pytree replaces the reference's scattered mutable state
+(sequence lists, SafeKVCacheManager dicts, per-sequence Python bookkeeping —
+src/specdec/core/pipeline.py:1767-1934). Every spec step is
+``state -> state`` with donated buffers, so XLA updates it in place.
+
+Invariants
+----------
+* ``tokens[b, :lengths[b]]`` are the committed tokens of sequence b; the
+  buffer beyond is scratch.
+* Both KV caches hold exactly the committed tokens ``[0, lengths[b]-1)`` —
+  everything except the last committed token (the "cache-tail invariant",
+  see models/base.py). Cache slot index == absolute position.
+* ``active[b]`` is False once b hit EOS / max_new_tokens / buffer end;
+  inactive lanes still flow through the batched step but commit nothing.
+"""
+
+from __future__ import annotations
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+
+from llm_inference_lab_tpu.models.base import KVCache, Model
+
+
+@struct.dataclass
+class DecodeState:
+    tokens: jax.Array  # [B, max_len] int32
+    lengths: jax.Array  # [B] int32 — committed length L
+    prompt_lens: jax.Array  # [B] int32
+    active: jax.Array  # [B] bool
+    target_cache: KVCache
+    draft_cache: KVCache
+    rng: jax.Array
+    # Device-side metric accumulators (polled, never per-step synced)
+    proposed: jax.Array  # [B] int32 — draft tokens proposed
+    accepted: jax.Array  # [B] int32 — draft tokens accepted
+    bonus: jax.Array  # [B] int32 — bonus/fallback tokens emitted
+    steps: jax.Array  # [] int32
+
+
+def init_state(
+    target_model: Model,
+    draft_model: Model,
+    batch_size: int,
+    max_seq_len: int,
+    seed: int = 0,
+) -> DecodeState:
+    B = batch_size
+    return DecodeState(
+        tokens=jnp.zeros((B, max_seq_len), jnp.int32),
+        lengths=jnp.zeros((B,), jnp.int32),
+        prompt_lens=jnp.zeros((B,), jnp.int32),
+        active=jnp.zeros((B,), jnp.bool_),
+        target_cache=target_model.init_cache(B, max_seq_len),
+        draft_cache=draft_model.init_cache(B, max_seq_len),
+        rng=jax.random.PRNGKey(seed),
+        proposed=jnp.zeros((B,), jnp.int32),
+        accepted=jnp.zeros((B,), jnp.int32),
+        bonus=jnp.zeros((B,), jnp.int32),
+        steps=jnp.int32(0),
+    )

@@ -1,0 +1,162 @@
+"""Model protocol + static-shape KV cache.
+
+TPU-first design notes
+----------------------
+The reference mutates Python-side KV state (`SafeKVCacheManager`,
+src/specdec/cache/kv_cache_manager.py:16) and "realigns" caches after partial
+acceptance (`realign_kv_cache`, :353-479). On TPU all of that collapses:
+
+* The cache is one static array per tensor, ``[n_layers, B, max_seq, n_kv, d]``
+  (layers stacked so the transformer body is a ``lax.scan`` — one compiled
+  layer, fast compiles, XLA still pipelines).
+* Each sequence carries an explicit ``cache_len``; attention masks by length.
+* Acceptance/rejection just moves ``cache_len``. Stale slots beyond the
+  length are dead by masking and get overwritten by the next step's writes —
+  rollback is free, and the reference's "disable KV reuse after partial
+  acceptance" workaround (pipeline.py:3666-3677) is unnecessary.
+
+Cache-tail invariant (what makes single-pass verification work):
+the cache holds KV for committed tokens ``[0, L-1)`` — everything *except the
+last committed token*. Each draft/verify forward starts from that last token,
+so verify is ONE forward over ``[t_{L-1}, d_1..d_K]`` producing K+1 logit rows
+(the reference instead re-runs a full autoregressive generate to verify —
+src/scheduler/speculative_scheduler.py:192-198 — which we deliberately do not
+replicate).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters shared by all decoder models."""
+
+    name: str = "model"
+    arch: str = "llama"  # "llama" | "gpt2" | "fake"
+    vocab_size: int = 32000
+    n_layers: int = 12
+    n_heads: int = 12
+    n_kv_heads: int = 12  # < n_heads => GQA
+    d_model: int = 768
+    d_ff: int = 3072
+    max_position_embeddings: int = 2048
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    layer_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = True
+    dtype: Any = jnp.bfloat16
+    # GPT-2 specifics
+    use_learned_pos: bool = False  # learned absolute position embeddings
+    use_bias: bool = False  # bias terms on projections / layernorms
+    act: str = "silu"  # "silu" (llama gated mlp) | "gelu" (gpt2 mlp)
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class KVCache:
+    """Static-shape KV cache. k/v: [n_layers, B, max_seq, n_kv_heads, head_dim].
+
+    Replaces reference KVCache (src/specdec/cache/kv_types.py:15) and
+    SafeKVCacheManager. `slice_prefix`/`realign` equivalents are just length
+    bookkeeping done by the engine.
+    """
+
+    k: jax.Array
+    v: jax.Array
+
+    def tree_flatten(self):
+        return (self.k, self.v), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def create(
+        cls,
+        cfg: ModelConfig,
+        batch_size: int,
+        max_seq_len: int,
+        dtype: Any = None,
+    ) -> "KVCache":
+        shape = (cfg.n_layers, batch_size, max_seq_len, cfg.n_kv_heads, cfg.head_dim)
+        dtype = dtype or cfg.dtype
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch_size(self) -> int:
+        return self.k.shape[1]
+
+
+def update_cache_layer(
+    k_cache: jax.Array,  # [B, max_seq, n_kv, d] (one layer)
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [B, S, n_kv, d]
+    v_new: jax.Array,
+    start: jax.Array,  # [B] int32 — per-sequence write offsets
+) -> Tuple[jax.Array, jax.Array]:
+    """Write S new KV rows at per-sequence offsets.
+
+    vmapped dynamic_update_slice: each sequence writes at its own offset
+    (sequences advance by *different* accepted lengths each spec step).
+    Replaces the reference's concat-then-realign (kv_cache_manager.py:149-285).
+    """
+
+    def upd(cache_b, new_b, s):
+        return jax.lax.dynamic_update_slice(cache_b, new_b, (s, 0, 0))
+
+    k_cache = jax.vmap(upd)(k_cache, k_new.astype(k_cache.dtype), start)
+    v_cache = jax.vmap(upd)(v_cache, v_new.astype(v_cache.dtype), start)
+    return k_cache, v_cache
+
+
+@dataclass
+class Model:
+    """A bound model: config + params + pure apply function.
+
+    ``apply(params, tokens, positions, cache, cache_lens) -> (logits, cache)``
+      tokens:     [B, S] int32 — new tokens to forward
+      positions:  [B, S] int32 — absolute positions of those tokens
+      cache:      KVCache or None (None = no-cache prefill-only forward)
+      cache_lens: [B] int32 — valid cache length per sequence; new KV rows are
+                  written starting at cache_lens
+      logits:     [B, S, vocab] float32
+    """
+
+    config: ModelConfig
+    params: Any
+    apply_fn: Callable[..., Tuple[jax.Array, Optional[KVCache]]]
+    extras: dict = field(default_factory=dict)  # e.g. medusa head params
+
+    def apply(self, params, tokens, positions, cache, cache_lens):
+        return self.apply_fn(params, tokens, positions, cache, cache_lens)
+
+    def init_cache(self, batch_size: int, max_seq_len: int) -> KVCache:
+        return KVCache.create(self.config, batch_size, max_seq_len)
+
+
+def causal_window_mask(
+    positions: jax.Array,  # [B, S] absolute positions of the query tokens
+    kv_len: int,  # static: cache max length
+) -> jax.Array:
+    """[B, 1, S, kv_len] boolean mask: query at absolute position p attends to
+    cache slots [0, p]. Because new KV rows are written at their absolute
+    positions before attention, plain position comparison covers both the
+    committed prefix and the in-flight chunk (causal within the chunk)."""
+    kv_pos = jnp.arange(kv_len)[None, None, None, :]
+    q_pos = positions[:, None, :, None]
+    return kv_pos <= q_pos

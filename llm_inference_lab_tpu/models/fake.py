@@ -1,0 +1,106 @@
+"""Deterministic fake model — the central test fixture.
+
+Reference parity: src/specdec/models/fake_lm.py:18 (`FakeLM`: next token is a
+deterministic hash of the input, letting the whole pipeline run on CPU in
+milliseconds) and :150 (`FakeLMWithAcceptance`: simulates a configurable
+draft/target acceptance rate).
+
+JAX twist: the fake must be a *pure, shape-static* function usable inside the
+same jitted spec-step as real models. Next-token rule:
+
+    next = (mult * token + 31 * position + shift) % vocab
+
+Two FakeModels with identical (mult, shift) agree everywhere (acceptance 1.0).
+`miss_permille` injects pseudo-random disagreements at a controllable rate —
+a hash of (token, position) decides whether this draft prediction is off by
+one — giving the acceptance-rate simulation of FakeLMWithAcceptance without
+any host-side randomness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llm_inference_lab_tpu.models.base import KVCache, Model, ModelConfig
+
+
+def fake_forward(
+    cfg: ModelConfig,
+    params: dict,
+    tokens: jax.Array,  # [B, S]
+    positions: jax.Array,  # [B, S]
+    cache: Optional[KVCache],
+    cache_lens: jax.Array,  # [B]
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    V = cfg.vocab_size
+    mult = params["mult"]
+    shift = params["shift"]
+    miss = params["miss_permille"]
+
+    nxt = (mult * tokens + 31 * positions + shift) % V
+    # Pseudo-random disagreement: Knuth multiplicative hash of (token, pos).
+    h = (tokens.astype(jnp.uint32) * jnp.uint32(2654435761)
+         + positions.astype(jnp.uint32) * jnp.uint32(40503)) % jnp.uint32(1000)
+    nxt = (nxt + (h.astype(jnp.int32) < miss).astype(jnp.int32)) % V
+
+    # Peaked logits at `nxt` with a smooth, position-dependent tail so top-k /
+    # top-p / confidence policies see a realistic distribution.
+    vocab_ids = jnp.arange(V, dtype=jnp.int32)
+    tail = jnp.cos(
+        (vocab_ids[None, None, :] + positions[..., None]).astype(jnp.float32) * 0.1
+    )
+    logits = tail + 8.0 * jax.nn.one_hot(nxt, V, dtype=jnp.float32)
+
+    if cache is not None:
+        # Exercise the real cache-write path: store the token value broadcast
+        # over the (tiny) head dims at its absolute position.
+        val = tokens.astype(cache.k.dtype)[:, :, None, None]
+        val = jnp.broadcast_to(
+            val, (tokens.shape[0], tokens.shape[1], cfg.n_kv_heads, cfg.head_dim)
+        )
+
+        def upd(cache_b, new_b, s):
+            return jax.lax.dynamic_update_slice(cache_b, new_b, (s, 0, 0))
+
+        k = jax.vmap(upd)(cache.k[0], val, cache_lens)[None]
+        cache = KVCache(k=k, v=k)
+    return logits, cache
+
+
+FAKE_CONFIG = ModelConfig(
+    name="fake",
+    arch="fake",
+    vocab_size=256,
+    n_layers=1,
+    n_heads=1,
+    n_kv_heads=1,
+    d_model=8,
+    d_ff=8,
+    max_position_embeddings=65536,
+)
+
+
+@dataclass
+class FakeModel:
+    pass
+
+
+def make_fake_model(
+    vocab_size: int = 256,
+    mult: int = 7,
+    shift: int = 3,
+    miss_permille: int = 0,
+    name: str = "fake",
+) -> Model:
+    cfg = replace(FAKE_CONFIG, vocab_size=vocab_size, name=name)
+    params = {
+        "mult": jnp.int32(mult),
+        "shift": jnp.int32(shift),
+        "miss_permille": jnp.int32(miss_permille),
+    }
+    return Model(config=cfg, params=params, apply_fn=partial(fake_forward, cfg))

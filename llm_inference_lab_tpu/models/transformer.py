@@ -1,0 +1,200 @@
+"""Config-driven decoder transformer shared by the GPT-2 and Llama families.
+
+One compiled layer, scanned over the stacked-layer params/cache
+(``lax.scan``) — fast XLA compiles at any depth, and every matmul routes
+through ``ops.quant.dense`` so weight-only INT8/INT4 applies uniformly.
+
+Replaces the reference's HF-model backend (src/specdec/models/hf_wrappers.py)
+with a from-scratch implementation: same observable contract (tokens in,
+logits + KV out), TPU-native internals.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llm_inference_lab_tpu.models.base import (
+    KVCache,
+    ModelConfig,
+    update_cache_layer,
+)
+from llm_inference_lab_tpu.ops.attention import attend_xla
+from llm_inference_lab_tpu.ops.quant import dense
+from llm_inference_lab_tpu.ops.registry import get_op
+
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(
+    x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float
+) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding. x: [B, S, H, D], positions: [B, S]."""
+    D = x.shape[-1]
+    half = D // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [B, S, half]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _norm(cfg: ModelConfig, x, p, prefix):
+    if cfg.arch == "gpt2":
+        return layer_norm(x, p[f"{prefix}_scale"], p[f"{prefix}_bias"], cfg.layer_norm_eps)
+    return rms_norm(x, p[f"{prefix}_scale"], cfg.rms_norm_eps)
+
+
+def _attn_block(
+    cfg: ModelConfig,
+    p: Any,  # one layer's params
+    x: jax.Array,  # [B, S, D]
+    positions: jax.Array,  # [B, S]
+    k_cache: jax.Array,  # [B, T, n_kv, d]
+    v_cache: jax.Array,
+    cache_lens: jax.Array,  # [B]
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    B, S, _ = x.shape
+    H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    q = dense(x, p["wq"], p.get("bq")).reshape(B, S, H, Dh)
+    k = dense(x, p["wk"], p.get("bk")).reshape(B, S, KV, Dh)
+    v = dense(x, p["wv"], p.get("bv")).reshape(B, S, KV, Dh)
+
+    if not cfg.use_learned_pos:  # llama: rotary on q and k
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+
+    # Write new KV at absolute positions BEFORE attending (see ops.attention).
+    k_cache, v_cache = update_cache_layer(k_cache, v_cache, k, v, cache_lens)
+    attn = get_op("decode_attention")(q, k_cache, v_cache, positions)
+    out = dense(attn.reshape(B, S, H * Dh), p["wo"], p.get("bo"))
+    return out, k_cache, v_cache
+
+
+def _mlp_block(cfg: ModelConfig, p: Any, x: jax.Array) -> jax.Array:
+    if cfg.act == "gelu":  # gpt2
+        h = jax.nn.gelu(dense(x, p["w_fc"], p.get("b_fc")))
+        return dense(h, p["w_proj"], p.get("b_proj"))
+    # llama gated silu
+    g = jax.nn.silu(dense(x, p["w_gate"]))
+    u = dense(x, p["w_up"])
+    return dense(g * u, p["w_down"])
+
+
+def forward(
+    cfg: ModelConfig,
+    params: Any,
+    tokens: jax.Array,  # [B, S] int32
+    positions: jax.Array,  # [B, S] int32
+    cache: Optional[KVCache],
+    cache_lens: jax.Array,  # [B] int32
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Full decoder forward. Returns (logits [B, S, V] float32, updated cache)."""
+    x = jnp.take(params["embed"], tokens, axis=0).astype(cfg.dtype)
+    if cfg.use_learned_pos:
+        x = x + jnp.take(params["pos_embed"], positions, axis=0).astype(cfg.dtype)
+
+    def layer(x, xs):
+        p, k_c, v_c = xs
+        a, k_c, v_c = _attn_block(
+            cfg, p, _norm(cfg, x, p, "attn_norm"), positions, k_c, v_c, cache_lens
+        )
+        x = x + a
+        x = x + _mlp_block(cfg, p, _norm(cfg, x, p, "mlp_norm"))
+        return x, (k_c, v_c)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        layer, x, (params["layers"], cache.k, cache.v)
+    )
+    new_cache = KVCache(k=k_new, v=v_new)
+
+    if cfg.arch == "gpt2":
+        x = layer_norm(
+            x, params["final_norm_scale"], params["final_norm_bias"], cfg.layer_norm_eps
+        )
+    else:
+        x = rms_norm(x, params["final_norm_scale"], cfg.rms_norm_eps)
+
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    if isinstance(head, jax.Array):
+        logits = jnp.dot(
+            x, head.astype(x.dtype), preferred_element_type=jnp.float32
+        )
+    else:  # QuantTensor lm_head
+        logits = dense(x, head).astype(jnp.float32)
+    return logits.astype(jnp.float32), new_cache
+
+
+def init_params(cfg: ModelConfig, rng: jax.Array) -> Any:
+    """Random init with correct shapes/dtypes (benchmarking + tests; real
+    checkpoints come from models.loader)."""
+    keys = iter(jax.random.split(rng, 32))
+    D, F, H, KV, Dh, L = (
+        cfg.d_model,
+        cfg.d_ff,
+        cfg.n_heads,
+        cfg.n_kv_heads,
+        cfg.head_dim,
+        cfg.n_layers,
+    )
+    dt = cfg.dtype
+    init = lambda k, shape, s=0.02: (jax.random.normal(k, shape, jnp.float32) * s).astype(dt)
+
+    layers = {
+        "attn_norm_scale": jnp.ones((L, D), dt),
+        "mlp_norm_scale": jnp.ones((L, D), dt),
+        "wq": init(next(keys), (L, D, H * Dh)),
+        "wk": init(next(keys), (L, D, KV * Dh)),
+        "wv": init(next(keys), (L, D, KV * Dh)),
+        "wo": init(next(keys), (L, H * Dh, D)),
+    }
+    if cfg.arch == "gpt2":
+        layers.update(
+            attn_norm_bias=jnp.zeros((L, D), dt),
+            mlp_norm_bias=jnp.zeros((L, D), dt),
+            bq=jnp.zeros((L, H * Dh), dt),
+            bk=jnp.zeros((L, KV * Dh), dt),
+            bv=jnp.zeros((L, KV * Dh), dt),
+            bo=jnp.zeros((L, D), dt),
+            w_fc=init(next(keys), (L, D, F)),
+            b_fc=jnp.zeros((L, F), dt),
+            w_proj=init(next(keys), (L, F, D)),
+            b_proj=jnp.zeros((L, D), dt),
+        )
+    else:
+        layers.update(
+            w_gate=init(next(keys), (L, D, F)),
+            w_up=init(next(keys), (L, D, F)),
+            w_down=init(next(keys), (L, F, D)),
+        )
+
+    params = {
+        "embed": init(next(keys), (cfg.vocab_size, D)),
+        "layers": layers,
+        "final_norm_scale": jnp.ones((D,), dt),
+    }
+    if cfg.arch == "gpt2":
+        params["pos_embed"] = init(next(keys), (cfg.max_position_embeddings, D))
+        params["final_norm_bias"] = jnp.zeros((D,), dt)
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = init(next(keys), (D, cfg.vocab_size))
+    return params

@@ -1,0 +1,164 @@
+"""Weight-only quantization (INT8 / INT4) + dequantizing matmul.
+
+Reference parity: quantization is Phase 4B "Planned" in the reference
+(README.md:83, :389-391) — this is green-field, built per BASELINE.json's
+north star (fused Pallas dequant+matmul, weight-only INT8/INT4, per-channel
+scales, quantized KV cache).
+
+Scheme
+------
+* INT8: symmetric per-output-channel scales. ``w ≈ q * scale[None, :]`` with
+  q int8 in [-127, 127].
+* INT4: two nibbles packed per int8 byte along the *input* dimension
+  (rows 2i, 2i+1 share a byte), per-output-channel (optionally per-group)
+  scales.
+
+The matmul contract is ``dense(x, w, b)`` where ``w`` is either a plain array
+or a ``QuantTensor`` — every projection in the model zoo routes through this
+single entry point, so flipping `quantization: int8` in the config quantizes
+the whole network. The XLA path dequantizes per tile and lets XLA fuse
+(`(x @ q.astype(bf16)) * scale` — scale factors out per output channel); the
+Pallas path (ops/pallas/quant_matmul.py) streams int8/int4 tiles HBM->VMEM and
+dequantizes in-register to halve/quarter weight bandwidth, which is the decode
+speed-of-light lever.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from llm_inference_lab_tpu.ops.registry import PRIORITY_XLA, registry
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantTensor:
+    """Quantized weight: logical shape [d_in, d_out].
+
+    data:  int8 [d_in, d_out] (int8) or [d_in // 2, d_out] (packed int4)
+    scale: float32 [d_out]
+    """
+
+    data: jax.Array
+    scale: jax.Array
+    bits: int = 8
+
+    def tree_flatten(self):
+        return (self.data, self.scale), (self.bits,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], bits=aux[0])
+
+    @property
+    def shape(self):
+        if self.bits == 4:
+            return (self.data.shape[0] * 2, self.data.shape[1])
+        return self.data.shape
+
+    @property
+    def dtype(self):  # logical compute dtype
+        return jnp.bfloat16
+
+
+def quantize_int8(w: jax.Array) -> QuantTensor:
+    """Symmetric per-output-channel int8 quantization of [d_in, d_out]."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / scale[None, :]), -127, 127).astype(jnp.int8)
+    return QuantTensor(q, scale, bits=8)
+
+
+def quantize_int4(w: jax.Array) -> QuantTensor:
+    """Symmetric per-output-channel int4, two rows packed per byte."""
+    d_in, d_out = w.shape
+    assert d_in % 2 == 0, "int4 packing requires even d_in"
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(w32 / scale[None, :]), -7, 7).astype(jnp.int8)
+    lo = q[0::2]  # rows 2i
+    hi = q[1::2]  # rows 2i+1
+    packed = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+    return QuantTensor(packed, scale, bits=4)
+
+
+def quantize(w: jax.Array, mode: str) -> QuantTensor:
+    if mode == "int8":
+        return quantize_int8(w)
+    if mode == "int4":
+        return quantize_int4(w)
+    raise ValueError(f"unknown quantization mode {mode!r}")
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """[d_in//2, d_out] packed bytes -> [d_in, d_out] int8 in [-7, 7]."""
+    lo = (packed << 4) >> 4  # sign-extend low nibble (arithmetic shifts)
+    hi = packed >> 4  # sign-extend high nibble
+    d2, d_out = packed.shape
+    out = jnp.stack([lo, hi], axis=1)  # [d2, 2, d_out]
+    return out.reshape(d2 * 2, d_out)
+
+
+def dequantize(qt: QuantTensor, dtype=jnp.bfloat16) -> jax.Array:
+    q = unpack_int4(qt.data) if qt.bits == 4 else qt.data
+    return (q.astype(jnp.float32) * qt.scale[None, :]).astype(dtype)
+
+
+def quant_matmul_xla(x: jax.Array, qt: QuantTensor) -> jax.Array:
+    """Reference dequant-matmul: per-output-channel scale factors out of the
+    contraction, so dequantization is a cheap epilogue XLA fuses."""
+    q = unpack_int4(qt.data) if qt.bits == 4 else qt.data
+    y = jnp.dot(x, q.astype(x.dtype), preferred_element_type=jnp.float32)
+    return (y * qt.scale[None, :]).astype(x.dtype)
+
+
+registry.register("quant_matmul", quant_matmul_xla, backend="xla", priority=PRIORITY_XLA)
+
+
+def dense(x: jax.Array, w: Any, b: Optional[jax.Array] = None) -> jax.Array:
+    """The single matmul entry point for all model projections.
+
+    x: [..., d_in]; w: array [d_in, d_out] or QuantTensor; b: [d_out] or None.
+    """
+    if isinstance(w, QuantTensor):
+        from llm_inference_lab_tpu.ops.registry import get_op
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        y = get_op("quant_matmul")(x2, w).reshape(*lead, w.shape[-1])
+    else:
+        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(
+            x.dtype
+        )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def quantize_params(params: Any, mode: str, min_size: int = 1 << 16) -> Any:
+    """Quantize every 2-D weight leaf >= min_size elements (embeddings and
+    norms stay high precision). Works on stacked [L, d_in, d_out] layer leaves
+    by vmapping the quantizer over the layer axis."""
+
+    def maybe_quant(path, leaf):
+        if not isinstance(leaf, jax.Array):
+            return leaf
+        name = jax.tree_util.keystr(path)
+        if "embed" in name or "norm" in name or "bias" in name:
+            return leaf
+        if leaf.ndim == 2 and leaf.size >= min_size:
+            return quantize(leaf, mode)
+        if leaf.ndim == 3 and leaf.size >= min_size:  # stacked layers
+            return jax.vmap(partial(quantize, mode=mode))(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(
+        maybe_quant, params, is_leaf=lambda x: isinstance(x, QuantTensor)
+    )

@@ -1,0 +1,40 @@
+"""Device mesh construction.
+
+Axes:
+  data  — batch (DP): sequences are independent; continuous-batching slots
+          shard across this axis.
+  model — tensor parallel (TP): attention heads / MLP hidden sharded over
+          ICI; collectives ride the fast intra-slice links.
+
+Multi-host: jax.distributed + the same named mesh spans hosts; DCN carries
+only the data axis (keep `model` within a host's ICI domain by putting it
+last / minor in the device order).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    data: int = 1,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    need = data * model
+    if need > len(devices):
+        raise ValueError(f"mesh {data}x{model} needs {need} devices, have {len(devices)}")
+    arr = np.array(devices[:need]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def auto_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """Default: all devices on the model (TP) axis — the right default for
+    single-host low-latency inference of one large model."""
+    n = n_devices or len(jax.devices())
+    return make_mesh(data=1, model=n)

@@ -1,0 +1,105 @@
+"""Sharding rules: param/state leaf path -> PartitionSpec.
+
+Megatron-style tensor parallelism expressed declaratively; GSPMD inserts the
+collectives (all-gather for column-parallel inputs, reduce-scatter/psum after
+row-parallel projections) and the XLA latency-hiding scheduler overlaps them
+with compute — the "overlapped collectives" capability of BASELINE.json.
+
+Layout (stacked-layer leaves have a leading layer axis, spec gets a None):
+  wq/wk/wv  [L, D, H*dh]   -> (None, None, 'model')   column parallel
+  wo        [L, H*dh, D]   -> (None, 'model', None)   row parallel
+  w_gate/up [L, D, F]      -> (None, None, 'model')
+  w_down    [L, F, D]      -> (None, 'model', None)
+  embed     [V, D]         -> ('model', None)          vocab parallel
+  lm_head   [D, V]         -> (None, 'model')
+  norms / biases           -> replicated
+  KV cache  [L, B, T, KVH, dh] -> (None, 'data', None, 'model', None)
+  tokens/lengths/active    -> ('data',) on the batch axis
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from llm_inference_lab_tpu.core.state import DecodeState
+from llm_inference_lab_tpu.models.base import KVCache
+from llm_inference_lab_tpu.ops.quant import QuantTensor
+
+# (path regex, spec WITHOUT the stacked-layer axis). Applied to the trailing
+# dims; leading extra dims (layer stack) are padded with None.
+PARAM_RULES = [
+    (r"(wq|wk|wv)$", P(None, "model")),
+    (r"wo$", P("model", None)),
+    (r"(w_gate|w_up|w_fc)$", P(None, "model")),
+    (r"(w_down|w_proj)$", P("model", None)),
+    (r"(bq|bk|bv|b_fc)$", P("model")),
+    (r"(bo|b_proj)$", P(None)),
+    (r"pos_embed$", P(None, None)),
+    (r"embed$", P("model", None)),
+    (r"lm_head$", P(None, "model")),
+]
+
+
+def _spec_for(path: str, ndim: int) -> P:
+    for pat, spec in PARAM_RULES:
+        if re.search(pat, path):
+            pad = ndim - len(spec)
+            if pad < 0:  # scale vectors etc. — shard on last dim of spec
+                return P(*spec[-ndim:])
+            return P(*([None] * pad), *spec)
+    return P()  # replicate
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """device_put every leaf with its rule-derived NamedSharding.
+    QuantTensor leaves: data shards like the logical weight; per-out-channel
+    scales shard on the output dim."""
+
+    def place(path, leaf):
+        name = jax.tree_util.keystr(path)
+        if isinstance(leaf, QuantTensor):
+            dspec = _spec_for(name, leaf.data.ndim)
+            out_axis = dspec[-1] if len(dspec) else None
+            sspec = P(*([None] * (leaf.scale.ndim - 1)), out_axis)
+            return QuantTensor(
+                jax.device_put(leaf.data, NamedSharding(mesh, dspec)),
+                jax.device_put(leaf.scale, NamedSharding(mesh, sspec)),
+                bits=leaf.bits,
+            )
+        return jax.device_put(leaf, NamedSharding(mesh, _spec_for(name, leaf.ndim)))
+
+    return jax.tree_util.tree_map_with_path(
+        place, params, is_leaf=lambda x: isinstance(x, QuantTensor)
+    )
+
+
+def _cache_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(None, "data", None, "model", None))
+
+
+def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
+    batch = NamedSharding(mesh, P("data"))
+    batch2 = NamedSharding(mesh, P("data", None))
+    rep = NamedSharding(mesh, P())
+    cache = _cache_sharding(mesh)
+
+    def place_cache(c: KVCache) -> KVCache:
+        return KVCache(jax.device_put(c.k, cache), jax.device_put(c.v, cache))
+
+    return DecodeState(
+        tokens=jax.device_put(state.tokens, batch2),
+        lengths=jax.device_put(state.lengths, batch),
+        prompt_lens=jax.device_put(state.prompt_lens, batch),
+        active=jax.device_put(state.active, batch),
+        target_cache=place_cache(state.target_cache),
+        draft_cache=place_cache(state.draft_cache),
+        rng=jax.device_put(state.rng, rep),
+        proposed=jax.device_put(state.proposed, batch),
+        accepted=jax.device_put(state.accepted, batch),
+        bonus=jax.device_put(state.bonus, batch),
+        steps=jax.device_put(state.steps, rep),
+    )

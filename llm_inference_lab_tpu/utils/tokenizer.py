@@ -1,0 +1,84 @@
+"""Tokenizers: HF-backed when available, byte-level fallback otherwise.
+
+Reference parity: the reference leans on HF AutoTokenizer with an
+optimization cache (src/optimization/tokenizer_optimization.py:17) and a
+draft/target tokenizer compatibility check (pipeline.py:563-597). Here:
+- `HFTokenizer` wraps transformers (works when the hub cache is present),
+  with the same encode-result LRU cache.
+- `ByteTokenizer` is the dependency-free fallback (and the natural match for
+  the 256-vocab fake model) so the whole stack runs with zero downloads.
+- `check_tokenizer_compat` mirrors the reference's vocab check.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Protocol
+
+
+class Tokenizer(Protocol):
+    vocab_size: int
+    eos_token_id: Optional[int]
+
+    def encode(self, text: str) -> List[int]: ...
+
+    def decode(self, ids: List[int]) -> str: ...
+
+
+class ByteTokenizer:
+    """UTF-8 bytes as tokens; id 0 reserved as EOS/pad."""
+
+    def __init__(self, vocab_size: int = 256):
+        self.vocab_size = vocab_size
+        self.eos_token_id = 0
+
+    def encode(self, text: str) -> List[int]:
+        ids = [1 + (b % (self.vocab_size - 1)) for b in text.encode("utf-8")]
+        return ids or [1]
+
+    def decode(self, ids: List[int]) -> str:
+        return bytes((max(i - 1, 0)) % 256 for i in ids if i != 0).decode(
+            "utf-8", errors="replace"
+        )
+
+
+class HFTokenizer:
+    """transformers-backed tokenizer with an encode cache (reference
+    OptimizedTokenizer, tokenizer_optimization.py:65-96)."""
+
+    def __init__(self, name: str, cache_size: int = 4096):
+        from transformers import AutoTokenizer
+
+        self._tok = AutoTokenizer.from_pretrained(name)
+        self.vocab_size = len(self._tok)
+        self.eos_token_id = self._tok.eos_token_id
+        self._cache: dict = {}
+        self._cache_size = cache_size
+
+    def encode(self, text: str) -> List[int]:
+        hit = self._cache.get(text)
+        if hit is not None:
+            return list(hit)
+        ids = self._tok.encode(text)
+        if len(self._cache) >= self._cache_size:  # FIFO evict
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[text] = tuple(ids)
+        return ids
+
+    def decode(self, ids: List[int]) -> str:
+        return self._tok.decode(ids, skip_special_tokens=True)
+
+
+def get_tokenizer(name: str, implementation: str = "hf") -> Tokenizer:
+    if implementation == "fake" or name == "fake":
+        return ByteTokenizer()
+    try:
+        return HFTokenizer(name)
+    except Exception:
+        # Offline / no hub cache: degrade to bytes so everything still runs.
+        return ByteTokenizer()
+
+
+def check_tokenizer_compat(target: Tokenizer, draft: Tokenizer) -> bool:
+    """Draft and target must share a vocabulary for token-level acceptance
+    (reference pipeline.py:563-597)."""
+    return target.vocab_size == draft.vocab_size

@@ -1,0 +1,158 @@
+"""Model correctness: the gold test is incremental-KV == full-context
+equivalence — prefill + token-by-token decode must reproduce the same logits
+as one full forward (this is what the reference's KV verification debug mode
+checks at runtime, src/specdec/core/kv_cache_verification.py:63-189)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_inference_lab_tpu.models.base import KVCache
+from llm_inference_lab_tpu.models.gpt2 import GPT2Model
+from llm_inference_lab_tpu.models.llama import LLAMA_CONFIGS, LlamaModel
+from llm_inference_lab_tpu.models import transformer
+from llm_inference_lab_tpu.models.fake import make_fake_model
+
+
+def tiny_llama():
+    return LlamaModel.create("llama-tiny", rng=jax.random.PRNGKey(1), dtype=jnp.float32)
+
+
+def tiny_gpt2():
+    from dataclasses import replace
+
+    from llm_inference_lab_tpu.models.base import Model
+    from functools import partial
+
+    cfg = replace(
+        LLAMA_CONFIGS["llama-tiny"],
+        name="gpt2-tiny",
+        arch="gpt2",
+        use_learned_pos=True,
+        use_bias=True,
+        act="gelu",
+        n_kv_heads=4,
+        max_position_embeddings=128,
+    )
+    params = transformer.init_params(cfg, jax.random.PRNGKey(2))
+    return Model(config=cfg, params=params, apply_fn=partial(transformer.forward, cfg))
+
+
+@pytest.mark.parametrize("factory", [tiny_llama, tiny_gpt2])
+def test_forward_shapes(factory):
+    m = factory()
+    B, S, T = 2, 5, 32
+    cache = m.init_cache(B, T)
+    tokens = jnp.arange(B * S, dtype=jnp.int32).reshape(B, S) % m.config.vocab_size
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    logits, cache2 = m.apply(m.params, tokens, pos, cache, jnp.zeros((B,), jnp.int32))
+    assert logits.shape == (B, S, m.config.vocab_size)
+    assert logits.dtype == jnp.float32
+    assert cache2.k.shape == cache.k.shape
+
+
+@pytest.mark.parametrize("factory", [tiny_llama, tiny_gpt2])
+def test_incremental_equals_full(factory):
+    """Prefill(T0) + single-token decode steps == one full forward."""
+    m = factory()
+    B, T = 2, 24
+    total = 10
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, m.config.vocab_size, (B, total)), jnp.int32)
+    pos_full = jnp.broadcast_to(jnp.arange(total, dtype=jnp.int32)[None], (B, total))
+
+    full_logits, _ = m.apply(
+        m.params, tokens, pos_full, m.init_cache(B, T), jnp.zeros((B,), jnp.int32)
+    )
+
+    # Prefill first 4, then decode one token at a time.
+    split = 4
+    cache = m.init_cache(B, T)
+    logits_pre, cache = m.apply(
+        m.params,
+        tokens[:, :split],
+        pos_full[:, :split],
+        cache,
+        jnp.zeros((B,), jnp.int32),
+    )
+    step_logits = [logits_pre]
+    for t in range(split, total):
+        lg, cache = m.apply(
+            m.params,
+            tokens[:, t : t + 1],
+            pos_full[:, t : t + 1],
+            cache,
+            jnp.full((B,), t, jnp.int32),
+        )
+        step_logits.append(lg)
+    inc_logits = jnp.concatenate(step_logits, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(inc_logits), np.asarray(full_logits), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("factory", [tiny_llama, tiny_gpt2])
+def test_chunked_decode_matches_single_steps(factory):
+    """A K+1-token verify chunk must equal K+1 single-token decodes (the
+    correctness core of single-pass verification)."""
+    m = factory()
+    B, T = 1, 32
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, m.config.vocab_size, (B, 12)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(12, dtype=jnp.int32)[None], (B, 12))
+
+    cache = m.init_cache(B, T)
+    _, cache = m.apply(m.params, tokens[:, :6], pos[:, :6], cache, jnp.zeros((B,), jnp.int32))
+    chunk_logits, _ = m.apply(
+        m.params, tokens[:, 6:12], pos[:, 6:12], cache, jnp.full((B,), 6, jnp.int32)
+    )
+
+    cache2 = m.init_cache(B, T)
+    _, cache2 = m.apply(m.params, tokens[:, :6], pos[:, :6], cache2, jnp.zeros((B,), jnp.int32))
+    singles = []
+    for t in range(6, 12):
+        lg, cache2 = m.apply(
+            m.params, tokens[:, t : t + 1], pos[:, t : t + 1], cache2,
+            jnp.full((B,), t, jnp.int32),
+        )
+        singles.append(lg)
+    np.testing.assert_allclose(
+        np.asarray(chunk_logits),
+        np.asarray(jnp.concatenate(singles, axis=1)),
+        rtol=2e-4,
+        atol=2e-4,
+    )
+
+
+def test_per_sequence_offsets():
+    """Different cache_lens per batch lane write at different offsets."""
+    m = tiny_llama()
+    B, T = 2, 16
+    cache = m.init_cache(B, T)
+    tokens = jnp.array([[5], [7]], dtype=jnp.int32)
+    lens = jnp.array([3, 9], jnp.int32)
+    _, cache2 = m.apply(m.params, tokens, lens[:, None], cache, lens)
+    k = np.asarray(cache2.k)
+    assert np.abs(k[0, 0, 3]).sum() > 0 and np.abs(k[0, 0, 9]).sum() == 0
+    assert np.abs(k[0, 1, 9]).sum() > 0 and np.abs(k[0, 1, 3]).sum() == 0
+
+
+def test_fake_model_determinism_and_acceptance_sim():
+    m1 = make_fake_model()
+    m2 = make_fake_model()
+    m3 = make_fake_model(miss_permille=500)
+    tokens = jnp.arange(32, dtype=jnp.int32)[None, :]
+    pos = jnp.arange(32, dtype=jnp.int32)[None, :]
+    lens = jnp.zeros((1,), jnp.int32)
+    l1, _ = m1.apply(m1.params, tokens, pos, None, lens)
+    l2, _ = m2.apply(m2.params, tokens, pos, None, lens)
+    l3, _ = m3.apply(m3.params, tokens, pos, None, lens)
+    assert (jnp.argmax(l1, -1) == jnp.argmax(l2, -1)).all()
+    assert not (jnp.argmax(l1, -1) == jnp.argmax(l3, -1)).all()
+
+
+def test_gpt2_factory_smoke():
+    m = GPT2Model.create("distilgpt2", rng=jax.random.PRNGKey(0), dtype=jnp.float32)
+    assert m.config.n_layers == 6
+    assert m.params["embed"].shape == (50257, 768)
