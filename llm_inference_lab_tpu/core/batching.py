@@ -1,0 +1,231 @@
+"""Continuous batching: slot-based admission into a fixed-shape decode batch.
+
+Reference parity: the reference's "continuous(ish) batching" is the
+length-aware SequencePool (src/specdec/core/sequence_pool.py:17) feeding
+generate_batch with same-length groups, plus per-sequence EOS retirement
+(pipeline.py:1929-1934, :3617-3620). TPU-native re-design: the decode batch
+has a FIXED shape [B_slots, max_len]; a request occupies a slot, decodes,
+retires at EOS, and the freed slot is immediately re-filled from the queue —
+no padding regrouping, no recompilation (slot count and buffer length are
+the only shapes).
+
+Admission is a jitted per-slot prefill: the prompt is forwarded as a [1, P]
+batch and its KV rows scattered into the slot's cache lane; decode never
+stops for admissions (the scatter is just another device computation queued
+between steps).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_inference_lab_tpu.core.engine import Engine, _round_up
+from llm_inference_lab_tpu.core.state import init_state
+
+
+@dataclass
+class _Request:
+    req_id: int
+    prompt: str
+    ids: List[int]
+    max_new_tokens: int
+    submitted_at: float = field(default_factory=time.perf_counter)
+    slot: Optional[int] = None
+    result: Optional[dict] = None
+
+
+def make_admit(target_model, draft_model):
+    """Jitted single-slot admission: prefill a [1, P] prompt and splice its
+    tokens/caches/lengths into slot `b` of the running state."""
+    target_apply = target_model.apply_fn
+    draft_apply = draft_model.apply_fn if draft_model is not None else None
+
+    def admit(target_params, draft_params, state, prompt_row, prompt_len, slot):
+        P = prompt_row.shape[1]
+        positions = jnp.arange(P, dtype=jnp.int32)[None]
+        zero = jnp.zeros((1,), jnp.int32)
+        T = state.target_cache.k.shape[2]
+
+        def sub_cache(cache):
+            from llm_inference_lab_tpu.models.base import KVCache
+
+            return KVCache(
+                k=jnp.zeros((cache.k.shape[0], 1, T) + cache.k.shape[3:], cache.k.dtype),
+                v=jnp.zeros((cache.v.shape[0], 1, T) + cache.v.shape[3:], cache.v.dtype),
+            )
+
+        _, t_cache, hidden = target_apply(
+            target_params, prompt_row, positions, sub_cache(state.target_cache),
+            zero, return_hidden=True,
+        )
+        new_tk = state.target_cache.k.at[:, slot, :, :, :].set(t_cache.k[:, 0])
+        new_tv = state.target_cache.v.at[:, slot, :, :, :].set(t_cache.v[:, 0])
+        from llm_inference_lab_tpu.models.base import KVCache
+
+        target_cache = KVCache(new_tk, new_tv)
+
+        if draft_apply is not None:
+            _, d_cache = draft_apply(
+                draft_params, prompt_row, positions, sub_cache(state.draft_cache), zero
+            )
+            draft_cache = KVCache(
+                state.draft_cache.k.at[:, slot, :, :, :].set(d_cache.k[:, 0]),
+                state.draft_cache.v.at[:, slot, :, :, :].set(d_cache.v[:, 0]),
+            )
+        else:
+            draft_cache = state.draft_cache
+
+        row = jnp.zeros((state.tokens.shape[1],), jnp.int32)
+        row = jax.lax.dynamic_update_slice(row, prompt_row[0], (0,))
+        h_idx = jnp.maximum(prompt_len - 2, 0)
+        h_last = hidden[0, h_idx].astype(jnp.float32)
+        return state.replace(
+            tokens=state.tokens.at[slot].set(row),
+            lengths=state.lengths.at[slot].set(prompt_len),
+            prompt_lens=state.prompt_lens.at[slot].set(prompt_len),
+            active=state.active.at[slot].set(prompt_len > 0),
+            target_cache=target_cache,
+            draft_cache=draft_cache,
+            proposed=state.proposed.at[slot].set(0),
+            accepted=state.accepted.at[slot].set(0),
+            bonus=state.bonus.at[slot].set(0),
+            last_hidden=state.last_hidden.at[slot].set(h_last),
+            prev_hidden=state.prev_hidden.at[slot].set(h_last),
+        )
+
+    return jax.jit(admit, donate_argnums=(2,))
+
+
+class ContinuousBatcher:
+    """Drives an Engine's jitted step over a fixed slot batch with rolling
+    admission/retirement. Usage:
+
+        batcher = ContinuousBatcher(engine, n_slots=8)
+        ids = [batcher.submit(p) for p in prompts]
+        results = batcher.run()          # drain everything
+    """
+
+    def __init__(
+        self,
+        engine: Engine,
+        n_slots: int = 8,
+        max_seq_len: Optional[int] = None,
+        poll_every: int = 4,
+    ):
+        self.engine = engine
+        self.n_slots = n_slots
+        cfg = engine.config
+        self.max_seq_len = max_seq_len or cfg.max_seq_len
+        self.poll_every = poll_every
+        self._queue: List[_Request] = []
+        self._slots: List[Optional[_Request]] = [None] * n_slots
+        self._done: Dict[int, _Request] = {}
+        self._next_id = 0
+        self._admit = make_admit(engine.target, engine.draft)
+        self.state = init_state(
+            engine.target, engine.draft, n_slots, self.max_seq_len, seed=cfg.seed
+        )
+        self._steps = 0
+
+    def submit(self, prompt: str, max_new_tokens: Optional[int] = None) -> int:
+        ids = self.engine.tokenizer.encode(prompt)[
+            : self.max_seq_len - (max_new_tokens or self.engine.config.max_new_tokens)
+            - self.engine.config.max_draft - 2
+        ]
+        req = _Request(
+            self._next_id, prompt, ids,
+            max_new_tokens or self.engine.config.max_new_tokens,
+        )
+        self._next_id += 1
+        self._queue.append(req)
+        return req.req_id
+
+    # ------------------------------------------------------------------
+    def _admit_pending(self) -> None:
+        eng = self.engine
+        for slot in range(self.n_slots):
+            if self._slots[slot] is not None or not self._queue:
+                continue
+            req = self._queue.pop(0)
+            req.slot = slot
+            P = _round_up(max(len(req.ids), 1), 32)
+            row = np.zeros((1, P), np.int32)
+            row[0, : len(req.ids)] = req.ids
+            self.state = self._admit(
+                eng.target.params,
+                eng._draft_params,
+                self.state,
+                jnp.asarray(row),
+                jnp.int32(len(req.ids)),
+                jnp.int32(slot),
+            )
+            self._slots[slot] = req
+
+    def _retire_finished(self) -> None:
+        active = np.asarray(self.state.active)
+        if active.all():
+            return
+        tokens = None
+        for slot, req in enumerate(self._slots):
+            if req is None or active[slot]:
+                continue
+            if tokens is None:
+                tokens = np.asarray(self.state.tokens)
+                lengths = np.asarray(self.state.lengths)
+                proposed = np.asarray(self.state.proposed)
+                accepted = np.asarray(self.state.accepted)
+            plen = len(req.ids)
+            gen = tokens[slot, plen : lengths[slot]].tolist()
+            text_ids = [t for t in gen if t != self.engine.eos_token_id]
+            prop, acc = int(proposed[slot]), int(accepted[slot])
+            req.result = {
+                "req_id": req.req_id,
+                "text": self.engine.tokenizer.decode(text_ids),
+                "generated_ids": gen,
+                "generated_tokens": len(gen),
+                "proposed": prop,
+                "accepted": acc,
+                "acceptance_rate": acc / prop if prop else 0.0,
+                "latency_ms": (time.perf_counter() - req.submitted_at) * 1e3,
+                "slot": slot,
+            }
+            self._done[req.req_id] = req
+            self._slots[slot] = None
+
+    def step(self) -> None:
+        """One decode step over all occupied slots."""
+        eng = self.engine
+        k = eng.controller.get_k(self._steps)
+        step_fn = eng._get_step(k, self.engine.config.max_new_tokens)
+        if not eng.is_spec:
+            self.state = step_fn(eng.target.params, self.state)
+        else:
+            self.state = step_fn(eng.target.params, eng._draft_params, self.state)
+        self._steps += 1
+
+    def run(self, max_steps: Optional[int] = None) -> List[dict]:
+        """Drain the queue + all slots; returns results ordered by req_id."""
+        limit = max_steps or (
+            (len(self._queue) + self.n_slots + 1)
+            * (self.engine.config.max_new_tokens + 2)
+        )
+        self._admit_pending()
+        steps = 0
+        while steps < limit:
+            if not any(self._slots) and not self._queue:
+                break
+            self.step()
+            steps += 1
+            if steps % self.poll_every == 0 or not self._queue:
+                self._retire_finished()
+                self._admit_pending()
+        self._retire_finished()
+        return [
+            self._done[rid].result for rid in sorted(self._done)
+        ]

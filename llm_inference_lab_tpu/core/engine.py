@@ -45,6 +45,29 @@ def _round_up(x: int, m: int) -> int:
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}
 
+_COMP_CACHE_SET = False
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first-compile of a full engine on a
+    tunneled TPU can take minutes; every later process reuses it."""
+    global _COMP_CACHE_SET
+    if _COMP_CACHE_SET:
+        return
+    try:
+        import os
+
+        path = os.environ.get(
+            "SPECDX_COMPILATION_CACHE",
+            os.path.expanduser("~/.cache/jax_comp_cache"),
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    _COMP_CACHE_SET = True
+
 
 class Engine:
     def __init__(
@@ -60,6 +83,7 @@ class Engine:
         cfg = (config or EngineConfig()).override(**overrides)
         self.config = cfg
         self.flags = flags or EnvFlags.from_env()
+        _enable_compilation_cache()
         dtype = _DTYPES[self.flags.dtype or cfg.dtype]
         rng = jax.random.PRNGKey(cfg.seed)
         rng_t, rng_d = jax.random.split(rng)
@@ -115,7 +139,33 @@ class Engine:
             "backend": jax.default_backend(),
         }
 
-        self._prefill = make_prefill(self.target, self.draft or self.target)
+        # Medusa/EAGLE draft from the target's hidden states — no draft model
+        # (reference loads one anyway and ignores it; we don't).
+        self.draft_mode = cfg.draft_mode
+        if self.draft_mode in ("medusa", "eagle"):
+            self.draft = None
+        self.is_spec = self.draft is not None or self.draft_mode != "vanilla"
+        if self.draft_mode == "medusa":
+            k = cfg.max_draft
+            D = self.target.config.d_model
+            eye = jnp.eye(D, dtype=dtype)
+            if cfg.medusa.get("head_init", "tie") == "random":
+                noise = (
+                    jax.random.normal(jax.random.PRNGKey(cfg.seed + 7), (k, D, D))
+                    * 0.02
+                ).astype(dtype)
+                proj = eye[None] + noise
+            else:  # "tie"/"copy": identity projection, shared lm_head
+                proj = jnp.broadcast_to(eye, (k, D, D))
+            self._draft_params = {"medusa_proj": proj}
+        elif self.draft_mode == "eagle":
+            self._draft_params = {}
+        else:
+            self._draft_params = self.draft.params if self.draft is not None else None
+
+        self._prefill = make_prefill(
+            self.target, self.draft, prefill_draft=self.draft is not None
+        )
         self._step_cache: Dict[tuple, Any] = {}
         self._max_k = getattr(self.controller, "max_k", cfg.max_draft)
 
@@ -126,7 +176,7 @@ class Engine:
         if fn is not None:
             return fn
         cfg = self.config
-        if self.draft is None:
+        if not self.is_spec:
             fn = make_baseline_step(
                 self.target,
                 greedy=cfg.greedy,
@@ -151,6 +201,9 @@ class Engine:
                 max_new_tokens=max_new_tokens,
                 eos_token_id=self.eos_token_id,
                 use_rejection_bonus=(cfg.policy == "rejection"),
+                draft_mode=self.draft_mode,
+                medusa_cfg=cfg.medusa,
+                eagle_cfg=cfg.eagle,
             )
         self._step_cache[key] = fn
         return fn
@@ -184,11 +237,9 @@ class Engine:
         for i, e in enumerate(enc):
             block[i, : len(e)] = e
 
-        dparams = self.draft.params if self.draft is not None else self.target.params
+        dparams = self._draft_params
         t_start = time.perf_counter()
-        state = init_state(
-            self.target, self.draft or self.target, B, max_len, seed=seed
-        )
+        state = init_state(self.target, self.draft, B, max_len, seed=seed)
         state = self._prefill(
             self.target.params, dparams, state, jnp.asarray(block), jnp.asarray(plens)
         )
@@ -205,11 +256,10 @@ class Engine:
         for step_i in range(max_new + 1):
             k = self.controller.get_k(step_i)
             step_fn = self._get_step(k, max_new)
-            if self.draft is None:
-                t0 = time.perf_counter()
+            t0 = time.perf_counter()
+            if not self.is_spec:
                 state = step_fn(self.target.params, state)
             else:
-                t0 = time.perf_counter()
                 state = step_fn(self.target.params, dparams, state)
             steps_run += 1
 

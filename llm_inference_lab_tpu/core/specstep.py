@@ -58,25 +58,39 @@ def make_spec_step(
     max_new_tokens: int = 64,
     eos_token_id: Optional[int] = None,
     use_rejection_bonus: bool = False,
+    draft_mode: str = "vanilla",  # | "medusa" | "eagle"
+    medusa_cfg: Optional[dict] = None,
+    eagle_cfg: Optional[dict] = None,
     donate: bool = True,
 ):
-    """Build the jitted step: (target_params, draft_params, state) -> state."""
+    """Build the jitted step: (target_params, draft_params, state) -> state.
+
+    draft_mode:
+      vanilla — autoregressive draft model (reference default path).
+      medusa  — Medusa-lite: K projection heads over the target's last
+                hidden state, sharing the target lm_head (reference
+                modes/medusa.py:17 + pipeline.py:655-763; unlike the
+                reference's fresh-random-per-call heads, ours are persistent
+                params passed as `draft_params["medusa_proj"]`).
+      eagle   — EAGLE-lite: hidden-state linear extrapolation
+                h' = h + alpha*(h - h_prev), logits via the target lm_head
+                (reference modes/eagle.py:16 + pipeline.py:765-889).
+    Medusa/EAGLE read the hidden-state carry maintained in DecodeState, so
+    they need no separate draft model or draft cache.
+    """
     policy_params = dict(policy_params or {})
     target_apply = target_model.apply_fn
-    draft_apply = draft_model.apply_fn
+    draft_apply = draft_model.apply_fn if draft_model is not None else None
+    head_fn = target_model.head_fn
     K = int(k)
     # Reference subtlety for acceptance parity: the draft samples at
     # temperature/1.5 (pipeline.py:2324-2328) while verify stays greedy.
     draft_temp = temperature / draft_temperature_scale
+    medusa_cfg = dict(medusa_cfg or {})
+    eagle_alpha = float((eagle_cfg or {}).get("alpha", 0.7))
+    compute_dtype = target_model.config.dtype
 
-    def step(target_params, draft_params, state: DecodeState) -> DecodeState:
-        B = state.tokens.shape[0]
-        max_len = state.tokens.shape[1]
-        rng, rng_draft, rng_policy, rng_bonus = jax.random.split(state.rng, 4)
-        last = _gather_last(state.tokens, state.lengths)  # [B]
-        base = state.lengths - 1  # write/read offset: cache holds [0, L-1)
-
-        # ---- 1. Draft K tokens (scan over K single-token forwards) ----
+    def _draft_vanilla(state, draft_params, last, base, rng_draft):
         def draft_body(carry, inp):
             x, cache = carry
             i, rng_i = inp
@@ -96,15 +110,74 @@ def make_spec_step(
             (last, state.draft_cache),
             (jnp.arange(K, dtype=jnp.int32), jax.random.split(rng_draft, K)),
         )
-        d = jnp.moveaxis(d, 0, 1)  # [B, K]
-        draft_logits = jnp.moveaxis(draft_logits, 0, 1)  # [B, K, V]
+        return (
+            jnp.moveaxis(d, 0, 1),  # [B, K]
+            jnp.moveaxis(draft_logits, 0, 1),  # [B, K, V]
+            draft_cache,
+        )
+
+    def _draft_medusa(state, draft_params, last, base, rng_draft):
+        proj = draft_params["medusa_proj"]  # [K, D, D]
+        h = state.last_hidden.astype(compute_dtype)  # [B, D]
+        m_temp = float(medusa_cfg.get("temperature", 0.7))
+        m_top_p = float(medusa_cfg.get("top_p", 0.9))
+        ds, ls = [], []
+        for i in range(K):
+            logits_i = head_fn(
+                target_params_ref[0], jnp.dot(h, proj[i].astype(h.dtype))
+            )  # [B, V]
+            d_i = sample_tokens(
+                jax.random.fold_in(rng_draft, i), logits_i,
+                temperature=m_temp, top_p=m_top_p, greedy=greedy,
+            )
+            ds.append(d_i)
+            ls.append(logits_i)
+        return jnp.stack(ds, 1), jnp.stack(ls, 1), state.draft_cache
+
+    def _draft_eagle(state, draft_params, last, base, rng_draft):
+        h_cur = state.last_hidden
+        h_prev = state.prev_hidden
+        ds, ls = [], []
+        for i in range(K):
+            h_next = h_cur + eagle_alpha * (h_cur - h_prev)
+            logits_i = head_fn(
+                target_params_ref[0], h_next.astype(compute_dtype)
+            )  # [B, V]; greedy argmax (reference eagle.py:149-150)
+            ds.append(jnp.argmax(logits_i, axis=-1).astype(jnp.int32))
+            ls.append(logits_i)
+            h_prev, h_cur = h_cur, h_next
+        return jnp.stack(ds, 1), jnp.stack(ls, 1), state.draft_cache
+
+    draft_fn = {
+        "vanilla": _draft_vanilla,
+        "medusa": _draft_medusa,
+        "eagle": _draft_eagle,
+    }[draft_mode]
+    # Medusa/EAGLE heads need the target params inside the draft closure;
+    # threaded via this one-element ref set per call (keeps draft_fn
+    # signatures uniform without passing target_params through every mode).
+    target_params_ref = [None]
+
+    def step(target_params, draft_params, state: DecodeState) -> DecodeState:
+        B = state.tokens.shape[0]
+        max_len = state.tokens.shape[1]
+        rng, rng_draft, rng_policy, rng_bonus = jax.random.split(state.rng, 4)
+        last = _gather_last(state.tokens, state.lengths)  # [B]
+        base = state.lengths - 1  # write/read offset: cache holds [0, L-1)
+
+        # ---- 1. Draft K tokens ----
+        target_params_ref[0] = target_params
+        d, draft_logits, draft_cache = draft_fn(
+            state, draft_params, last, base, rng_draft
+        )
 
         # ---- 2. Verify: ONE forward over K+1 positions ----
         verify_in = jnp.concatenate([last[:, None], d], axis=1)  # [B, K+1]
         positions = base[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]
-        target_logits, target_cache = target_apply(
-            target_params, verify_in, positions, state.target_cache, base
-        )  # [B, K+1, V]
+        target_logits, target_cache, hidden = target_apply(
+            target_params, verify_in, positions, state.target_cache, base,
+            return_hidden=True,
+        )  # [B, K+1, V], cache, [B, K+1, D]
 
         # ---- 3. Acceptance ----
         a = policy_fn(rng_policy, d, draft_logits, target_logits, **policy_params)
@@ -163,11 +236,20 @@ def make_spec_step(
         no_room = new_lengths + K + 1 > max_len
         new_active = state.active & ~hit_eos & ~exhausted & ~no_room
 
+        # Hidden carry for Medusa/EAGLE: the hidden row that predicted the
+        # bonus token becomes last_hidden (frozen for inactive lanes).
+        h_row = jnp.take_along_axis(hidden, a[:, None, None], axis=1)[:, 0].astype(
+            jnp.float32
+        )
+        new_last_hidden = jnp.where(state.active[:, None], h_row, state.last_hidden)
+        new_prev_hidden = jnp.where(
+            state.active[:, None], state.last_hidden, state.prev_hidden
+        )
+
         act = state.active.astype(jnp.int32)
-        return DecodeState(
+        return state.replace(
             tokens=new_tokens,
             lengths=new_lengths,
-            prompt_lens=state.prompt_lens,
             active=new_active,
             target_cache=target_cache,
             draft_cache=draft_cache,
@@ -176,6 +258,8 @@ def make_spec_step(
             accepted=state.accepted + a * act,
             bonus=state.bonus + act,
             steps=state.steps + 1,
+            last_hidden=new_last_hidden,
+            prev_hidden=new_prev_hidden,
         )
 
     return jax.jit(step, donate_argnums=(2,) if donate else ())
@@ -224,16 +308,12 @@ def make_baseline_step(
         )
         exhausted = (new_lengths - state.prompt_lens) >= max_new_tokens
         no_room = new_lengths + 2 > max_len
-        return DecodeState(
+        return state.replace(
             tokens=new_tokens,
             lengths=new_lengths,
-            prompt_lens=state.prompt_lens,
             active=state.active & ~hit_eos & ~exhausted & ~no_room,
             target_cache=target_cache,
-            draft_cache=state.draft_cache,
             rng=rng,
-            proposed=state.proposed,
-            accepted=state.accepted,
             bonus=state.bonus + commit,
             steps=state.steps + 1,
         )
@@ -258,8 +338,9 @@ def make_prefill(target_model, draft_model, prefill_draft: bool = True):
         B, P = prompt_block.shape
         positions = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (B, P))
         zeros = jnp.zeros((B,), jnp.int32)
-        _, target_cache = target_apply(
-            target_params, prompt_block, positions, state.target_cache, zeros
+        _, target_cache, hidden = target_apply(
+            target_params, prompt_block, positions, state.target_cache, zeros,
+            return_hidden=True,
         )
         if prefill_draft and draft_apply is not None:
             _, draft_cache = draft_apply(
@@ -270,6 +351,12 @@ def make_prefill(target_model, draft_model, prefill_draft: bool = True):
         tokens = jax.lax.dynamic_update_slice(
             state.tokens, prompt_block, (0, 0)
         )
+        # Seed the Medusa/EAGLE hidden carry: the row that predicted the
+        # last prompt token (index plen-2, clamped).
+        h_idx = jnp.maximum(prompt_lens - 2, 0)
+        h_last = jnp.take_along_axis(hidden, h_idx[:, None, None], axis=1)[
+            :, 0
+        ].astype(jnp.float32)
         return state.replace(
             tokens=tokens,
             lengths=prompt_lens,
@@ -277,6 +364,8 @@ def make_prefill(target_model, draft_model, prefill_draft: bool = True):
             active=prompt_lens > 0,
             target_cache=target_cache,
             draft_cache=draft_cache,
+            last_hidden=h_last,
+            prev_hidden=h_last,
         )
 
     return prefill

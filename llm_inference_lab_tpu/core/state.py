@@ -39,26 +39,44 @@ class DecodeState:
     accepted: jax.Array  # [B] int32 — draft tokens accepted
     bonus: jax.Array  # [B] int32 — bonus/fallback tokens emitted
     steps: jax.Array  # [] int32
+    # Hidden-state carry for Medusa/EAGLE draft heads (core/draft_modes.py):
+    # target hidden at the position that predicted the latest bonus token,
+    # and the previous step's value (EAGLE extrapolation history,
+    # reference modes/eagle.py:178-183).
+    last_hidden: jax.Array  # [B, D_target] float32
+    prev_hidden: jax.Array  # [B, D_target] float32
 
 
 def init_state(
     target_model: Model,
-    draft_model: Model,
+    draft_model: Model | None,
     batch_size: int,
     max_seq_len: int,
     seed: int = 0,
 ) -> DecodeState:
     B = batch_size
+    # Baseline / Medusa / EAGLE modes have no autoregressive draft model;
+    # keep a minimal placeholder cache so the state pytree is uniform.
+    draft_cache = (
+        draft_model.init_cache(B, max_seq_len)
+        if draft_model is not None
+        else KVCache(
+            k=jnp.zeros((1, B, 1, 1, 1), target_model.config.dtype),
+            v=jnp.zeros((1, B, 1, 1, 1), target_model.config.dtype),
+        )
+    )
     return DecodeState(
         tokens=jnp.zeros((B, max_seq_len), jnp.int32),
         lengths=jnp.zeros((B,), jnp.int32),
         prompt_lens=jnp.zeros((B,), jnp.int32),
         active=jnp.zeros((B,), jnp.bool_),
         target_cache=target_model.init_cache(B, max_seq_len),
-        draft_cache=draft_model.init_cache(B, max_seq_len),
+        draft_cache=draft_cache,
         rng=jax.random.PRNGKey(seed),
         proposed=jnp.zeros((B,), jnp.int32),
         accepted=jnp.zeros((B,), jnp.int32),
         bonus=jnp.zeros((B,), jnp.int32),
         steps=jnp.int32(0),
+        last_hidden=jnp.zeros((B, target_model.config.d_model), jnp.float32),
+        prev_hidden=jnp.zeros((B, target_model.config.d_model), jnp.float32),
     )

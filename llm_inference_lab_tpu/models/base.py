@@ -141,6 +141,9 @@ class Model:
     params: Any
     apply_fn: Callable[..., Tuple[jax.Array, Optional[KVCache]]]
     extras: dict = field(default_factory=dict)  # e.g. medusa head params
+    # Optional hidden->logits projection (the model's lm_head), used by the
+    # Medusa/EAGLE draft heads: head_fn(params, hidden [..., D]) -> logits.
+    head_fn: Optional[Callable[..., jax.Array]] = None
 
     def apply(self, params, tokens, positions, cache, cache_lens):
         return self.apply_fn(params, tokens, positions, cache, cache_lens)

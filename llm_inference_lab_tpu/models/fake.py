@@ -36,6 +36,7 @@ def fake_forward(
     positions: jax.Array,  # [B, S]
     cache: Optional[KVCache],
     cache_lens: jax.Array,  # [B]
+    return_hidden: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     V = cfg.vocab_size
     mult = params["mult"]
@@ -69,6 +70,12 @@ def fake_forward(
 
         k = jax.vmap(upd)(cache.k[0], val, cache_lens)[None]
         cache = KVCache(k=k, v=k)
+    if return_hidden:
+        # Fake hidden state: deterministic function of (token, position) so
+        # Medusa/EAGLE head paths are exercisable without a real model.
+        base = (tokens + positions)[..., None].astype(jnp.float32)
+        hidden = base + jnp.arange(cfg.d_model, dtype=jnp.float32)[None, None, :] * 0.01
+        return logits, cache, hidden
     return logits, cache
 
 
@@ -103,4 +110,17 @@ def make_fake_model(
         "shift": jnp.int32(shift),
         "miss_permille": jnp.int32(miss_permille),
     }
-    return Model(config=cfg, params=params, apply_fn=partial(fake_forward, cfg))
+
+    def fake_head(p, hidden):
+        """Hidden[..., 0] carries (token + position); emit peaked logits at
+        the same next-token rule so Medusa/EAGLE paths are testable."""
+        tp = jnp.round(hidden[..., 0]).astype(jnp.int32)
+        nxt = (p["mult"] * tp + p["shift"]) % cfg.vocab_size
+        return jax.nn.one_hot(nxt, cfg.vocab_size, dtype=jnp.float32) * 8.0
+
+    return Model(
+        config=cfg,
+        params=params,
+        apply_fn=partial(fake_forward, cfg),
+        head_fn=fake_head,
+    )

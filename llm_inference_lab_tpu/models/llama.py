@@ -89,4 +89,5 @@ class LlamaModel:
             params = load_llama_checkpoint(checkpoint_path, cfg)
         else:
             params = transformer.init_params(cfg, rng if rng is not None else jax.random.PRNGKey(0))
-        return Model(config=cfg, params=params, apply_fn=partial(transformer.forward, cfg))
+        return Model(config=cfg, params=params, apply_fn=partial(transformer.forward, cfg),
+                     head_fn=partial(transformer.lm_head_logits, cfg))

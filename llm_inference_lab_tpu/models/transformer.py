@@ -107,8 +107,11 @@ def forward(
     positions: jax.Array,  # [B, S] int32
     cache: Optional[KVCache],
     cache_lens: jax.Array,  # [B] int32
+    return_hidden: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
-    """Full decoder forward. Returns (logits [B, S, V] float32, updated cache)."""
+    """Full decoder forward. Returns (logits [B, S, V] float32, updated cache),
+    plus the final (post-norm) hidden states [B, S, D] when return_hidden —
+    consumed by the Medusa/EAGLE draft heads (core/draft_modes.py)."""
     x = jnp.take(params["embed"], tokens, axis=0).astype(cfg.dtype)
     if cfg.use_learned_pos:
         x = x + jnp.take(params["pos_embed"], positions, axis=0).astype(cfg.dtype)
@@ -134,14 +137,21 @@ def forward(
     else:
         x = rms_norm(x, params["final_norm_scale"], cfg.rms_norm_eps)
 
+    logits = lm_head_logits(cfg, params, x)
+    if return_hidden:
+        return logits, new_cache, x
+    return logits, new_cache
+
+
+def lm_head_logits(cfg: ModelConfig, params: Any, x: jax.Array) -> jax.Array:
+    """Project hidden states [.., D] to vocab logits (shared with the
+    Medusa/EAGLE heads)."""
     head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
     if isinstance(head, jax.Array):
-        logits = jnp.dot(
-            x, head.astype(x.dtype), preferred_element_type=jnp.float32
-        )
+        logits = jnp.dot(x, head.astype(x.dtype), preferred_element_type=jnp.float32)
     else:  # QuantTensor lm_head
         logits = dense(x, head).astype(jnp.float32)
-    return logits.astype(jnp.float32), new_cache
+    return logits.astype(jnp.float32)
 
 
 def init_params(cfg: ModelConfig, rng: jax.Array) -> Any:

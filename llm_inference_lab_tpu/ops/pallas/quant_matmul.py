@@ -1,0 +1,151 @@
+"""Fused dequantizing matmul (INT8/INT4 weight-only) — Pallas TPU kernel.
+
+The decode speed-of-light lever (BASELINE.json north star): batch-1 decode is
+HBM-bandwidth-bound on weights, so streaming int8/int4 tiles and dequantizing
+in VMEM halves/quarters the bytes moved vs bf16. Per-output-channel scales
+factor out of the contraction, so dequantization is applied once to the f32
+accumulator tile as an epilogue (not per K-tile).
+
+Contract (matches ops.quant.quant_matmul_xla):
+    y[M, N] = (x[M, K] @ unpack(w_q)[K, N]) * scale[N]
+
+Grid: (N tiles, K tiles), K minor → the f32 accumulator tile lives in VMEM
+scratch across the K sweep; Pallas double-buffers the HBM->VMEM weight-tile
+DMAs automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llm_inference_lab_tpu.ops.quant import QuantTensor
+from llm_inference_lab_tpu.ops.registry import PRIORITY_PALLAS, registry
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        x_ref[:],
+        w_ref[:].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[0, :].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _kernel_int4(x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref):
+    """int4 split-K-halves: each packed byte tile covers rows [j*BK, j*BK+BK)
+    of the LOW half and rows [half + j*BK, ...) of the HIGH half, so the
+    kernel receives the two matching x tiles and does two MXU dots."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[:]
+    lo = ((w << 4) >> 4).astype(jnp.bfloat16)
+    hi = (w >> 4).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x_lo_ref[:], lo, preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(x_hi_ref[:], hi, preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[0, :].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool = False):
+    """x: [M, K(logical)] bf16/f32; qt int8 [K, N] or int4-packed [K//2, N]."""
+    M, K = x.shape
+    N = qt.data.shape[-1]
+    out_dtype = x.dtype
+
+    # Pad M to the sublane tile (decode M is tiny: B*(K+1)).
+    Mp = _round_up(max(M, 1), 16)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+
+    BN = 256 if N % 256 == 0 else 128
+    scale2d = qt.scale.reshape(1, N)
+
+    if qt.bits == 8:
+        BK = 512 if K % 512 == 0 else 256 if K % 256 == 0 else 128
+        grid = (N // BN, K // BK)
+        out = pl.pallas_call(
+            _kernel_int8,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((Mp, BK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BK, BN), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (Mp, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            scratch_shapes=[pltpu.VMEM((Mp, BN), jnp.float32)],
+            interpret=interpret,
+        )(x, qt.data, scale2d)
+    else:
+        half = K // 2
+        BK = 256 if half % 256 == 0 else 128
+        grid = (N // BN, half // BK)
+        x_lo = x[:, :half]
+        x_hi = x[:, half:]
+        out = pl.pallas_call(
+            _kernel_int4,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((Mp, BK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Mp, BK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BK, BN), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (Mp, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            scratch_shapes=[pltpu.VMEM((Mp, BN), jnp.float32)],
+            interpret=interpret,
+        )(x_lo, x_hi, qt.data, scale2d)
+
+    return out[:M]
+
+
+def _dispatch(x: jax.Array, qt: QuantTensor) -> jax.Array:
+    K = qt.data.shape[0] * (2 if qt.bits == 4 else 1)
+    N = qt.data.shape[-1]
+    # Shapes the kernel can't tile cleanly fall back to the XLA reference.
+    if K % 256 != 0 or N % 128 != 0:
+        from llm_inference_lab_tpu.ops.quant import quant_matmul_xla
+
+        return quant_matmul_xla(x, qt)
+    from llm_inference_lab_tpu.ops.pallas import INTERPRET
+
+    return quant_matmul_pallas(x, qt, interpret=INTERPRET)
+
+
+registry.register(
+    "quant_matmul",
+    _dispatch,
+    backend="pallas",
+    priority=PRIORITY_PALLAS,
+    platforms=("tpu",) if jax.default_backend() == "tpu" else ("tpu", "cpu"),
+)

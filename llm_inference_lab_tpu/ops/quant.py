@@ -76,15 +76,22 @@ def quantize_int8(w: jax.Array) -> QuantTensor:
 
 
 def quantize_int4(w: jax.Array) -> QuantTensor:
-    """Symmetric per-output-channel int4, two rows packed per byte."""
+    """Symmetric per-output-channel int4, two rows packed per byte.
+
+    Packing is "split-K halves": byte i holds row i (low nibble) and row
+    i + d_in/2 (high nibble). Unpacking is then a single concat along the
+    sublane axis — layout-friendly on TPU (no interleave shuffle), both for
+    XLA and for the Pallas dequant-matmul kernel.
+    """
     d_in, d_out = w.shape
     assert d_in % 2 == 0, "int4 packing requires even d_in"
     w32 = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(w32), axis=0)
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(w32 / scale[None, :]), -7, 7).astype(jnp.int8)
-    lo = q[0::2]  # rows 2i
-    hi = q[1::2]  # rows 2i+1
+    half = d_in // 2
+    lo = q[:half]  # rows [0, half)
+    hi = q[half:]  # rows [half, d_in)
     packed = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
     return QuantTensor(packed, scale, bits=4)
 
@@ -98,12 +105,11 @@ def quantize(w: jax.Array, mode: str) -> QuantTensor:
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """[d_in//2, d_out] packed bytes -> [d_in, d_out] int8 in [-7, 7]."""
+    """[d_in//2, d_out] packed bytes -> [d_in, d_out] int8 in [-7, 7]
+    (split-K-halves layout: low nibbles are the first half of rows)."""
     lo = (packed << 4) >> 4  # sign-extend low nibble (arithmetic shifts)
     hi = packed >> 4  # sign-extend high nibble
-    d2, d_out = packed.shape
-    out = jnp.stack([lo, hi], axis=1)  # [d2, 2, d_out]
-    return out.reshape(d2 * 2, d_out)
+    return jnp.concatenate([lo, hi], axis=0)
 
 
 def dequantize(qt: QuantTensor, dtype=jnp.bfloat16) -> jax.Array:

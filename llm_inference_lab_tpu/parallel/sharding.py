@@ -102,4 +102,6 @@ def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
         accepted=jax.device_put(state.accepted, batch),
         bonus=jax.device_put(state.bonus, batch),
         steps=jax.device_put(state.steps, rep),
+        last_hidden=jax.device_put(state.last_hidden, batch2),
+        prev_hidden=jax.device_put(state.prev_hidden, batch2),
     )

@@ -45,10 +45,17 @@ class HFTokenizer:
     """transformers-backed tokenizer with an encode cache (reference
     OptimizedTokenizer, tokenizer_optimization.py:65-96)."""
 
-    def __init__(self, name: str, cache_size: int = 4096):
+    def __init__(self, name: str, cache_size: int = 4096, local_only: bool = True):
         from transformers import AutoTokenizer
 
-        self._tok = AutoTokenizer.from_pretrained(name)
+        # Offline-first: a cache miss fails in milliseconds instead of
+        # minutes of hub retry/backoff. Set SPECDX_ALLOW_DOWNLOAD=1 to
+        # permit network fetches.
+        import os
+
+        if os.environ.get("SPECDX_ALLOW_DOWNLOAD") == "1":
+            local_only = False
+        self._tok = AutoTokenizer.from_pretrained(name, local_files_only=local_only)
         self.vocab_size = len(self._tok)
         self.eos_token_id = self._tok.eos_token_id
         self._cache: dict = {}

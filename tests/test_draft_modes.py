@@ -1,0 +1,86 @@
+"""Medusa-lite / EAGLE-lite draft-mode tests (reference
+tests/specdec/test_draft_modes.py: config overrides, head-init variants,
+EAGLE extrapolation + reset, fake-mode integration)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_inference_lab_tpu.config import EngineConfig
+from llm_inference_lab_tpu.core.engine import Engine
+from llm_inference_lab_tpu.models.fake import make_fake_model
+
+
+def make_engine(**kw):
+    defaults = dict(implementation="fake", base_model="fake", draft_model=None,
+                    max_draft=2, max_new_tokens=12)
+    defaults.update(kw)
+    return Engine(EngineConfig(**defaults))
+
+
+@pytest.mark.parametrize("mode", ["medusa", "eagle"])
+def test_draft_mode_generates(mode):
+    eng = make_engine(draft_mode=mode)
+    r = eng.generate("draft mode test prompt")
+    assert r["generated_tokens"] > 0
+    assert r["draft_mode"] == mode
+    # No separate draft model was loaded.
+    assert eng.draft is None
+
+
+@pytest.mark.parametrize("mode", ["medusa", "eagle"])
+def test_draft_mode_output_matches_baseline(mode):
+    """Whatever the heads propose, committed tokens must equal the target's
+    own greedy sequence (verification guarantees correctness)."""
+    eng = make_engine(draft_mode=mode, max_new_tokens=16)
+    base = Engine(
+        EngineConfig(implementation="fake", draft_model=None, max_new_tokens=16),
+        target_model=make_fake_model(),
+    )
+    assert (
+        eng.generate("same output check")["generated_ids"]
+        == base.generate("same output check")["generated_ids"]
+    )
+
+
+def test_medusa_head_init_variants():
+    for init in ["tie", "copy", "random"]:
+        eng = make_engine(
+            draft_mode="medusa",
+            medusa={"num_heads": 2, "head_init": init, "temperature": 0.7,
+                    "top_p": 0.9},
+        )
+        proj = eng._draft_params["medusa_proj"]
+        assert proj.shape[0] == 2
+        if init in ("tie", "copy"):
+            assert jnp.allclose(proj[0], jnp.eye(proj.shape[1], dtype=proj.dtype))
+        r = eng.generate("init variant")
+        assert r["generated_tokens"] > 0
+
+
+def test_eagle_alpha_config():
+    eng = make_engine(draft_mode="eagle", eagle={"alpha": 0.3, "max_draft": 2})
+    r = eng.generate("alpha cfg")
+    assert r["generated_tokens"] > 0
+
+
+def test_hidden_carry_updates():
+    """last_hidden/prev_hidden must move during decode (EAGLE history,
+    reference modes/eagle.py:178-183)."""
+    from llm_inference_lab_tpu.core.policies import create_policy
+    from llm_inference_lab_tpu.core.specstep import make_prefill, make_spec_step
+    from llm_inference_lab_tpu.core.state import init_state
+
+    t = make_fake_model()
+    state = init_state(t, None, 1, 128)
+    pre = make_prefill(t, None, prefill_draft=False)
+    state = pre(t.params, {}, state, jnp.ones((1, 8), jnp.int32),
+                jnp.full((1,), 5, jnp.int32))
+    h0 = state.last_hidden.copy()
+    step = make_spec_step(
+        t, None, k=2, policy_fn=create_policy("longest_prefix"),
+        max_new_tokens=8, eos_token_id=None, draft_mode="eagle",
+    )
+    state = step(t.params, {}, state)
+    assert not jnp.allclose(state.last_hidden, h0)
+    assert jnp.allclose(state.prev_hidden, h0)

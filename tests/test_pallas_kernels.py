@@ -1,0 +1,103 @@
+"""Pallas-kernel vs jnp-reference equivalence (reference:
+tests/test_kernels_verify.py:67 kernel-vs-reference tests; run in interpreter
+mode on CPU, compiled on real TPU)."""
+
+import os
+
+os.environ["SPECDX_PALLAS_INTERPRET"] = "1"
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_inference_lab_tpu.ops.attention import attend_xla
+from llm_inference_lab_tpu.ops.quant import (
+    dequantize,
+    quantize_int4,
+    quantize_int8,
+    quant_matmul_xla,
+)
+from llm_inference_lab_tpu.ops.verify import verify_prefix_xla
+
+from llm_inference_lab_tpu.ops.pallas.flash_decode import flash_decode_attention
+from llm_inference_lab_tpu.ops.pallas.quant_matmul import quant_matmul_pallas
+from llm_inference_lab_tpu.ops.pallas.verify_pallas import verify_prefix_pallas
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quant_roundtrip_error_bounded(bits):
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+    qt = quantize_int8(w) if bits == 8 else quantize_int4(w)
+    deq = dequantize(qt, jnp.float32)
+    max_q = 127 if bits == 8 else 7
+    # Error bounded by half a quantization step per channel.
+    step = np.asarray(qt.scale)
+    err = np.abs(np.asarray(deq) - np.asarray(w))
+    assert (err <= step[None, :] * 0.51 + 1e-6).all()
+    assert np.abs(np.asarray(qt.data)).max() <= max_q if bits == 8 else True
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize("M,K,N", [(4, 256, 128), (16, 512, 256)])
+def test_quant_matmul_pallas_matches_xla(bits, M, K, N):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+    qt = quantize_int8(w) if bits == 8 else quantize_int4(w)
+    ref = quant_matmul_xla(x, qt)
+    out = quant_matmul_pallas(x, qt, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_quant_matmul_accuracy_vs_fp():
+    """int8 matmul must be close to the fp matmul (per-channel scales)."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(8, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+    qt = quantize_int8(w)
+    exact = x @ w
+    q = quant_matmul_pallas(x, qt, interpret=True)
+    rel = np.linalg.norm(np.asarray(q) - np.asarray(exact)) / np.linalg.norm(
+        np.asarray(exact)
+    )
+    assert rel < 0.01, rel
+
+
+@pytest.mark.parametrize("V", [1024, 2048])
+def test_verify_prefix_pallas_matches_xla(V):
+    rng = np.random.default_rng(3)
+    B, K = 3, 4
+    logits = jnp.asarray(rng.normal(size=(B, K, V)).astype(np.float32))
+    draft = jnp.asarray(rng.integers(0, V, (B, K)).astype(np.int32))
+    # Mix in planted matches so accept_len > 0 sometimes.
+    draft = draft.at[0].set(jnp.argmax(logits[0], axis=-1).astype(jnp.int32))
+    n_ref, m_ref = verify_prefix_xla(draft, logits)
+    n_pl, m_pl = verify_prefix_pallas(draft, logits, interpret=True)
+    assert n_ref.tolist() == n_pl.tolist()
+    assert m_ref.tolist() == m_pl.tolist()
+
+
+def test_verify_prefix_pallas_tie_break():
+    B, K, V = 1, 2, 2048
+    logits = jnp.zeros((B, K, V), jnp.float32)  # all equal -> argmax 0
+    draft = jnp.array([[0, 5]], jnp.int32)
+    n, _ = verify_prefix_pallas(draft, logits, interpret=True)
+    assert n.tolist() == [1]
+
+
+@pytest.mark.parametrize("S,group", [(1, 1), (5, 2)])
+def test_flash_decode_matches_xla(S, group):
+    rng = np.random.default_rng(4)
+    B, KVH, D, T = 2, 2, 128, 256
+    H = KVH * group
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, KVH, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, KVH, D)).astype(np.float32))
+    positions = jnp.asarray(
+        np.stack([np.arange(10, 10 + S), np.arange(100, 100 + S)]).astype(np.int32)
+    )
+    ref = attend_xla(q, k, v, positions)
+    out = flash_decode_attention(q, k, v, positions, interpret=True, block_t=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
