@@ -62,7 +62,7 @@ def _build_engine(args):
     cfg = load_config(
         args.config,
         base_model=args.base_model,
-        draft_model=None if args.no_draft else args.draft_model,
+        draft_model=args.draft_model,
         implementation=args.impl,
         max_draft=args.max_draft,
         policy=args.policy,
@@ -81,6 +81,12 @@ def _build_engine(args):
     )
     if args.dtype:
         cfg = cfg.override(dtype=args.dtype)
+    if args.no_draft:
+        # override() drops None values by design, so baseline mode is set
+        # explicitly (reference: draft None => baseline, pipeline.py:484-515).
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, draft_model=None)
     return Engine(cfg)
 
 

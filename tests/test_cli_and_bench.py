@@ -1,0 +1,82 @@
+"""CLI + bench-harness tests (reference tests cover run_specdec flag parsing
+and the k-sweep dry-run mode, comprehensive_k_sweep.py:261-291)."""
+
+import json
+import os
+
+import pytest
+
+from llm_inference_lab_tpu.bench.k_sweep import run_k_sweep, save_results
+from llm_inference_lab_tpu.bench.run_bench import BenchmarkRunner
+from llm_inference_lab_tpu.cli import main as cli_main
+
+
+def test_cli_run_fake(capsys):
+    rc = cli_main(["run", "hello cli", "--impl", "fake", "-k", "2",
+                   "--max-tokens", "8"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["generated_tokens"] > 0
+    assert out["impl"] == "fake"
+
+
+def test_cli_policy_params(capsys):
+    rc = cli_main(["run", "p", "--impl", "fake", "--policy", "conf_threshold",
+                   "--tau", "0.3", "--max-tokens", "6"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["policy"] == "conf_threshold"
+
+
+def test_cli_baseline(capsys):
+    rc = cli_main(["run", "p", "--impl", "fake", "--no-draft", "--max-tokens", "6"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["proposed"] == 0
+
+
+def test_cli_config_file(tmp_path, capsys):
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("max_draft: 3\nmax_new_tokens: 5\n")
+    rc = cli_main(["run", "p", "--impl", "fake", "--config", str(cfg)])
+    assert rc == 0
+
+
+def test_k_sweep_dry_run(monkeypatch):
+    monkeypatch.setenv("SPECDX_DRY_RUN", "1")
+    out = run_k_sweep(implementation="fake", max_k=3)
+    assert set(out["summary_results"]) == {"k=1", "k=2", "k=3"}
+    assert out["summary_results"]["k=1"]["dry_run"]
+
+
+def test_k_sweep_fake_and_save(tmp_path):
+    out = run_k_sweep(
+        implementation="fake", base_model="fake", draft_model="fake",
+        max_k=2, max_new_tokens=6, iterations=1,
+        prompts=["a", "bb"], output_dir=str(tmp_path),
+    )
+    for k in ("k=1", "k=2"):
+        assert out["summary_results"][k]["success_rate"] == 1.0
+        assert out["summary_results"][k]["tokens_per_sec"]["mean"] > 0
+    files = os.listdir(tmp_path)
+    assert any(f.endswith(".json") for f in files)
+    assert any(f.endswith(".csv") for f in files)
+
+
+def test_k_sweep_system_info_has_kernel_audit():
+    from llm_inference_lab_tpu.bench.k_sweep import system_info
+
+    info = system_info()
+    assert "verify_prefix" in info["kernel_backends"]
+    assert "decode_attention" in info["kernel_backends"]
+
+
+def test_benchmark_runner_compare():
+    runner = BenchmarkRunner(
+        mode="specdec", implementation="fake", base_model="fake",
+        draft_model="fake", max_draft=2, iterations=1, warmup=0,
+    )
+    out = runner.compare_to_baseline(["compare prompt"], max_new_tokens=6)
+    assert out["specdec"]["tokens_per_sec"]["mean"] > 0
+    assert out["baseline"]["tokens_per_sec"]["mean"] > 0
+    assert out["speedup"] > 0
