@@ -51,8 +51,9 @@ def main() -> None:
     )
     prompt = "The quick brown fox jumps over the lazy dog. " * 3
 
-    # Warmup (compile).
-    eng.generate(prompt, max_new_tokens=8)
+    # Warmup (compile) — same max_new_tokens so the timed runs reuse the
+    # compiled step (max_new is a static arg of the step function).
+    eng.generate(prompt, max_new_tokens=max_new)
     # Timed runs.
     runs = []
     accepts = []

@@ -117,13 +117,25 @@ class ContinuousBatcher:
         n_slots: int = 8,
         max_seq_len: Optional[int] = None,
         poll_every: int = 4,
+        length_bucket: int = 32,
+        max_wait: int = 64,
     ):
         self.engine = engine
         self.n_slots = n_slots
         cfg = engine.config
         self.max_seq_len = max_seq_len or cfg.max_seq_len
         self.poll_every = poll_every
-        self._queue: List[_Request] = []
+        # Admission ordering + host-side adaptive-K live in the native C++
+        # scheduler core (native/scheduler.cc; python fallback identical).
+        from llm_inference_lab_tpu.native import NativeScheduler
+
+        self.scheduler = NativeScheduler(
+            length_bucket=length_bucket,
+            max_wait=max_wait,
+            init_k=cfg.max_draft,
+            **cfg.controller_params if cfg.controller == "adaptive" else {},
+        )
+        self._requests: Dict[int, _Request] = {}
         self._slots: List[Optional[_Request]] = [None] * n_slots
         self._done: Dict[int, _Request] = {}
         self._next_id = 0
@@ -143,16 +155,19 @@ class ContinuousBatcher:
             max_new_tokens or self.engine.config.max_new_tokens,
         )
         self._next_id += 1
-        self._queue.append(req)
+        self._requests[req.req_id] = req
+        self.scheduler.submit(req.req_id, len(ids), req.max_new_tokens)
         return req.req_id
 
     # ------------------------------------------------------------------
     def _admit_pending(self) -> None:
         eng = self.engine
-        for slot in range(self.n_slots):
-            if self._slots[slot] is not None or not self._queue:
-                continue
-            req = self._queue.pop(0)
+        free = [s for s in range(self.n_slots) if self._slots[s] is None]
+        if not free or not self.scheduler.pending():
+            return
+        admitted = self.scheduler.admit(len(free))
+        for slot, rid in zip(free, admitted):
+            req = self._requests.pop(rid)
             req.slot = slot
             P = _round_up(max(len(req.ids), 1), 32)
             row = np.zeros((1, P), np.int32)
@@ -212,17 +227,17 @@ class ContinuousBatcher:
     def run(self, max_steps: Optional[int] = None) -> List[dict]:
         """Drain the queue + all slots; returns results ordered by req_id."""
         limit = max_steps or (
-            (len(self._queue) + self.n_slots + 1)
+            (self.scheduler.pending() + self.n_slots + 1)
             * (self.engine.config.max_new_tokens + 2)
         )
         self._admit_pending()
         steps = 0
         while steps < limit:
-            if not any(self._slots) and not self._queue:
+            if not any(s is not None for s in self._slots) and not self.scheduler.pending():
                 break
             self.step()
             steps += 1
-            if steps % self.poll_every == 0 or not self._queue:
+            if steps % self.poll_every == 0 or not self.scheduler.pending():
                 self._retire_finished()
                 self._admit_pending()
         self._retire_finished()
