@@ -78,6 +78,7 @@ class Engine:
         draft_model=None,
         tokenizer=None,
         flags: Optional[EnvFlags] = None,
+        mesh=None,
         **overrides: Any,
     ):
         cfg = (config or EngineConfig()).override(**overrides)
@@ -110,6 +111,30 @@ class Engine:
             self.target.params = quantize_params(self.target.params, cfg.quantization)
             if self.draft is not None and cfg.implementation != "fake":
                 self.draft.params = quantize_params(self.draft.params, cfg.quantization)
+
+        # Tensor/data parallelism: place params per the GSPMD sharding rules;
+        # jitted steps then run SPMD with XLA-inserted collectives
+        # (reference Phase 4C "Planned", README.md:393-395 — green-field).
+        self.mesh = mesh
+        if self.mesh is None and cfg.mesh_shape:
+            from llm_inference_lab_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(
+                data=cfg.mesh_shape.get("data", 1),
+                model=cfg.mesh_shape.get("model", 1),
+            )
+        if self.mesh is not None:
+            from llm_inference_lab_tpu.parallel.sharding import shard_params
+
+            self.target.params = shard_params(self.target.params, self.mesh)
+            if self.draft is not None and cfg.implementation != "fake":
+                draft_mesh_ok = (
+                    cfg.shard_draft
+                    and self.draft.config.n_kv_heads
+                    % self.mesh.shape.get("model", 1) == 0
+                )
+                if draft_mesh_ok:
+                    self.draft.params = shard_params(self.draft.params, self.mesh)
 
         self.tokenizer = tokenizer or get_tokenizer(cfg.base_model, cfg.implementation)
         if self.draft is not None and cfg.implementation != "fake":
@@ -240,6 +265,10 @@ class Engine:
         dparams = self._draft_params
         t_start = time.perf_counter()
         state = init_state(self.target, self.draft, B, max_len, seed=seed)
+        if self.mesh is not None:
+            from llm_inference_lab_tpu.parallel.sharding import shard_state
+
+            state = shard_state(state, self.mesh)
         state = self._prefill(
             self.target.params, dparams, state, jnp.asarray(block), jnp.asarray(plens)
         )

@@ -167,7 +167,9 @@ def init_params(cfg: ModelConfig, rng: jax.Array) -> Any:
         cfg.n_layers,
     )
     dt = cfg.dtype
-    init = lambda k, shape, s=0.02: (jax.random.normal(k, shape, jnp.float32) * s).astype(dt)
+    # Generate directly in the target dtype: f32 intermediates for a
+    # multi-GB model would double peak HBM during init.
+    init = lambda k, shape, s=0.02: jax.random.normal(k, shape, dt) * jnp.asarray(s, dt)
 
     layers = {
         "attn_norm_scale": jnp.ones((L, D), dt),

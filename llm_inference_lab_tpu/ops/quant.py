@@ -148,23 +148,37 @@ def dense(x: jax.Array, w: Any, b: Optional[jax.Array] = None) -> jax.Array:
     return y
 
 
+@partial(jax.jit, static_argnames=("mode",), donate_argnums=(0,))
+def _quantize_leaf(w: jax.Array, mode: str) -> QuantTensor:
+    if w.ndim == 3:  # stacked layers
+        return jax.vmap(partial(quantize, mode=mode))(w)
+    return quantize(w, mode)
+
+
 def quantize_params(params: Any, mode: str, min_size: int = 1 << 16) -> Any:
     """Quantize every 2-D weight leaf >= min_size elements (embeddings and
-    norms stay high precision). Works on stacked [L, d_in, d_out] layer leaves
-    by vmapping the quantizer over the layer axis."""
+    norms stay high precision); stacked [L, d_in, d_out] layer leaves are
+    vmapped over the layer axis.
 
-    def maybe_quant(path, leaf):
+    Memory discipline: leaves are replaced IN PLACE in the (nested-dict)
+    param tree and the source buffer is donated to the jitted quantizer, so
+    peak HBM is original + one leaf's f32 temporaries — not two full copies
+    (matters when quantizing a multi-GB model on a 16 GB chip)."""
+
+    def should_quant(name: str, leaf: Any) -> bool:
         if not isinstance(leaf, jax.Array):
-            return leaf
-        name = jax.tree_util.keystr(path)
+            return False
         if "embed" in name or "norm" in name or "bias" in name:
-            return leaf
-        if leaf.ndim == 2 and leaf.size >= min_size:
-            return quantize(leaf, mode)
-        if leaf.ndim == 3 and leaf.size >= min_size:  # stacked layers
-            return jax.vmap(partial(quantize, mode=mode))(leaf)
-        return leaf
+            return False
+        return leaf.ndim in (2, 3) and leaf.size >= min_size
 
-    return jax.tree_util.tree_map_with_path(
-        maybe_quant, params, is_leaf=lambda x: isinstance(x, QuantTensor)
-    )
+    def walk(node: Any, prefix: str) -> Any:
+        if isinstance(node, dict):
+            for key in list(node.keys()):
+                node[key] = walk(node[key], f"{prefix}.{key}")
+            return node
+        if should_quant(prefix, node):
+            return _quantize_leaf(node, mode)
+        return node
+
+    return walk(params, "")

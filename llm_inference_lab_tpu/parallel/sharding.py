@@ -29,29 +29,42 @@ from llm_inference_lab_tpu.core.state import DecodeState
 from llm_inference_lab_tpu.models.base import KVCache
 from llm_inference_lab_tpu.ops.quant import QuantTensor
 
-# (path regex, spec WITHOUT the stacked-layer axis). Applied to the trailing
-# dims; leading extra dims (layer stack) are padded with None.
-PARAM_RULES = [
-    (r"(wq|wk|wv)$", P(None, "model")),
-    (r"wo$", P("model", None)),
-    (r"(w_gate|w_up|w_fc)$", P(None, "model")),
-    (r"(w_down|w_proj)$", P("model", None)),
-    (r"(bq|bk|bv|b_fc)$", P("model")),
-    (r"(bo|b_proj)$", P(None)),
-    (r"pos_embed$", P(None, None)),
-    (r"embed$", P("model", None)),
-    (r"lm_head$", P(None, "model")),
-]
+# last param-tree key -> spec WITHOUT the stacked-layer axis. Applied to the
+# trailing dims; leading extra dims (layer stack) are padded with None.
+PARAM_RULES = {
+    "wq": P(None, "model"),
+    "wk": P(None, "model"),
+    "wv": P(None, "model"),
+    "wo": P("model", None),
+    "w_gate": P(None, "model"),
+    "w_up": P(None, "model"),
+    "w_fc": P(None, "model"),
+    "w_down": P("model", None),
+    "w_proj": P("model", None),
+    "bq": P("model"),
+    "bk": P("model"),
+    "bv": P("model"),
+    "b_fc": P("model"),
+    "bo": P(),
+    "b_proj": P(),
+    "pos_embed": P(),
+    "embed": P("model", None),
+    "lm_head": P(None, "model"),
+}
+
+_LAST_KEY = re.compile(r"\['?([^'\[\]]+)'?\]$")
 
 
 def _spec_for(path: str, ndim: int) -> P:
-    for pat, spec in PARAM_RULES:
-        if re.search(pat, path):
-            pad = ndim - len(spec)
-            if pad < 0:  # scale vectors etc. — shard on last dim of spec
-                return P(*spec[-ndim:])
-            return P(*([None] * pad), *spec)
-    return P()  # replicate
+    """`path` is a jax.tree_util.keystr string like "['layers']['wq']"."""
+    m = _LAST_KEY.search(path)
+    spec = PARAM_RULES.get(m.group(1)) if m else None
+    if spec is None:
+        return P()  # replicate (norms, scalars, unknown leaves)
+    pad = ndim - len(spec)
+    if pad < 0:  # scale vectors etc. — keep the trailing dims of the spec
+        return P(*spec[-ndim:])
+    return P(*([None] * pad), *spec)
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:
