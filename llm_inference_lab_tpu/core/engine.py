@@ -279,6 +279,7 @@ class Engine:
 
         adaptive = hasattr(self.controller, "_hist")
         prev_prop, prev_acc = 0, 0
+        prof_prev_acc = 0
         done_handle = None
         steps_run = 0
         # Each active step commits >= 1 token, so max_new steps always finish.
@@ -294,7 +295,14 @@ class Engine:
 
             if self.profiler.enabled or self.flags.sync_steps:
                 jax.block_until_ready(state.lengths)
-                self.profiler.record_step((time.perf_counter() - t0) * 1e3)
+                acc_now = int(jnp.sum(state.accepted))
+                # Per-step acceptance histogram (reference DetailedProfiler
+                # acceptance-length histogram, detailed_profiler.py:54-62).
+                self.profiler.record_step(
+                    (time.perf_counter() - t0) * 1e3,
+                    accepted=acc_now - prof_prev_acc,
+                )
+                prof_prev_acc = acc_now
             if adaptive:
                 prop = int(jnp.sum(state.proposed))
                 acc = int(jnp.sum(state.accepted))

@@ -55,11 +55,12 @@ class NativeScheduler:
         max_k: int = 8,
         target_acceptance: float = 0.5,
         window: int = 32,
+        force_python: bool = False,
     ):
-        self.backend = "cpp" if _LIB is not None else "python"
+        self.backend = "python" if (force_python or _LIB is None) else "cpp"
         self._params = (length_bucket, max_wait, init_k, min_k, max_k,
                         target_acceptance, window)
-        if _LIB is not None:
+        if self.backend == "cpp":
             self._h = ctypes.c_void_p(
                 _LIB.sched_create(length_bucket, max_wait, init_k, min_k,
                                   max_k, target_acceptance, window)
@@ -67,6 +68,7 @@ class NativeScheduler:
         else:
             self._queue = deque()
             self._seq = 0
+            self._round = 0
             self._ema = 0.5
             self._alpha = 2.0 / (window + 1.0)
             self._k = init_k
@@ -79,7 +81,7 @@ class NativeScheduler:
         if self.backend == "cpp":
             _LIB.sched_submit(self._h, req_id, prompt_len, max_new)
         else:
-            self._queue.append((req_id, prompt_len, self._seq))
+            self._queue.append((req_id, prompt_len, self._seq, self._round))
             self._seq += 1
 
     def pending(self) -> int:
@@ -95,16 +97,19 @@ class NativeScheduler:
         # Python fallback — same algorithm as scheduler.cc sched_admit.
         bucket_w, max_wait = self._params[0], self._params[1]
         out: List[int] = []
+        self._round += 1
         while len(out) < n_slots and self._queue:
-            rid, plen, _ = self._queue.popleft()
-            out.append(rid)
-            if len(out) >= n_slots:
-                break
-            bucket = plen // bucket_w
+            if (self._round - self._queue[0][3]) > max_wait:
+                bucket = self._queue[0][1] // bucket_w
+            else:
+                counts: dict = {}
+                for _, plen, _seq, _rnd in self._queue:
+                    counts[plen // bucket_w] = counts.get(plen // bucket_w, 0) + 1
+                bucket = max(sorted(counts), key=lambda b: counts[b])
             keep = deque()
             for item in self._queue:
                 same = (item[1] // bucket_w) == bucket
-                overdue = (self._seq - item[2]) > max_wait
+                overdue = (self._round - item[3]) > max_wait
                 if len(out) < n_slots and (same or overdue):
                     out.append(item[0])
                 else:

@@ -24,14 +24,16 @@ struct Request {
   int64_t id;
   int32_t prompt_len;
   int32_t max_new;
-  int64_t seq;  // arrival order
+  int64_t seq;        // arrival order
+  int64_t round_in;   // admission round at submission
 };
 
 struct Scheduler {
   std::deque<Request> queue;
   int64_t next_seq = 0;
+  int64_t round = 0;       // admission rounds elapsed
   int32_t length_bucket;   // bucket width for "same length" grouping
-  int32_t max_wait;        // max arrivals a request may be overtaken by
+  int32_t max_wait;        // max admission ROUNDS a request may wait
   // Adaptive-K EMA state (reference: sliding window of 32; EMA with
   // alpha = 2/(window+1) is the streaming equivalent).
   double accept_ema = 0.5;
@@ -62,30 +64,40 @@ void sched_destroy(Scheduler* s) { delete s; }
 
 void sched_submit(Scheduler* s, int64_t id, int32_t prompt_len,
                   int32_t max_new) {
-  s->queue.push_back({id, prompt_len, max_new, s->next_seq++});
+  s->queue.push_back({id, prompt_len, max_new, s->next_seq++, s->round});
 }
 
 int32_t sched_pending(Scheduler* s) { return (int32_t)s->queue.size(); }
 
-// Pick up to n_slots requests. Strategy (SequencePool semantics + fairness):
-// anchor on the oldest request; prefer queued requests whose length bucket
-// matches the anchor's (same-length group => minimal padding waste), but
-// never let a request be overtaken by more than max_wait others.
-// Returns the number of ids written into out_ids.
+// Pick up to n_slots requests. Strategy (SequencePool semantics + fairness,
+// reference sequence_pool.py:112-226 — same-length groups first, mixed
+// fallback): anchor on the most-populated length bucket so whole
+// same-length groups ship together (minimal padding waste); but if the
+// oldest request has been overtaken by more than max_wait arrivals, anchor
+// on it instead (FCFS fairness bound). Overdue requests are always eligible
+// fillers. Returns the number of ids written into out_ids.
 int32_t sched_admit(Scheduler* s, int32_t n_slots, int64_t* out_ids) {
   int32_t n = 0;
+  s->round += 1;
   while (n < n_slots && !s->queue.empty()) {
-    // Anchor: oldest request (FCFS head).
-    Request anchor = s->queue.front();
-    s->queue.pop_front();
-    out_ids[n++] = anchor.id;
-    if (n >= n_slots) break;
-    const int32_t bucket = anchor.prompt_len / s->length_bucket;
-    // Fill remaining slots with same-bucket requests, oldest first, unless
-    // an older non-matching request would be overtaken beyond max_wait.
+    // Pick the anchor bucket.
+    const bool oldest_overdue =
+        (s->round - s->queue.front().round_in) > s->max_wait;
+    int32_t bucket;
+    if (oldest_overdue) {
+      bucket = s->queue.front().prompt_len / s->length_bucket;
+    } else {
+      std::map<int32_t, int32_t> counts;
+      for (const auto& r : s->queue) counts[r.prompt_len / s->length_bucket]++;
+      bucket = counts.begin()->first;
+      int32_t best = 0;
+      for (const auto& kv : counts)
+        if (kv.second > best) { best = kv.second; bucket = kv.first; }
+    }
+    // Admit same-bucket requests oldest-first, plus any overdue request.
     for (auto it = s->queue.begin(); it != s->queue.end() && n < n_slots;) {
       bool same = (it->prompt_len / s->length_bucket) == bucket;
-      bool overdue = (s->next_seq - it->seq) > s->max_wait;
+      bool overdue = (s->round - it->round_in) > s->max_wait;
       if (same || overdue) {
         out_ids[n++] = it->id;
         it = s->queue.erase(it);

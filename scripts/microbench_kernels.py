@@ -12,6 +12,12 @@ SPECDX_PALLAS_INTERPRET=1, which is not a perf mode).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import json
 import time
 
