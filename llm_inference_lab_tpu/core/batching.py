@@ -52,32 +52,35 @@ def make_admit(target_model, draft_model):
         zero = jnp.zeros((1,), jnp.int32)
         T = state.target_cache.k.shape[2]
 
-        def sub_cache(cache):
-            from llm_inference_lab_tpu.models.base import KVCache
+        from llm_inference_lab_tpu.models.base import KVCache
 
+        def sub_cache(cache):
             return KVCache(
                 k=jnp.zeros((cache.k.shape[0], 1, T) + cache.k.shape[3:], cache.k.dtype),
                 v=jnp.zeros((cache.v.shape[0], 1, T) + cache.v.shape[3:], cache.v.dtype),
+                k_scale=jnp.ones(cache.k_scale.shape[:1] + (1, T) + cache.k_scale.shape[3:], jnp.float32),
+                v_scale=jnp.ones(cache.v_scale.shape[:1] + (1, T) + cache.v_scale.shape[3:], jnp.float32),
+            )
+
+        def splice(cache, sub):
+            return KVCache(
+                cache.k.at[:, slot].set(sub.k[:, 0]),
+                cache.v.at[:, slot].set(sub.v[:, 0]),
+                cache.k_scale.at[:, slot].set(sub.k_scale[:, 0]),
+                cache.v_scale.at[:, slot].set(sub.v_scale[:, 0]),
             )
 
         _, t_cache, hidden = target_apply(
             target_params, prompt_row, positions, sub_cache(state.target_cache),
             zero, return_hidden=True,
         )
-        new_tk = state.target_cache.k.at[:, slot, :, :, :].set(t_cache.k[:, 0])
-        new_tv = state.target_cache.v.at[:, slot, :, :, :].set(t_cache.v[:, 0])
-        from llm_inference_lab_tpu.models.base import KVCache
-
-        target_cache = KVCache(new_tk, new_tv)
+        target_cache = splice(state.target_cache, t_cache)
 
         if draft_apply is not None:
             _, d_cache = draft_apply(
                 draft_params, prompt_row, positions, sub_cache(state.draft_cache), zero
             )
-            draft_cache = KVCache(
-                state.draft_cache.k.at[:, slot, :, :, :].set(d_cache.k[:, 0]),
-                state.draft_cache.v.at[:, slot, :, :, :].set(d_cache.v[:, 0]),
-            )
+            draft_cache = splice(state.draft_cache, d_cache)
         else:
             draft_cache = state.draft_cache
 
@@ -141,7 +144,8 @@ class ContinuousBatcher:
         self._next_id = 0
         self._admit = make_admit(engine.target, engine.draft)
         self.state = init_state(
-            engine.target, engine.draft, n_slots, self.max_seq_len, seed=cfg.seed
+            engine.target, engine.draft, n_slots, self.max_seq_len, seed=cfg.seed,
+            kv_quantized=cfg.kv_quantization == "int8",
         )
         self._steps = 0
 

@@ -264,7 +264,10 @@ class Engine:
 
         dparams = self._draft_params
         t_start = time.perf_counter()
-        state = init_state(self.target, self.draft, B, max_len, seed=seed)
+        state = init_state(
+            self.target, self.draft, B, max_len, seed=seed,
+            kv_quantized=cfg.kv_quantization == "int8",
+        )
         if self.mesh is not None:
             from llm_inference_lab_tpu.parallel.sharding import shard_state
 

@@ -53,16 +53,19 @@ def init_state(
     batch_size: int,
     max_seq_len: int,
     seed: int = 0,
+    kv_quantized: bool = False,
 ) -> DecodeState:
     B = batch_size
     # Baseline / Medusa / EAGLE modes have no autoregressive draft model;
     # keep a minimal placeholder cache so the state pytree is uniform.
     draft_cache = (
-        draft_model.init_cache(B, max_seq_len)
+        draft_model.init_cache(B, max_seq_len, quantized=kv_quantized)
         if draft_model is not None
         else KVCache(
             k=jnp.zeros((1, B, 1, 1, 1), target_model.config.dtype),
             v=jnp.zeros((1, B, 1, 1, 1), target_model.config.dtype),
+            k_scale=jnp.ones((1, B, 1, 1), jnp.float32),
+            v_scale=jnp.ones((1, B, 1, 1), jnp.float32),
         )
     )
     return DecodeState(
@@ -70,7 +73,7 @@ def init_state(
         lengths=jnp.zeros((B,), jnp.int32),
         prompt_lens=jnp.zeros((B,), jnp.int32),
         active=jnp.zeros((B,), jnp.bool_),
-        target_cache=target_model.init_cache(B, max_seq_len),
+        target_cache=target_model.init_cache(B, max_seq_len, quantized=kv_quantized),
         draft_cache=draft_cache,
         rng=jax.random.PRNGKey(seed),
         proposed=jnp.zeros((B,), jnp.int32),

@@ -64,18 +64,30 @@ class ModelConfig:
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    """Static-shape KV cache. k/v: [n_layers, B, max_seq, n_kv_heads, head_dim].
+    """Static-shape KV cache. k/v: [n_layers, B, n_kv_heads, max_seq, head_dim]
+    (heads-major — the reference's torch layout [batch, heads, seq, dim],
+    kv_types.py:15, and the layout Pallas TPU blocking requires: the
+    per-(batch, head) [seq_tile, head_dim] tiles are the trailing dims).
 
-    Replaces reference KVCache (src/specdec/cache/kv_types.py:15) and
+    Replaces reference KVCache (src/specdec/cache/kv_types.15) and
     SafeKVCacheManager. `slice_prefix`/`realign` equivalents are just length
     bookkeeping done by the engine.
+
+    Quantized mode (the north star's "quantized KV-cache append", absent
+    from the reference whose KV-append path is fp only,
+    src/kernels/cuda/kv_cache.cu): k/v are int8 with per-(head, position)
+    symmetric scales in k_scale/v_scale [n_layers, B, n_kv, max_seq].
+    Scale tensors always exist (D/2 bytes per 2*D-byte row is noise) so the
+    pytree structure is uniform; bf16 caches simply never read them.
     """
 
     k: jax.Array
     v: jax.Array
+    k_scale: jax.Array
+    v_scale: jax.Array
 
     def tree_flatten(self):
-        return (self.k, self.v), None
+        return (self.k, self.v, self.k_scale, self.v_scale), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -88,40 +100,77 @@ class KVCache:
         batch_size: int,
         max_seq_len: int,
         dtype: Any = None,
+        quantized: bool = False,
     ) -> "KVCache":
-        shape = (cfg.n_layers, batch_size, max_seq_len, cfg.n_kv_heads, cfg.head_dim)
-        dtype = dtype or cfg.dtype
-        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+        shape = (cfg.n_layers, batch_size, cfg.n_kv_heads, max_seq_len, cfg.head_dim)
+        dtype = jnp.int8 if quantized else (dtype or cfg.dtype)
+        sshape = shape[:-1]
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            k_scale=jnp.ones(sshape, jnp.float32),
+            v_scale=jnp.ones(sshape, jnp.float32),
+        )
+
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
 
     @property
     def max_seq_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def batch_size(self) -> int:
         return self.k.shape[1]
 
 
+def _quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[..., D] -> (int8 values, [...] scales): symmetric per-row."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def update_cache_layer(
-    k_cache: jax.Array,  # [B, max_seq, n_kv, d] (one layer)
+    k_cache: jax.Array,  # [B, n_kv, max_seq, d] (one layer, heads-major)
     v_cache: jax.Array,
-    k_new: jax.Array,  # [B, S, n_kv, d]
+    ks_cache: jax.Array,  # [B, n_kv, max_seq] scales (unused for fp caches)
+    vs_cache: jax.Array,
+    k_new: jax.Array,  # [B, S, n_kv, d] (model compute order: seq-major)
     v_new: jax.Array,
     start: jax.Array,  # [B] int32 — per-sequence write offsets
-) -> Tuple[jax.Array, jax.Array]:
-    """Write S new KV rows at per-sequence offsets.
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Write S new KV rows at per-sequence offsets (quantizing on the fly
+    for int8 caches — the "quantized KV append" path).
 
     vmapped dynamic_update_slice: each sequence writes at its own offset
     (sequences advance by *different* accepted lengths each spec step).
     Replaces the reference's concat-then-realign (kv_cache_manager.py:149-285).
     """
+    k_new = jnp.swapaxes(k_new, 1, 2)  # -> [B, n_kv, S, d]
+    v_new = jnp.swapaxes(v_new, 1, 2)
 
     def upd(cache_b, new_b, s):
-        return jax.lax.dynamic_update_slice(cache_b, new_b, (s, 0, 0))
+        return jax.lax.dynamic_update_slice(cache_b, new_b, (0, s, 0))
 
-    k_cache = jax.vmap(upd)(k_cache, k_new.astype(k_cache.dtype), start)
-    v_cache = jax.vmap(upd)(v_cache, v_new.astype(v_cache.dtype), start)
-    return k_cache, v_cache
+    def upd_scale(cache_b, new_b, s):
+        return jax.lax.dynamic_update_slice(cache_b, new_b, (0, s))
+
+    if k_cache.dtype == jnp.int8:
+        kq, ks = _quantize_rows(k_new)
+        vq, vs = _quantize_rows(v_new)
+        k_cache = jax.vmap(upd)(k_cache, kq, start)
+        v_cache = jax.vmap(upd)(v_cache, vq, start)
+        ks_cache = jax.vmap(upd_scale)(ks_cache, ks, start)
+        vs_cache = jax.vmap(upd_scale)(vs_cache, vs, start)
+    else:
+        k_cache = jax.vmap(upd)(k_cache, k_new.astype(k_cache.dtype), start)
+        v_cache = jax.vmap(upd)(v_cache, v_new.astype(v_cache.dtype), start)
+    return k_cache, v_cache, ks_cache, vs_cache
 
 
 @dataclass
@@ -148,8 +197,10 @@ class Model:
     def apply(self, params, tokens, positions, cache, cache_lens):
         return self.apply_fn(params, tokens, positions, cache, cache_lens)
 
-    def init_cache(self, batch_size: int, max_seq_len: int) -> KVCache:
-        return KVCache.create(self.config, batch_size, max_seq_len)
+    def init_cache(
+        self, batch_size: int, max_seq_len: int, quantized: bool = False
+    ) -> KVCache:
+        return KVCache.create(self.config, batch_size, max_seq_len, quantized=quantized)
 
 
 def causal_window_mask(

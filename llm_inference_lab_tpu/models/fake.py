@@ -59,17 +59,18 @@ def fake_forward(
 
     if cache is not None:
         # Exercise the real cache-write path: store the token value broadcast
-        # over the (tiny) head dims at its absolute position.
-        val = tokens.astype(cache.k.dtype)[:, :, None, None]
+        # over the (tiny) head dims at its absolute position (heads-major
+        # cache layout [B, n_kv, T, d]).
+        val = tokens.astype(cache.k.dtype)[:, None, :, None]
         val = jnp.broadcast_to(
-            val, (tokens.shape[0], tokens.shape[1], cfg.n_kv_heads, cfg.head_dim)
+            val, (tokens.shape[0], cfg.n_kv_heads, tokens.shape[1], cfg.head_dim)
         )
 
         def upd(cache_b, new_b, s):
-            return jax.lax.dynamic_update_slice(cache_b, new_b, (s, 0, 0))
+            return jax.lax.dynamic_update_slice(cache_b, new_b, (0, s, 0))
 
         k = jax.vmap(upd)(cache.k[0], val, cache_lens)[None]
-        cache = KVCache(k=k, v=k)
+        cache = KVCache(k=k, v=k, k_scale=cache.k_scale, v_scale=cache.v_scale)
     if return_hidden:
         # Fake hidden state: deterministic function of (token, position) so
         # Medusa/EAGLE head paths are exercisable without a real model.

@@ -68,10 +68,9 @@ def _attn_block(
     p: Any,  # one layer's params
     x: jax.Array,  # [B, S, D]
     positions: jax.Array,  # [B, S]
-    k_cache: jax.Array,  # [B, T, n_kv, d]
-    v_cache: jax.Array,
+    kv_layer: Tuple[jax.Array, jax.Array, jax.Array, jax.Array],  # one layer's (k, v, k_scale, v_scale)
     cache_lens: jax.Array,  # [B]
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+):
     B, S, _ = x.shape
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
@@ -84,10 +83,12 @@ def _attn_block(
         k = rope(k, positions, cfg.rope_theta)
 
     # Write new KV at absolute positions BEFORE attending (see ops.attention).
-    k_cache, v_cache = update_cache_layer(k_cache, v_cache, k, v, cache_lens)
-    attn = get_op("decode_attention")(q, k_cache, v_cache, positions)
+    kv_layer = update_cache_layer(*kv_layer, k, v, cache_lens)
+    attn = get_op("decode_attention")(
+        q, kv_layer[0], kv_layer[1], positions, kv_layer[2], kv_layer[3]
+    )
     out = dense(attn.reshape(B, S, H * Dh), p["wo"], p.get("bo"))
-    return out, k_cache, v_cache
+    return out, kv_layer
 
 
 def _mlp_block(cfg: ModelConfig, p: Any, x: jax.Array) -> jax.Array:
@@ -117,18 +118,18 @@ def forward(
         x = x + jnp.take(params["pos_embed"], positions, axis=0).astype(cfg.dtype)
 
     def layer(x, xs):
-        p, k_c, v_c = xs
-        a, k_c, v_c = _attn_block(
-            cfg, p, _norm(cfg, x, p, "attn_norm"), positions, k_c, v_c, cache_lens
+        p, kv_layer = xs
+        a, kv_layer = _attn_block(
+            cfg, p, _norm(cfg, x, p, "attn_norm"), positions, kv_layer, cache_lens
         )
         x = x + a
         x = x + _mlp_block(cfg, p, _norm(cfg, x, p, "mlp_norm"))
-        return x, (k_c, v_c)
+        return x, kv_layer
 
-    x, (k_new, v_new) = jax.lax.scan(
-        layer, x, (params["layers"], cache.k, cache.v)
+    x, kv_new = jax.lax.scan(
+        layer, x, (params["layers"], (cache.k, cache.v, cache.k_scale, cache.v_scale))
     )
-    new_cache = KVCache(k=k_new, v=v_new)
+    new_cache = KVCache(*kv_new)
 
     if cfg.arch == "gpt2":
         x = layer_norm(

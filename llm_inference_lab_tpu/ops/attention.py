@@ -5,10 +5,11 @@ the mask/softmax into the matmuls on TPU); the Pallas flash-decode kernel
 (ops/pallas/flash_decode.py) takes over for long contexts where streaming the
 KV from HBM in tiles wins. Contract shared by both:
 
-    attend(q, k_cache, v_cache, positions) -> out
+    attend(q, k_cache, v_cache, positions, k_scale, v_scale) -> out
       q:            [B, S, n_heads, d]   (S = 1 draft step or K+1 verify chunk)
-      k/v_cache:    [B, T, n_kv_heads, d] (T = max_seq, slot index == position)
+      k/v_cache:    [B, n_kv_heads, T, d] (T = max_seq, slot index == position)
       positions:    [B, S] absolute positions of the queries
+      k/v_scale:    [B, n_kv_heads, T] per-row scales (int8 caches only)
       out:          [B, S, n_heads, d]
 
 Masking rule: query at absolute position p attends to cache slots [0, p].
@@ -30,17 +31,23 @@ def attend_xla(
     k_cache: jax.Array,
     v_cache: jax.Array,
     positions: jax.Array,
+    k_scale: jax.Array = None,
+    v_scale: jax.Array = None,
 ) -> jax.Array:
+    if k_cache.dtype == jnp.int8:
+        # Reference path for the quantized cache: dequantize then attend.
+        # (The Pallas flash kernel dequantizes per tile in VMEM instead.)
+        k_cache = (k_cache.astype(jnp.float32) * k_scale[..., None]).astype(q.dtype)
+        v_cache = (v_cache.astype(jnp.float32) * v_scale[..., None]).astype(q.dtype)
     B, S, H, D = q.shape
-    T = k_cache.shape[1]
-    n_kv = k_cache.shape[2]
+    n_kv, T = k_cache.shape[1], k_cache.shape[2]
     group = H // n_kv
 
     qg = q.reshape(B, S, n_kv, group, D)
     scale = 1.0 / (D**0.5)
     # scores: [B, n_kv, group, S, T]
     scores = jnp.einsum(
-        "bsngd,btnd->bngst", qg, k_cache, preferred_element_type=jnp.float32
+        "bsngd,bntd->bngst", qg, k_cache, preferred_element_type=jnp.float32
     )
     scores = scores * scale
     kv_pos = jnp.arange(T, dtype=positions.dtype)
@@ -48,7 +55,7 @@ def attend_xla(
     scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "bngst,btnd->bsngd",
+        "bngst,bntd->bsngd",
         probs.astype(v_cache.dtype),
         v_cache,
         preferred_element_type=jnp.float32,

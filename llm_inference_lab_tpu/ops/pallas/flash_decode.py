@@ -5,7 +5,7 @@ attention memory traffic is O(T·D) HBM reads with no [S, T] score
 materialization in HBM. Replaces (at pallas priority) the XLA reference in
 ops/attention.py for long contexts; contract is identical:
 
-    attend(q[B,S,H,D], k[B,T,KVH,D], v[B,T,KVH,D], positions[B,S]) -> [B,S,H,D]
+    attend(q[B,S,H,D], k[B,KVH,T,D], v[B,KVH,T,D], positions[B,S]) -> [B,S,H,D]
 
 Grid: (B, KV heads, T tiles); the (m, l, acc) online-softmax state lives in
 VMEM scratch across the T sweep. GQA: the `group` query heads sharing a KV
@@ -26,9 +26,14 @@ from llm_inference_lab_tpu.ops.registry import PRIORITY_PALLAS, registry
 NEG_INF = -1e30
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+def _attend_tile(pos_ref, q_ref, k, v, kv_scale, o_ref, m_ref, l_ref, acc_ref):
+    """Shared online-softmax tile body. k/v: [BT, D] (any dtype the MXU
+    takes after cast); kv_scale: None for fp caches, else a pair of
+    [1, BT] per-row int8 scales — k's scales multiply score COLUMNS and v's
+    scales multiply p's columns, so dequantization never touches the
+    [BT, D] tiles."""
     t = pl.program_id(2)
-    BT = k_ref.shape[1]
+    BT = k.shape[0]
 
     @pl.when(t == 0)
     def _():
@@ -39,8 +44,6 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
     S, group, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
     Sg = S * group
     q = q_ref[0].reshape(Sg, D)  # [S*group, D]
-    k = k_ref[0]  # [BT, D] (kv-head dim squeezed by the BlockSpec)
-    v = v_ref[0]  # [BT, D]
 
     scale = 1.0 / (D**0.5)
     scores = (
@@ -49,9 +52,12 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
         )
         * scale
     )  # [Sg, BT]
+    if kv_scale is not None:
+        scores = scores * kv_scale[0]  # [1, BT] broadcast over rows
 
     kv_pos = t * BT + jax.lax.broadcasted_iota(jnp.int32, (S, group, BT), 2)
-    allowed = kv_pos <= pos_ref[0][:, None, None]  # [S, group, BT]
+    # pos_ref block: (1, S, 1) -> [0] is [S, 1]; broadcast over (group, BT).
+    allowed = kv_pos <= pos_ref[0][:, :, None]  # [S, group, BT]
     scores = jnp.where(allowed.reshape(Sg, BT), scores, NEG_INF)
 
     m_prev = m_ref[:]  # [Sg, 1]
@@ -59,6 +65,8 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
     p = jnp.exp(scores - m_new)  # [Sg, BT]
     alpha = jnp.exp(m_prev - m_new)  # [Sg, 1]
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    if kv_scale is not None:
+        p = p * kv_scale[1]  # [1, BT]
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -71,39 +79,61 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
         o_ref[0] = out.reshape(S, group, D).astype(o_ref.dtype)
 
 
+def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+    _attend_tile(
+        pos_ref, q_ref, k_ref[0].astype(q_ref.dtype), v_ref[0], None,
+        o_ref, m_ref, l_ref, acc_ref,
+    )
+
+
+def _kernel_quant(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                  o_ref, m_ref, l_ref, acc_ref):
+    dt = q_ref.dtype
+    _attend_tile(
+        pos_ref, q_ref, k_ref[0].astype(dt), v_ref[0].astype(dt),
+        (ks_ref[0], vs_ref[0]), o_ref, m_ref, l_ref, acc_ref,  # [1, BT] scales
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "block_t"))
 def flash_decode_attention(
     q: jax.Array,
     k_cache: jax.Array,
     v_cache: jax.Array,
     positions: jax.Array,
+    k_scale: jax.Array = None,
+    v_scale: jax.Array = None,
     interpret: bool = False,
     block_t: int = 256,
 ) -> jax.Array:
     B, S, H, D = q.shape
-    T, KVH = k_cache.shape[1], k_cache.shape[2]
+    KVH, T = k_cache.shape[1], k_cache.shape[2]
     group = H // KVH
     BT = min(block_t, T)
     assert T % BT == 0, f"T={T} not divisible by BT={BT}"
+    quantized = k_cache.dtype == jnp.int8
 
     qg = q.reshape(B, S, KVH, group, D)
     grid = (B, KVH, T // BT)
-    out = pl.pallas_call(
-        _kernel,
+    # Mosaic block-mapping rule: the trailing two block dims must be
+    # tile-divisible or span the whole array dim — hence the singleton
+    # reshapes on positions/scales below.
+    pos3 = positions.astype(jnp.int32)[:, :, None]  # [B, S, 1]
+    pos_spec = pl.BlockSpec(
+        (1, S, 1), lambda b, h, t: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    q_spec = pl.BlockSpec(
+        (1, S, None, group, D), lambda b, h, t: (b, 0, h, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kv_spec = pl.BlockSpec(
+        (1, None, BT, D), lambda b, h, t: (b, h, t, 0), memory_space=pltpu.VMEM
+    )
+    scale_spec = pl.BlockSpec(
+        (1, None, 1, BT), lambda b, h, t: (b, h, 0, t), memory_space=pltpu.VMEM
+    )
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, S), lambda b, h, t: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, S, None, group, D), lambda b, h, t: (b, 0, h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, BT, None, D), lambda b, h, t: (b, t, h, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, BT, None, D), lambda b, h, t: (b, t, h, 0), memory_space=pltpu.VMEM
-            ),
-        ],
         out_specs=pl.BlockSpec(
             (1, S, None, group, D), lambda b, h, t: (b, 0, h, 0, 0),
             memory_space=pltpu.VMEM,
@@ -115,22 +145,39 @@ def flash_decode_attention(
             pltpu.VMEM((S * group, D), jnp.float32),
         ],
         interpret=interpret,
-    )(positions.astype(jnp.int32), qg, k_cache, v_cache)
+    )
+    if quantized:
+        out = pl.pallas_call(
+            _kernel_quant,
+            in_specs=[pos_spec, q_spec, kv_spec, kv_spec, scale_spec, scale_spec],
+            **common,
+        )(
+            pos3, qg, k_cache, v_cache,
+            k_scale.astype(jnp.float32)[:, :, None, :],  # [B, KVH, 1, T]
+            v_scale.astype(jnp.float32)[:, :, None, :],
+        )
+    else:
+        out = pl.pallas_call(
+            _kernel,
+            in_specs=[pos_spec, q_spec, kv_spec, kv_spec],
+            **common,
+        )(pos3, qg, k_cache, v_cache)
     return out.reshape(B, S, H, D)
 
 
-def _kernel_wrapper(q, k_cache, v_cache, positions):
-    from llm_inference_lab_tpu.ops.pallas import INTERPRET
+def _kernel_wrapper(q, k_cache, v_cache, positions, k_scale=None, v_scale=None):
+    from llm_inference_lab_tpu.ops.pallas import interpret_mode, use_pallas
 
-    T = k_cache.shape[1]
+    T = k_cache.shape[2]
     D = q.shape[-1]
-    if T % 128 != 0 or D % 128 != 0:
+    if T % 128 != 0 or D % 128 != 0 or not use_pallas():
         from llm_inference_lab_tpu.ops.attention import attend_xla
 
-        return attend_xla(q, k_cache, v_cache, positions)
+        return attend_xla(q, k_cache, v_cache, positions, k_scale, v_scale)
     bt = 256 if T % 256 == 0 else 128
     return flash_decode_attention(
-        q, k_cache, v_cache, positions, interpret=INTERPRET, block_t=bt
+        q, k_cache, v_cache, positions, k_scale, v_scale,
+        interpret=interpret_mode(), block_t=bt,
     )
 
 
@@ -139,5 +186,5 @@ registry.register(
     _kernel_wrapper,
     backend="pallas",
     priority=PRIORITY_PALLAS,
-    platforms=("tpu",) if jax.default_backend() == "tpu" else ("tpu", "cpu"),
+    platforms=("tpu", "cpu"),
 )

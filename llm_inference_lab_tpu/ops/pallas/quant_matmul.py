@@ -59,9 +59,10 @@ def _kernel_int4(x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[:]
-    lo = ((w << 4) >> 4).astype(jnp.bfloat16)
-    hi = (w >> 4).astype(jnp.bfloat16)
+    # Mosaic can't shift i8 vectors; extract nibbles via i32 shifts.
+    w32 = w_ref[:].astype(jnp.int32)
+    lo = ((w32 << 28) >> 28).astype(jnp.bfloat16)  # sign-extended low nibble
+    hi = ((w32 << 24) >> 28).astype(jnp.bfloat16)  # sign-extended high nibble
     acc_ref[:] += jnp.dot(x_lo_ref[:], lo, preferred_element_type=jnp.float32)
     acc_ref[:] += jnp.dot(x_hi_ref[:], hi, preferred_element_type=jnp.float32)
 
@@ -130,16 +131,17 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool = False):
 
 
 def _dispatch(x: jax.Array, qt: QuantTensor) -> jax.Array:
+    from llm_inference_lab_tpu.ops.pallas import interpret_mode, use_pallas
+
     K = qt.data.shape[0] * (2 if qt.bits == 4 else 1)
     N = qt.data.shape[-1]
-    # Shapes the kernel can't tile cleanly fall back to the XLA reference.
-    if K % 256 != 0 or N % 128 != 0:
+    # Shapes the kernel can't tile cleanly — or non-TPU backends without
+    # interpret mode — fall back to the XLA reference.
+    if K % 256 != 0 or N % 128 != 0 or not use_pallas():
         from llm_inference_lab_tpu.ops.quant import quant_matmul_xla
 
         return quant_matmul_xla(x, qt)
-    from llm_inference_lab_tpu.ops.pallas import INTERPRET
-
-    return quant_matmul_pallas(x, qt, interpret=INTERPRET)
+    return quant_matmul_pallas(x, qt, interpret=interpret_mode())
 
 
 registry.register(
@@ -147,5 +149,5 @@ registry.register(
     _dispatch,
     backend="pallas",
     priority=PRIORITY_PALLAS,
-    platforms=("tpu",) if jax.default_backend() == "tpu" else ("tpu", "cpu"),
+    platforms=("tpu", "cpu"),
 )

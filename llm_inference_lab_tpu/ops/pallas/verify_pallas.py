@@ -1,13 +1,14 @@
 """verify_prefix — Pallas TPU kernel.
 
 Same contract as ops.verify.verify_prefix_xla (and the reference CUDA kernel
-src/kernels/cuda/verify.cu:34-152). XLA already compiles the jnp reference to
-a few fused VPU ops, so this kernel exists for registry/backendparity and as
-the vocab-tiled variant: argmax is computed over V tiles with a running
-(max, argmax) pair, so the [K, V] logits never need to fit VMEM at once.
+src/kernels/cuda/verify.cu:34-152). Grid over the batch; each grid step loads
+one sequence's [K, V] logits block into VMEM (K*V*4 <= ~4 MB for K<=8,
+V<=128k — comfortably double-buffered), computes the argmax per draft
+position with lowest-index tie-break (matching jnp.argmax and the reference's
+CUB reduction, verify.cu:19-32), and writes that row of the accept mask.
 
-Grid: (B, V tiles). Tie-break to the lowest index matches jnp.argmax and the
-reference's CUB reduction (verify.cu:19-32).
+Mosaic notes: cumprod doesn't lower, so the accepted prefix is derived from
+the first-mismatch index; the mask is materialized as int32 and cast outside.
 """
 
 from __future__ import annotations
@@ -21,63 +22,49 @@ from jax.experimental.pallas import tpu as pltpu
 
 from llm_inference_lab_tpu.ops.registry import PRIORITY_PALLAS, registry
 
-NEG_INF = -1e30
 
-
-def _kernel(d_ref, l_ref, mask_ref, m_ref, a_ref):
-    t = pl.program_id(1)
-    K, BV = l_ref.shape[1], l_ref.shape[2]
-
-    @pl.when(t == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        a_ref[:] = jnp.zeros_like(a_ref)
-
-    logits = l_ref[0].astype(jnp.float32)  # [K, BV]
-    tile_max = jnp.max(logits, axis=-1, keepdims=True)  # [K, 1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (K, BV), 1)
-    tile_arg = jnp.min(
-        jnp.where(logits == tile_max, col, BV), axis=-1, keepdims=True
-    ) + t * BV  # global id, lowest index on ties
-
-    better = tile_max > m_ref[:]  # strict: earlier tiles win ties
-    a_ref[:] = jnp.where(better, tile_arg, a_ref[:])
-    m_ref[:] = jnp.maximum(m_ref[:], tile_max)
-
-    @pl.when(t == pl.num_programs(1) - 1)
-    def _():
-        match = a_ref[:, 0] == d_ref[0]  # [K]
-        prefix = jnp.cumprod(match.astype(jnp.int32))
-        mask_ref[0] = prefix.astype(jnp.bool_)
+def _kernel(d_ref, l_ref, mask_ref):
+    b = pl.program_id(0)
+    K, V = l_ref.shape[1], l_ref.shape[2]
+    logits = l_ref[0].astype(jnp.float32)  # [K, V]
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K, V), 1)
+    arg = jnp.min(jnp.where(logits == mx, col, V), axis=-1)  # [K], ties -> lowest
+    match = arg == d_ref[b, :]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
+    first_bad = jnp.min(jnp.where(match, K, idx))
+    mask_ref[b, :] = (idx < first_bad).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def verify_prefix_pallas(draft_tokens, target_logits, interpret: bool = False):
     B, K, V = target_logits.shape
-    BV = 2048 if V % 2048 == 0 else 1024 if V % 1024 == 0 else V
-    mask = pl.pallas_call(
+    mask_i32 = pl.pallas_call(
         _kernel,
-        grid=(B, V // BV),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, K), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, BV), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, V), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, K), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, K), jnp.bool_),
-        scratch_shapes=[
-            pltpu.VMEM((K, 1), jnp.float32),
-            pltpu.VMEM((K, 1), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((B, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, K), jnp.int32),
         interpret=interpret,
     )(draft_tokens.astype(jnp.int32), target_logits)
-    accept_len = jnp.sum(mask.astype(jnp.int32), axis=-1).astype(jnp.int32)
+    mask = mask_i32.astype(jnp.bool_)
+    accept_len = jnp.sum(mask_i32, axis=-1).astype(jnp.int32)
     return accept_len, mask
 
 
 def _dispatch(draft_tokens, target_logits):
-    from llm_inference_lab_tpu.ops.pallas import INTERPRET
+    from llm_inference_lab_tpu.ops.pallas import interpret_mode, use_pallas
 
-    return verify_prefix_pallas(draft_tokens, target_logits, interpret=INTERPRET)
+    if not use_pallas():
+        from llm_inference_lab_tpu.ops.verify import verify_prefix_xla
+
+        return verify_prefix_xla(draft_tokens, target_logits)
+    return verify_prefix_pallas(
+        draft_tokens, target_logits, interpret=interpret_mode()
+    )
 
 
 registry.register(
@@ -85,5 +72,5 @@ registry.register(
     _dispatch,
     backend="pallas",
     priority=PRIORITY_PALLAS,
-    platforms=("tpu",) if jax.default_backend() == "tpu" else ("tpu", "cpu"),
+    platforms=("tpu", "cpu"),
 )

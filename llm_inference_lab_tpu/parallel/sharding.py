@@ -91,7 +91,8 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 
 
 def _cache_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(None, "data", None, "model", None))
+    # [L, B, n_kv, T, d]: batch on data, kv heads on model.
+    return NamedSharding(mesh, P(None, "data", "model", None, None))
 
 
 def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
@@ -100,8 +101,15 @@ def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
     rep = NamedSharding(mesh, P())
     cache = _cache_sharding(mesh)
 
+    scale_sh = NamedSharding(mesh, P(None, "data", "model", None))
+
     def place_cache(c: KVCache) -> KVCache:
-        return KVCache(jax.device_put(c.k, cache), jax.device_put(c.v, cache))
+        return KVCache(
+            jax.device_put(c.k, cache),
+            jax.device_put(c.v, cache),
+            jax.device_put(c.k_scale, scale_sh),
+            jax.device_put(c.v_scale, scale_sh),
+        )
 
     return DecodeState(
         tokens=jax.device_put(state.tokens, batch2),

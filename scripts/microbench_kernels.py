@@ -97,7 +97,7 @@ def bench_attention():
     for B, S, H, KVH, D, T in [(1, 5, 24, 8, 128, 2048), (8, 5, 24, 8, 128, 2048),
                                (1, 1, 32, 8, 128, 8192)]:
         q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32)).astype(jnp.bfloat16)
-        k = jnp.asarray(rng.normal(size=(B, T, KVH, D)).astype(np.float32)).astype(jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(B, KVH, T, D)).astype(np.float32)).astype(jnp.bfloat16)
         v = k
         pos = jnp.broadcast_to(jnp.arange(T - S, T, dtype=jnp.int32)[None], (B, S))
         xla_f = jax.jit(attend_xla)
@@ -112,8 +112,13 @@ def bench_attention():
 
 
 if __name__ == "__main__":
-    out = {"backend": jax.default_backend()}
-    out["verify_prefix"] = bench_verify()
-    out["quant_matmul"] = bench_quant_matmul()
-    out["decode_attention"] = bench_attention()
-    print(json.dumps(out, indent=2))
+    print(json.dumps({"backend": jax.default_backend()}), flush=True)
+    for name, fn in [("verify_prefix", bench_verify),
+                     ("quant_matmul", bench_quant_matmul),
+                     ("decode_attention", bench_attention)]:
+        try:
+            for row in fn():
+                print(json.dumps(row), flush=True)
+        except Exception as e:
+            print(json.dumps({"op": name, "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)

@@ -34,6 +34,7 @@ def tiny_gpt2():
         act="gelu",
         n_kv_heads=4,
         max_position_embeddings=128,
+        dtype=jnp.float32,
     )
     params = transformer.init_params(cfg, jax.random.PRNGKey(2))
     return Model(config=cfg, params=params, apply_fn=partial(transformer.forward, cfg))
@@ -133,9 +134,9 @@ def test_per_sequence_offsets():
     tokens = jnp.array([[5], [7]], dtype=jnp.int32)
     lens = jnp.array([3, 9], jnp.int32)
     _, cache2 = m.apply(m.params, tokens, lens[:, None], cache, lens)
-    k = np.asarray(cache2.k)
-    assert np.abs(k[0, 0, 3]).sum() > 0 and np.abs(k[0, 0, 9]).sum() == 0
-    assert np.abs(k[0, 1, 9]).sum() > 0 and np.abs(k[0, 1, 3]).sum() == 0
+    k = np.asarray(cache2.k)  # [L, B, KV, T, D]
+    assert np.abs(k[0, 0, :, 3]).sum() > 0 and np.abs(k[0, 0, :, 9]).sum() == 0
+    assert np.abs(k[0, 1, :, 9]).sum() > 0 and np.abs(k[0, 1, :, 3]).sum() == 0
 
 
 def test_fake_model_determinism_and_acceptance_sim():

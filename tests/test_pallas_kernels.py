@@ -93,8 +93,8 @@ def test_flash_decode_matches_xla(S, group):
     B, KVH, D, T = 2, 2, 128, 256
     H = KVH * group
     q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(B, T, KVH, D)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(B, T, KVH, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, KVH, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, KVH, T, D)).astype(np.float32))
     positions = jnp.asarray(
         np.stack([np.arange(10, 10 + S), np.arange(100, 100 + S)]).astype(np.int32)
     )
