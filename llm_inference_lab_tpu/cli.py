@@ -120,6 +120,21 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from llm_inference_lab_tpu.server import InferenceServer
+
+    eng = _build_engine(args)
+    server = InferenceServer(eng, n_slots=args.slots, host=args.host, port=args.port)
+    server.start(block=False)
+    print(json.dumps({"serving": f"http://{server.host}:{server.port}",
+                      "model": eng.config.base_model, "slots": args.slots}))
+    try:
+        server._http_thread.join()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
 def main(argv: Optional[list] = None) -> int:
     parser = argparse.ArgumentParser(prog="specdx", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -136,6 +151,13 @@ def main(argv: Optional[list] = None) -> int:
     benchp.add_argument("--batch-size", type=int, default=0, help="0 = whole suite")
     benchp.add_argument("--output-dir", default=None)
     benchp.set_defaults(fn=cmd_bench)
+
+    servep = sub.add_parser("serve", help="OpenAI-compatible HTTP server")
+    _add_common(servep)
+    servep.add_argument("--port", type=int, default=8000)
+    servep.add_argument("--host", default="127.0.0.1")
+    servep.add_argument("--slots", type=int, default=8)
+    servep.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)
     return args.fn(args)

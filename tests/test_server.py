@@ -1,0 +1,91 @@
+"""HTTP serving tests (OpenAI-compatible surface over the batcher)."""
+
+import json
+import urllib.request
+
+import pytest
+
+from llm_inference_lab_tpu.config import EngineConfig
+from llm_inference_lab_tpu.core.engine import Engine
+from llm_inference_lab_tpu.server import InferenceServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    eng = Engine(EngineConfig(implementation="fake", base_model="fake",
+                              draft_model="fake", max_draft=2,
+                              max_new_tokens=8, max_seq_len=256))
+    srv = InferenceServer(eng, n_slots=2, port=0)  # port 0 = ephemeral
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(server, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def _get(server, path):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}{path}", timeout=10
+    ) as resp:
+        return json.loads(resp.read())
+
+
+def test_health(server):
+    out = _get(server, "/health")
+    assert out["status"] == "ok"
+    assert out["model"] == "fake"
+
+
+def test_models(server):
+    out = _get(server, "/v1/models")
+    assert out["data"][0]["id"] == "fake"
+
+
+def test_completion(server):
+    out = _post(server, "/v1/completions", {"prompt": "hello server", "max_tokens": 6})
+    assert out["object"] == "text_completion"
+    assert out["usage"]["completion_tokens"] > 0
+    assert isinstance(out["choices"][0]["text"], str)
+    assert "acceptance_rate" in out["specdx"]
+
+
+def test_chat_completion(server):
+    out = _post(server, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 6,
+    })
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_concurrent_requests(server):
+    import concurrent.futures
+
+    def one(i):
+        return _post(server, "/v1/completions",
+                     {"prompt": f"concurrent {i}", "max_tokens": 5})
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=5) as ex:
+        outs = list(ex.map(one, range(5)))
+    assert all(o["usage"]["completion_tokens"] > 0 for o in outs)
+
+
+def test_bad_json(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/completions",
+        data=b"{not json",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
