@@ -85,6 +85,10 @@ class Engine:
         self.config = cfg
         self.flags = flags or EnvFlags.from_env()
         _enable_compilation_cache()
+        if self.flags.force_reference_kernels:
+            from llm_inference_lab_tpu.ops.registry import registry as _registry
+
+            _registry.force_reference = True
         dtype = _DTYPES[self.flags.dtype or cfg.dtype]
         rng = jax.random.PRNGKey(cfg.seed)
         rng_t, rng_d = jax.random.split(rng)
