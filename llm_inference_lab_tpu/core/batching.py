@@ -228,6 +228,20 @@ class ContinuousBatcher:
             self.state = step_fn(eng.target.params, eng._draft_params, self.state)
         self._steps += 1
 
+    def step_chunk(self, n: Optional[int] = None) -> None:
+        """Up to n decode steps in ONE device dispatch (bounded while_loop;
+        exits early when all slots drain). Keeps host round trips to one per
+        admission poll instead of one per step."""
+        n = n or self.poll_every
+        eng = self.engine
+        k = eng.controller.get_k(self._steps)
+        loop_fn = eng._get_loop(k, self.engine.config.max_new_tokens, max_steps=n)
+        if not eng.is_spec:
+            self.state = loop_fn(eng.target.params, {}, self.state)
+        else:
+            self.state = loop_fn(eng.target.params, eng._draft_params, self.state)
+        self._steps += n
+
     def run(self, max_steps: Optional[int] = None) -> List[dict]:
         """Drain the queue + all slots; returns results ordered by req_id."""
         limit = max_steps or (
@@ -239,11 +253,10 @@ class ContinuousBatcher:
         while steps < limit:
             if not any(s is not None for s in self._slots) and not self.scheduler.pending():
                 break
-            self.step()
-            steps += 1
-            if steps % self.poll_every == 0 or not self.scheduler.pending():
-                self._retire_finished()
-                self._admit_pending()
+            self.step_chunk(self.poll_every)
+            steps += self.poll_every
+            self._retire_finished()
+            self._admit_pending()
         self._retire_finished()
         return [
             self._done[rid].result for rid in sorted(self._done)

@@ -241,16 +241,17 @@ class Engine:
             self._step_cache[key] = fn
         return fn
 
-    def _get_loop(self, k: int, max_new_tokens: int):
-        """Whole-generation device loop (see make_decode_loop): the fast
-        path when K is fixed and per-step host observation isn't needed."""
-        key = ("loop", k, max_new_tokens)
+    def _get_loop(self, k: int, max_new_tokens: int, max_steps: Optional[int] = None):
+        """Device-side decode loop (see make_decode_loop): the fast path
+        when K is fixed and per-step host observation isn't needed.
+        `max_steps` bounds the loop (default: run to completion) — the
+        continuous batcher uses small chunks so admissions can interleave."""
+        max_steps = max_steps or max_new_tokens + 1
+        key = ("loop", k, max_new_tokens, max_steps)
         fn = self._step_cache.get(key)
         if fn is None:
             raw = self._build_step(k, max_new_tokens, jit=False)
-            fn = make_decode_loop(
-                raw, max_steps=max_new_tokens + 1, is_spec=self.is_spec
-            )
+            fn = make_decode_loop(raw, max_steps=max_steps, is_spec=self.is_spec)
             self._step_cache[key] = fn
         return fn
 

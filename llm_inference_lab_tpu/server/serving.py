@@ -84,8 +84,7 @@ class InferenceServer:
                     pass
                 continue
 
-            for _ in range(b.poll_every):
-                b.step()
+            b.step_chunk(b.poll_every)
             b._retire_finished()
             b._admit_pending()
             for rid, req in list(b._done.items()):
