@@ -55,6 +55,9 @@ class ModelConfig:
     use_learned_pos: bool = False  # learned absolute position embeddings
     use_bias: bool = False  # bias terms on projections / layernorms
     act: str = "silu"  # "silu" (llama gated mlp) | "gelu" (gpt2 mlp)
+    # lax.scan unroll factor for the layer stack: >1 lets XLA pipeline
+    # HBM prefetch across layer boundaries at some compile-time cost.
+    scan_unroll: int = 4
 
     @property
     def head_dim(self) -> int:

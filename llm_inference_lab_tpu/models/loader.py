@@ -72,6 +72,14 @@ def load_llama_checkpoint(path: str, cfg: ModelConfig) -> Any:
             ts.append(t.T if transpose else t)
         return _to_jax(np.stack(ts), dt)
 
+    def fused_stack(fmts):
+        """Stack [L, D, sum(out)] concatenating projections on the out dim
+        (the runtime uses fused QKV / gate-up matmuls)."""
+        ts = []
+        for i in range(L):
+            ts.append(np.concatenate([w[f.format(i=i)].T for f in fmts], axis=-1))
+        return _to_jax(np.stack(ts), dt)
+
     layers = {
         "attn_norm_scale": layer_stack(
             "model.layers.{i}.input_layernorm.weight", transpose=False
@@ -79,12 +87,16 @@ def load_llama_checkpoint(path: str, cfg: ModelConfig) -> Any:
         "mlp_norm_scale": layer_stack(
             "model.layers.{i}.post_attention_layernorm.weight", transpose=False
         ),
-        "wq": layer_stack("model.layers.{i}.self_attn.q_proj.weight"),
-        "wk": layer_stack("model.layers.{i}.self_attn.k_proj.weight"),
-        "wv": layer_stack("model.layers.{i}.self_attn.v_proj.weight"),
+        "w_qkv": fused_stack([
+            "model.layers.{i}.self_attn.q_proj.weight",
+            "model.layers.{i}.self_attn.k_proj.weight",
+            "model.layers.{i}.self_attn.v_proj.weight",
+        ]),
         "wo": layer_stack("model.layers.{i}.self_attn.o_proj.weight"),
-        "w_gate": layer_stack("model.layers.{i}.mlp.gate_proj.weight"),
-        "w_up": layer_stack("model.layers.{i}.mlp.up_proj.weight"),
+        "w_gate_up": fused_stack([
+            "model.layers.{i}.mlp.gate_proj.weight",
+            "model.layers.{i}.mlp.up_proj.weight",
+        ]),
         "w_down": layer_stack("model.layers.{i}.mlp.down_proj.weight"),
     }
     params = {
@@ -119,20 +131,15 @@ def load_gpt2_checkpoint(path: str, cfg: ModelConfig) -> Any:
     def stack(fn):
         return np.stack([fn(i) for i in range(L)])
 
-    # GPT-2 Conv1D weights are already [in, out]; c_attn fuses qkv on out dim.
-    qkv_w = stack(lambda i: g("attn.c_attn.weight", i))  # [L, D, 3D]
-    qkv_b = stack(lambda i: g("attn.c_attn.bias", i))  # [L, 3D]
+    # GPT-2 Conv1D weights are already [in, out]; c_attn is already the
+    # fused qkv matmul the runtime wants — no split needed.
     layers = {
         "attn_norm_scale": _to_jax(stack(lambda i: g("ln_1.weight", i)), dt),
         "attn_norm_bias": _to_jax(stack(lambda i: g("ln_1.bias", i)), dt),
         "mlp_norm_scale": _to_jax(stack(lambda i: g("ln_2.weight", i)), dt),
         "mlp_norm_bias": _to_jax(stack(lambda i: g("ln_2.bias", i)), dt),
-        "wq": _to_jax(qkv_w[:, :, :D], dt),
-        "wk": _to_jax(qkv_w[:, :, D : 2 * D], dt),
-        "wv": _to_jax(qkv_w[:, :, 2 * D :], dt),
-        "bq": _to_jax(qkv_b[:, :D], dt),
-        "bk": _to_jax(qkv_b[:, D : 2 * D], dt),
-        "bv": _to_jax(qkv_b[:, 2 * D :], dt),
+        "w_qkv": _to_jax(stack(lambda i: g("attn.c_attn.weight", i)), dt),
+        "b_qkv": _to_jax(stack(lambda i: g("attn.c_attn.bias", i)), dt),
         "wo": _to_jax(stack(lambda i: g("attn.c_proj.weight", i)), dt),
         "bo": _to_jax(stack(lambda i: g("attn.c_proj.bias", i)), dt),
         "w_fc": _to_jax(stack(lambda i: g("mlp.c_fc.weight", i)), dt),

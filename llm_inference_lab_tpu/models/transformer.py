@@ -74,9 +74,13 @@ def _attn_block(
     B, S, _ = x.shape
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
-    q = dense(x, p["wq"], p.get("bq")).reshape(B, S, H, Dh)
-    k = dense(x, p["wk"], p.get("bk")).reshape(B, S, KV, Dh)
-    v = dense(x, p["wv"], p.get("bv")).reshape(B, S, KV, Dh)
+    # Fused QKV: one matmul instead of three — decode steps are dominated by
+    # per-matmul fixed cost, not FLOPs (HF gpt2's Conv1D c_attn is fused the
+    # same way; for llama the loader concatenates q/k/v projections).
+    qkv = dense(x, p["w_qkv"], p.get("b_qkv"))
+    q = qkv[..., : H * Dh].reshape(B, S, H, Dh)
+    k = qkv[..., H * Dh : (H + KV) * Dh].reshape(B, S, KV, Dh)
+    v = qkv[..., (H + KV) * Dh :].reshape(B, S, KV, Dh)
 
     if not cfg.use_learned_pos:  # llama: rotary on q and k
         q = rope(q, positions, cfg.rope_theta)
@@ -95,10 +99,10 @@ def _mlp_block(cfg: ModelConfig, p: Any, x: jax.Array) -> jax.Array:
     if cfg.act == "gelu":  # gpt2
         h = jax.nn.gelu(dense(x, p["w_fc"], p.get("b_fc")))
         return dense(h, p["w_proj"], p.get("b_proj"))
-    # llama gated silu
-    g = jax.nn.silu(dense(x, p["w_gate"]))
-    u = dense(x, p["w_up"])
-    return dense(g * u, p["w_down"])
+    # llama gated silu; gate and up fused into one matmul
+    gu = dense(x, p["w_gate_up"])
+    F = gu.shape[-1] // 2
+    return dense(jax.nn.silu(gu[..., :F]) * gu[..., F:], p["w_down"])
 
 
 def forward(
@@ -126,8 +130,14 @@ def forward(
         x = x + _mlp_block(cfg, p, _norm(cfg, x, p, "mlp_norm"))
         return x, kv_layer
 
+    unroll = max(1, min(cfg.scan_unroll, cfg.n_layers))
+    if cfg.n_layers % unroll:
+        unroll = 1
     x, kv_new = jax.lax.scan(
-        layer, x, (params["layers"], (cache.k, cache.v, cache.k_scale, cache.v_scale))
+        layer,
+        x,
+        (params["layers"], (cache.k, cache.v, cache.k_scale, cache.v_scale)),
+        unroll=unroll,
     )
     new_cache = KVCache(*kv_new)
 
@@ -175,18 +185,14 @@ def init_params(cfg: ModelConfig, rng: jax.Array) -> Any:
     layers = {
         "attn_norm_scale": jnp.ones((L, D), dt),
         "mlp_norm_scale": jnp.ones((L, D), dt),
-        "wq": init(next(keys), (L, D, H * Dh)),
-        "wk": init(next(keys), (L, D, KV * Dh)),
-        "wv": init(next(keys), (L, D, KV * Dh)),
+        "w_qkv": init(next(keys), (L, D, (H + 2 * KV) * Dh)),
         "wo": init(next(keys), (L, H * Dh, D)),
     }
     if cfg.arch == "gpt2":
         layers.update(
             attn_norm_bias=jnp.zeros((L, D), dt),
             mlp_norm_bias=jnp.zeros((L, D), dt),
-            bq=jnp.zeros((L, H * Dh), dt),
-            bk=jnp.zeros((L, KV * Dh), dt),
-            bv=jnp.zeros((L, KV * Dh), dt),
+            b_qkv=jnp.zeros((L, (H + 2 * KV) * Dh), dt),
             bo=jnp.zeros((L, D), dt),
             w_fc=init(next(keys), (L, D, F)),
             b_fc=jnp.zeros((L, F), dt),
@@ -195,8 +201,7 @@ def init_params(cfg: ModelConfig, rng: jax.Array) -> Any:
         )
     else:
         layers.update(
-            w_gate=init(next(keys), (L, D, F)),
-            w_up=init(next(keys), (L, D, F)),
+            w_gate_up=init(next(keys), (L, D, 2 * F)),
             w_down=init(next(keys), (L, F, D)),
         )
 

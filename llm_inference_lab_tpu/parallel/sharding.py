@@ -32,18 +32,13 @@ from llm_inference_lab_tpu.ops.quant import QuantTensor
 # last param-tree key -> spec WITHOUT the stacked-layer axis. Applied to the
 # trailing dims; leading extra dims (layer stack) are padded with None.
 PARAM_RULES = {
-    "wq": P(None, "model"),
-    "wk": P(None, "model"),
-    "wv": P(None, "model"),
+    "w_qkv": P(None, "model"),
     "wo": P("model", None),
-    "w_gate": P(None, "model"),
-    "w_up": P(None, "model"),
+    "w_gate_up": P(None, "model"),
     "w_fc": P(None, "model"),
     "w_down": P("model", None),
     "w_proj": P("model", None),
-    "bq": P("model"),
-    "bk": P("model"),
-    "bv": P("model"),
+    "b_qkv": P("model"),
     "b_fc": P("model"),
     "bo": P(),
     "b_proj": P(),

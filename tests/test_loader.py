@@ -48,12 +48,18 @@ def test_llama_loader_shapes_and_transpose(tmp_path):
     raw = make_llama_ckpt(str(tmp_path / "model.safetensors"), cfg)
     params = load_llama_checkpoint(str(tmp_path), cfg)
     L, D = cfg.n_layers, cfg.d_model
+    H, KV, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     assert params["embed"].shape == (cfg.vocab_size, D)
-    assert params["layers"]["wq"].shape == (L, D, cfg.n_heads * cfg.head_dim)
-    # torch [out, in] -> ours [in, out]
+    assert params["layers"]["w_qkv"].shape == (L, D, (H + 2 * KV) * dh)
+    # torch [out, in] -> ours [in, out]; q occupies the first H*dh columns
     np.testing.assert_allclose(
-        np.asarray(params["layers"]["wq"][0]),
+        np.asarray(params["layers"]["w_qkv"][0][:, : H * dh]),
         raw["model.layers.0.self_attn.q_proj.weight"].T,
+        rtol=1e-2, atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["layers"]["w_qkv"][0][:, H * dh : (H + KV) * dh]),
+        raw["model.layers.0.self_attn.k_proj.weight"].T,
         rtol=1e-2, atol=1e-2,
     )
 
@@ -108,10 +114,10 @@ def test_gpt2_loader(tmp_path):
         t[p + "mlp.c_proj.bias"] = np.zeros((D,), np.float32)
     save_file(t, str(tmp_path / "model.safetensors"))
     params = load_gpt2_checkpoint(str(tmp_path), cfg)
-    assert params["layers"]["wq"].shape == (2, D, D)
-    # Conv1D NOT transposed; c_attn split into thirds.
+    assert params["layers"]["w_qkv"].shape == (2, D, 3 * D)
+    # Conv1D NOT transposed; fused c_attn loaded as-is.
     np.testing.assert_allclose(
-        np.asarray(params["layers"]["wk"][0]),
-        t["h.0.attn.c_attn.weight"][:, D : 2 * D],
+        np.asarray(params["layers"]["w_qkv"][0]),
+        t["h.0.attn.c_attn.weight"],
         rtol=1e-2, atol=1e-2,
     )

@@ -30,7 +30,7 @@ def tp_model(model_ax: int, layers: int = 2, rng_seed: int = 0):
 
 def test_spec_rules():
     P = jax.sharding.PartitionSpec
-    assert _spec_for("['layers']['wq']", 3) == P(None, None, "model")
+    assert _spec_for("['layers']['w_qkv']", 3) == P(None, None, "model")
     assert _spec_for("['layers']['wo']", 3) == P(None, "model", None)
     assert _spec_for("['embed']", 2) == P("model", None)
     assert _spec_for("['layers']['attn_norm_scale']", 2) == P()
@@ -41,8 +41,8 @@ def test_sharding_actually_distributes():
     mesh = make_mesh(data=1, model=4)
     m = tp_model(4)
     sharded = shard_params(m.params, mesh)
-    wq = sharded["layers"]["wq"]
-    # wq's last dim must be split over 'model', i.e. each shard smaller.
+    wq = sharded["layers"]["w_qkv"]
+    # w_qkv's last dim must be split over 'model', i.e. each shard smaller.
     shard_shape = wq.sharding.shard_shape(wq.shape)
     assert shard_shape[-1] == wq.shape[-1] // 4
 
