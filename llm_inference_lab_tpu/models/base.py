@@ -206,14 +206,3 @@ class Model:
         return KVCache.create(self.config, batch_size, max_seq_len, quantized=quantized)
 
 
-def causal_window_mask(
-    positions: jax.Array,  # [B, S] absolute positions of the query tokens
-    kv_len: int,  # static: cache max length
-) -> jax.Array:
-    """[B, 1, S, kv_len] boolean mask: query at absolute position p attends to
-    cache slots [0, p]. Because new KV rows are written at their absolute
-    positions before attention, plain position comparison covers both the
-    committed prefix and the in-flight chunk (causal within the chunk)."""
-    kv_pos = jnp.arange(kv_len)[None, None, None, :]
-    q_pos = positions[:, None, :, None]
-    return kv_pos <= q_pos

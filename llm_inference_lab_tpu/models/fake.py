@@ -93,11 +93,6 @@ FAKE_CONFIG = ModelConfig(
 )
 
 
-@dataclass
-class FakeModel:
-    pass
-
-
 def make_fake_model(
     vocab_size: int = 256,
     mult: int = 7,

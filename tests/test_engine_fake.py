@@ -154,6 +154,18 @@ def test_metrics_schema():
         assert key in r, key
 
 
+def test_fast_path_matches_host_path():
+    """The device-side while_loop fast path and the observed host-step path
+    must produce identical tokens (profiling must not change results)."""
+    fast = make_engine(max_new_tokens=12)
+    host = make_engine(max_new_tokens=12, profile=True)  # forces host path
+    for prompt in ["path check", "another one two three"]:
+        assert (
+            fast.generate(prompt)["generated_ids"]
+            == host.generate(prompt)["generated_ids"]
+        )
+
+
 def test_profiler_enabled():
     eng = make_engine(profile=True, max_new_tokens=8)
     eng.generate("profiled")
