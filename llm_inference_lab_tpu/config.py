@@ -80,7 +80,7 @@ class EngineConfig:
     base_model: str = "gpt2"
     draft_model: Optional[str] = "distilgpt2"
     implementation: str = "fake"  # "fake" | "hf" (reference pipeline.py:466-472)
-    draft_mode: str = "vanilla"  # "vanilla" | "medusa" | "eagle"
+    draft_mode: str = "vanilla"  # "vanilla" | "medusa" | "eagle" | "tree"
 
     # Speculation
     max_draft: int = 4  # K
@@ -123,6 +123,8 @@ class EngineConfig:
         }
     )
     eagle: dict = field(default_factory=lambda: {"alpha": 0.7, "max_draft": 2})
+    # Tree speculation (reference Phase 4D "Planned"): per-depth branching.
+    tree: dict = field(default_factory=lambda: {"branching": [3, 2]})
 
     # Runtime
     seed: int = 0

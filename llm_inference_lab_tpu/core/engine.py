@@ -172,11 +172,16 @@ class Engine:
         # Medusa/EAGLE draft from the target's hidden states — no draft model
         # (reference loads one anyway and ignores it; we don't).
         self.draft_mode = cfg.draft_mode
-        if self.draft_mode in ("medusa", "eagle"):
+        if self.draft_mode in ("medusa", "eagle", "tree"):
             self.draft = None
         self.is_spec = self.draft is not None or self.draft_mode != "vanilla"
-        if self.draft_mode == "medusa":
-            k = cfg.max_draft
+        if self.draft_mode in ("medusa", "tree"):
+            # Tree mode drafts with one Medusa head per tree depth.
+            k = (
+                len(cfg.tree.get("branching", [3, 2]))
+                if self.draft_mode == "tree"
+                else cfg.max_draft
+            )
             D = self.target.config.d_model
             eye = jnp.eye(D, dtype=dtype)
             if cfg.medusa.get("head_init", "tie") == "random":
@@ -202,6 +207,23 @@ class Engine:
     # ------------------------------------------------------------------
     def _build_step(self, k: int, max_new_tokens: int, jit: bool):
         cfg = self.config
+        if self.draft_mode == "tree":
+            from llm_inference_lab_tpu.core.treespec import (
+                TreeConfig,
+                make_tree_spec_step,
+            )
+
+            return make_tree_spec_step(
+                self.target,
+                TreeConfig(tuple(cfg.tree.get("branching", [3, 2]))),
+                greedy=cfg.greedy,
+                temperature=cfg.temperature,
+                top_k=cfg.top_k,
+                top_p=cfg.top_p,
+                max_new_tokens=max_new_tokens,
+                eos_token_id=self.eos_token_id,
+                jit=jit,
+            )
         if not self.is_spec:
             return make_baseline_step(
                 self.target,

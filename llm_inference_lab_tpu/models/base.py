@@ -55,9 +55,10 @@ class ModelConfig:
     use_learned_pos: bool = False  # learned absolute position embeddings
     use_bias: bool = False  # bias terms on projections / layernorms
     act: str = "silu"  # "silu" (llama gated mlp) | "gelu" (gpt2 mlp)
-    # lax.scan unroll factor for the layer stack: >1 lets XLA pipeline
-    # HBM prefetch across layer boundaries at some compile-time cost.
-    scan_unroll: int = 4
+    # lax.scan unroll factor for the layer stack. Measured on v5e: unroll=4
+    # REGRESSED 3B decode 2.6x (39.9 -> 15.4 tok/s) — larger loop bodies
+    # scheduled worse than the rolled scan. Keep 1 unless re-measured.
+    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:

@@ -37,6 +37,7 @@ def fake_forward(
     cache: Optional[KVCache],
     cache_lens: jax.Array,  # [B]
     return_hidden: bool = False,
+    tree_mask: Optional[jax.Array] = None,  # accepted for protocol parity
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     V = cfg.vocab_size
     mult = params["mult"]
@@ -72,10 +73,13 @@ def fake_forward(
         k = jax.vmap(upd)(cache.k[0], val, cache_lens)[None]
         cache = KVCache(k=k, v=k, k_scale=cache.k_scale, v_scale=cache.v_scale)
     if return_hidden:
-        # Fake hidden state: deterministic function of (token, position) so
-        # Medusa/EAGLE head paths are exercisable without a real model.
-        base = (tokens + positions)[..., None].astype(jnp.float32)
-        hidden = base + jnp.arange(cfg.d_model, dtype=jnp.float32)[None, None, :] * 0.01
+        # Fake hidden state encodes (token, position) in channels 0/1 so the
+        # fake head can reproduce the model's exact next-token rule —
+        # Medusa/EAGLE/tree paths then exercise real acceptance without a
+        # trained model.
+        hidden = jnp.zeros((*tokens.shape, cfg.d_model), jnp.float32)
+        hidden = hidden.at[..., 0].set(tokens.astype(jnp.float32))
+        hidden = hidden.at[..., 1].set(positions.astype(jnp.float32))
         return logits, cache, hidden
     return logits, cache
 
@@ -108,11 +112,18 @@ def make_fake_model(
     }
 
     def fake_head(p, hidden):
-        """Hidden[..., 0] carries (token + position); emit peaked logits at
-        the same next-token rule so Medusa/EAGLE paths are testable."""
-        tp = jnp.round(hidden[..., 0]).astype(jnp.int32)
-        nxt = (p["mult"] * tp + p["shift"]) % cfg.vocab_size
-        return jax.nn.one_hot(nxt, cfg.vocab_size, dtype=jnp.float32) * 8.0
+        """Hidden channels 0/1 carry (token, position); emit peaked logits
+        at the model's own next-token rule, so a head fed the hidden of the
+        row that predicted token x at position q proposes exactly the
+        model's prediction for the token AFTER x."""
+        t = jnp.round(hidden[..., 0]).astype(jnp.int32)
+        pos = jnp.round(hidden[..., 1]).astype(jnp.int32)
+        V = cfg.vocab_size
+        # One step of the model recurrence gives the token this row
+        # predicts; a second step predicts the token after it.
+        x1 = (p["mult"] * t + 31 * pos + p["shift"]) % V
+        x2 = (p["mult"] * x1 + 31 * (pos + 1) + p["shift"]) % V
+        return jax.nn.one_hot(x2, V, dtype=jnp.float32) * 8.0
 
     return Model(
         config=cfg,

@@ -70,6 +70,7 @@ def _attn_block(
     positions: jax.Array,  # [B, S]
     kv_layer: Tuple[jax.Array, jax.Array, jax.Array, jax.Array],  # one layer's (k, v, k_scale, v_scale)
     cache_lens: jax.Array,  # [B]
+    tree_mask: Optional[jax.Array] = None,
 ):
     B, S, _ = x.shape
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -89,7 +90,8 @@ def _attn_block(
     # Write new KV at absolute positions BEFORE attending (see ops.attention).
     kv_layer = update_cache_layer(*kv_layer, k, v, cache_lens)
     attn = get_op("decode_attention")(
-        q, kv_layer[0], kv_layer[1], positions, kv_layer[2], kv_layer[3]
+        q, kv_layer[0], kv_layer[1], positions, kv_layer[2], kv_layer[3],
+        tree_mask, cache_lens if tree_mask is not None else None,
     )
     out = dense(attn.reshape(B, S, H * Dh), p["wo"], p.get("bo"))
     return out, kv_layer
@@ -113,10 +115,13 @@ def forward(
     cache: Optional[KVCache],
     cache_lens: jax.Array,  # [B] int32
     return_hidden: bool = False,
+    tree_mask: Optional[jax.Array] = None,  # [S, S] ancestry (tree spec)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Full decoder forward. Returns (logits [B, S, V] float32, updated cache),
     plus the final (post-norm) hidden states [B, S, D] when return_hidden —
-    consumed by the Medusa/EAGLE draft heads (core/draft_modes.py)."""
+    consumed by the Medusa/EAGLE draft heads. With tree_mask, intra-chunk
+    attention follows the tree ancestry instead of slot order
+    (core/treespec.py)."""
     x = jnp.take(params["embed"], tokens, axis=0).astype(cfg.dtype)
     if cfg.use_learned_pos:
         x = x + jnp.take(params["pos_embed"], positions, axis=0).astype(cfg.dtype)
@@ -124,7 +129,8 @@ def forward(
     def layer(x, xs):
         p, kv_layer = xs
         a, kv_layer = _attn_block(
-            cfg, p, _norm(cfg, x, p, "attn_norm"), positions, kv_layer, cache_lens
+            cfg, p, _norm(cfg, x, p, "attn_norm"), positions, kv_layer,
+            cache_lens, tree_mask,
         )
         x = x + a
         x = x + _mlp_block(cfg, p, _norm(cfg, x, p, "mlp_norm"))

@@ -33,6 +33,8 @@ def attend_xla(
     positions: jax.Array,
     k_scale: jax.Array = None,
     v_scale: jax.Array = None,
+    tree_mask: jax.Array = None,  # [S, S] intra-chunk ancestry (tree spec)
+    chunk_start: jax.Array = None,  # [B] chunk base slot (required w/ tree_mask)
 ) -> jax.Array:
     if k_cache.dtype == jnp.int8:
         # Reference path for the quantized cache: dequantize then attend.
@@ -51,7 +53,22 @@ def attend_xla(
     )
     scores = scores * scale
     kv_pos = jnp.arange(T, dtype=positions.dtype)
-    mask = kv_pos[None, None, None, None, :] <= positions[:, None, None, :, None]
+    if tree_mask is None:
+        # Chain decode: slot index == position; causal by position compare.
+        mask = kv_pos[None, None, None, None, :] <= positions[:, None, None, :, None]
+    else:
+        # Tree speculation: slots [chunk_start, chunk_start+S) hold tree
+        # nodes whose intra-chunk visibility is the ancestry mask; slots
+        # before the chunk are committed prefix (always visible).
+        S_q = q.shape[1]
+        rel = kv_pos[None, :] - chunk_start[:, None]  # [B, T]
+        prefix_ok = rel < 0
+        in_chunk = (rel >= 0) & (rel < S_q)
+        anc = tree_mask[:, jnp.clip(rel, 0, S_q - 1)]  # [S_q, B, T]
+        anc = jnp.moveaxis(anc, 0, 1)  # [B, S_q, T]
+        mask = (prefix_ok[:, None, :] | (in_chunk[:, None, :] & anc))[
+            :, None, None, :, :
+        ]  # [B, 1, 1, S_q, T]
     scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(

@@ -165,15 +165,17 @@ def flash_decode_attention(
     return out.reshape(B, S, H, D)
 
 
-def _kernel_wrapper(q, k_cache, v_cache, positions, k_scale=None, v_scale=None):
+def _kernel_wrapper(q, k_cache, v_cache, positions, k_scale=None, v_scale=None,
+                    tree_mask=None, chunk_start=None):
     from llm_inference_lab_tpu.ops.pallas import interpret_mode, use_pallas
 
     T = k_cache.shape[2]
     D = q.shape[-1]
-    if T % 128 != 0 or D % 128 != 0 or not use_pallas():
+    if tree_mask is not None or T % 128 != 0 or D % 128 != 0 or not use_pallas():
         from llm_inference_lab_tpu.ops.attention import attend_xla
 
-        return attend_xla(q, k_cache, v_cache, positions, k_scale, v_scale)
+        return attend_xla(q, k_cache, v_cache, positions, k_scale, v_scale,
+                          tree_mask, chunk_start)
     bt = 256 if T % 256 == 0 else 128
     return flash_decode_attention(
         q, k_cache, v_cache, positions, k_scale, v_scale,
