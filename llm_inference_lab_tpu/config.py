@@ -108,6 +108,7 @@ class EngineConfig:
     dtype: str = "bfloat16"  # compute/weights dtype on TPU
     quantization: Optional[str] = None  # None | "int8" | "int4"
     kv_quantization: Optional[str] = None  # None | "int8"
+    quantize_embed: bool = False  # int8 per-row embed + tied lm_head
 
     # Parallelism (green-field vs reference Phase 4C "Planned")
     mesh_shape: dict = field(default_factory=dict)  # e.g. {"data": 1, "model": 4}

@@ -113,9 +113,15 @@ class Engine:
             )
 
         if cfg.quantization:
-            self.target.params = quantize_params(self.target.params, cfg.quantization)
+            self.target.params = quantize_params(
+                self.target.params, cfg.quantization,
+                include_embed=cfg.quantize_embed,
+            )
             if self.draft is not None and cfg.implementation != "fake":
-                self.draft.params = quantize_params(self.draft.params, cfg.quantization)
+                self.draft.params = quantize_params(
+                    self.draft.params, cfg.quantization,
+                    include_embed=cfg.quantize_embed,
+                )
 
         # Tensor/data parallelism: place params per the GSPMD sharding rules;
         # jitted steps then run SPMD with XLA-inserted collectives

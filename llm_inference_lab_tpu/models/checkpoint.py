@@ -21,10 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from llm_inference_lab_tpu.ops.quant import QuantTensor
+from llm_inference_lab_tpu.ops.quant import EmbedQuant, QuantTensor
 
 _QDATA = "/__qdata__"
 _QSCALE = "/__qscale__"
+_EDATA = "/__edata__"
+_ESCALE = "/__escale__"
 
 
 def _to_np(x: jax.Array) -> np.ndarray:
@@ -49,6 +51,9 @@ def save_params(params: Any, path: str) -> None:
             tensors[prefix + _QDATA] = _to_np(node.data)
             tensors[prefix + _QSCALE] = _to_np(node.scale)
             quant_meta[prefix] = node.bits
+        elif isinstance(node, EmbedQuant):
+            tensors[prefix + _EDATA] = _to_np(node.q)
+            tensors[prefix + _ESCALE] = _to_np(node.scale)
         else:
             tensors[prefix] = _to_np(node)
 
@@ -76,7 +81,15 @@ def load_params(path: str, dtype=None) -> Any:
 
     done_quant = set()
     for name, arr in loaded.items():
-        if name.endswith(_QDATA) or name.endswith(_QSCALE):
+        if name.endswith(_EDATA) or name.endswith(_ESCALE):
+            base = name.rsplit("/__", 1)[0]
+            if base in done_quant:
+                continue
+            done_quant.add(base)
+            put(out, base.split("/"),
+                EmbedQuant(jnp.asarray(loaded[base + _EDATA]),
+                           jnp.asarray(loaded[base + _ESCALE])))
+        elif name.endswith(_QDATA) or name.endswith(_QSCALE):
             base = name.rsplit("/__", 1)[0]
             if base in done_quant:
                 continue

@@ -122,7 +122,13 @@ def forward(
     consumed by the Medusa/EAGLE draft heads. With tree_mask, intra-chunk
     attention follows the tree ancestry instead of slot order
     (core/treespec.py)."""
-    x = jnp.take(params["embed"], tokens, axis=0).astype(cfg.dtype)
+    from llm_inference_lab_tpu.ops.quant import EmbedQuant
+
+    embed = params["embed"]
+    if isinstance(embed, EmbedQuant):
+        x = embed.lookup(tokens, cfg.dtype)
+    else:
+        x = jnp.take(embed, tokens, axis=0).astype(cfg.dtype)
     if cfg.use_learned_pos:
         x = x + jnp.take(params["pos_embed"], positions, axis=0).astype(cfg.dtype)
 
@@ -163,7 +169,15 @@ def forward(
 def lm_head_logits(cfg: ModelConfig, params: Any, x: jax.Array) -> jax.Array:
     """Project hidden states [.., D] to vocab logits (shared with the
     Medusa/EAGLE heads)."""
-    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    from llm_inference_lab_tpu.ops.quant import EmbedQuant
+
+    if cfg.tie_word_embeddings:
+        embed = params["embed"]
+        if isinstance(embed, EmbedQuant):
+            return embed.head_logits(x)
+        head = embed.T
+    else:
+        head = params["lm_head"]
     if isinstance(head, jax.Array):
         logits = jnp.dot(x, head.astype(x.dtype), preferred_element_type=jnp.float32)
     else:  # QuantTensor lm_head

@@ -128,6 +128,47 @@ def quant_matmul_xla(x: jax.Array, qt: QuantTensor) -> jax.Array:
 registry.register("quant_matmul", quant_matmul_xla, backend="xla", priority=PRIORITY_XLA)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class EmbedQuant:
+    """Quantized embedding table [V, D] with PER-ROW (per-token) scales [V].
+
+    Dual use like a tied lm_head: `lookup` dequantizes gathered rows;
+    `head_logits` computes x @ table.T with the row scales applied to the
+    vocab (output) axis — both read int8 bytes from HBM.
+    """
+
+    q: jax.Array  # int8 [V, D]
+    scale: jax.Array  # f32 [V]
+
+    def tree_flatten(self):
+        return (self.q, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    def lookup(self, tokens: jax.Array, dtype) -> jax.Array:
+        rows = jnp.take(self.q, tokens, axis=0).astype(jnp.float32)
+        return (rows * jnp.take(self.scale, tokens, axis=0)[..., None]).astype(dtype)
+
+    def head_logits(self, x: jax.Array) -> jax.Array:
+        y = jnp.dot(x, self.q.T.astype(x.dtype), preferred_element_type=jnp.float32)
+        return (y * self.scale[None, :]).astype(jnp.float32)
+
+
+def quantize_embed(embed: jax.Array) -> EmbedQuant:
+    e32 = embed.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(e32), axis=1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(e32 / scale[:, None]), -127, 127).astype(jnp.int8)
+    return EmbedQuant(q, scale)
+
+
 def dense(x: jax.Array, w: Any, b: Optional[jax.Array] = None) -> jax.Array:
     """The single matmul entry point for all model projections.
 
@@ -155,10 +196,14 @@ def _quantize_leaf(w: jax.Array, mode: str) -> QuantTensor:
     return quantize(w, mode)
 
 
-def quantize_params(params: Any, mode: str, min_size: int = 1 << 16) -> Any:
-    """Quantize every 2-D weight leaf >= min_size elements (embeddings and
-    norms stay high precision); stacked [L, d_in, d_out] layer leaves are
-    vmapped over the layer axis.
+def quantize_params(
+    params: Any, mode: str, min_size: int = 1 << 16, include_embed: bool = False
+) -> Any:
+    """Quantize every 2-D weight leaf >= min_size elements (norms stay high
+    precision); stacked [L, d_in, d_out] layer leaves are vmapped over the
+    layer axis. With include_embed, the embedding table (and tied lm_head)
+    quantizes to int8 with per-row scales (EmbedQuant) — on a 3B model the
+    tied head is ~790 MB bf16 read every verify step.
 
     Memory discipline: leaves are replaced IN PLACE in the (nested-dict)
     param tree and the source buffer is donated to the jitted quantizer, so
@@ -177,6 +222,8 @@ def quantize_params(params: Any, mode: str, min_size: int = 1 << 16) -> Any:
             for key in list(node.keys()):
                 node[key] = walk(node[key], f"{prefix}.{key}")
             return node
+        if include_embed and prefix.endswith(".embed") and isinstance(node, jax.Array):
+            return quantize_embed(node)
         if should_quant(prefix, node):
             return _quantize_leaf(node, mode)
         return node

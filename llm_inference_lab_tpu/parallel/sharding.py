@@ -68,7 +68,14 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     scales shard on the output dim."""
 
     def place(path, leaf):
+        from llm_inference_lab_tpu.ops.quant import EmbedQuant
+
         name = jax.tree_util.keystr(path)
+        if isinstance(leaf, EmbedQuant):
+            return EmbedQuant(
+                jax.device_put(leaf.q, NamedSharding(mesh, P("model", None))),
+                jax.device_put(leaf.scale, NamedSharding(mesh, P("model"))),
+            )
         if isinstance(leaf, QuantTensor):
             dspec = _spec_for(name, leaf.data.ndim)
             out_axis = dspec[-1] if len(dspec) else None
@@ -80,8 +87,10 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
             )
         return jax.device_put(leaf, NamedSharding(mesh, _spec_for(name, leaf.ndim)))
 
+    from llm_inference_lab_tpu.ops.quant import EmbedQuant as _EQ
+
     return jax.tree_util.tree_map_with_path(
-        place, params, is_leaf=lambda x: isinstance(x, QuantTensor)
+        place, params, is_leaf=lambda x: isinstance(x, (QuantTensor, _EQ))
     )
 
 
