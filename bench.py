@@ -34,6 +34,7 @@ def main() -> None:
     base = "llama-tiny" if small else "llama-3.2-3b"
     draft = "llama-tiny" if small else "llama-3.2-1b"
     quant = os.environ.get("SPECDX_BENCH_QUANT") or None
+    qembed = os.environ.get("SPECDX_BENCH_QEMBED") == "1"
     max_new = 64
     k = int(os.environ.get("SPECDX_BENCH_K", "4"))
 
@@ -46,6 +47,7 @@ def main() -> None:
             max_new_tokens=max_new,
             greedy=True,
             quantization=quant,
+            quantize_embed=qembed,
             max_seq_len=512,
         )
     )
@@ -67,7 +69,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"spec_decode_tok_s_{base}_bs1_k{k}"
-                + (f"_{quant}" if quant else "_bf16"),
+                + (f"_{quant}" if quant else "_bf16")
+                + ("_qembed" if qembed else ""),
                 "value": round(value, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(value / BASELINE_TOK_S, 3),
