@@ -33,8 +33,11 @@ def main() -> None:
     small = os.environ.get("SPECDX_BENCH_SMALL") == "1" or jax.default_backend() == "cpu"
     base = "llama-tiny" if small else "llama-3.2-3b"
     draft = "llama-tiny" if small else "llama-3.2-1b"
-    quant = os.environ.get("SPECDX_BENCH_QUANT") or None
-    qembed = os.environ.get("SPECDX_BENCH_QEMBED") == "1"
+    # Default = the BASELINE.json headline config: INT8 weight-only (plus
+    # int8 embeddings). SPECDX_BENCH_QUANT=none for bf16.
+    quant_env = os.environ.get("SPECDX_BENCH_QUANT", "int8")
+    quant = None if quant_env in ("none", "bf16", "") else quant_env
+    qembed = os.environ.get("SPECDX_BENCH_QEMBED", "1" if quant else "0") == "1"
     max_new = 64
     k = int(os.environ.get("SPECDX_BENCH_K", "4"))
 
