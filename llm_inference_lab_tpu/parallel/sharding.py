@@ -6,15 +6,15 @@ row-parallel projections) and the XLA latency-hiding scheduler overlaps them
 with compute — the "overlapped collectives" capability of BASELINE.json.
 
 Layout (stacked-layer leaves have a leading layer axis, spec gets a None):
-  wq/wk/wv  [L, D, H*dh]   -> (None, None, 'model')   column parallel
-  wo        [L, H*dh, D]   -> (None, 'model', None)   row parallel
-  w_gate/up [L, D, F]      -> (None, None, 'model')
-  w_down    [L, F, D]      -> (None, 'model', None)
-  embed     [V, D]         -> ('model', None)          vocab parallel
-  lm_head   [D, V]         -> (None, 'model')
-  norms / biases           -> replicated
-  KV cache  [L, B, T, KVH, dh] -> (None, 'data', None, 'model', None)
-  tokens/lengths/active    -> ('data',) on the batch axis
+  w_qkv      [L, D, (H+2KV)*dh] -> (None, None, 'model')   column parallel
+  wo         [L, H*dh, D]       -> (None, 'model', None)   row parallel
+  w_gate_up  [L, D, 2F]         -> (None, None, 'model')
+  w_down     [L, F, D]          -> (None, 'model', None)
+  embed      [V, D]             -> ('model', None)         vocab parallel
+  lm_head    [D, V]             -> (None, 'model')
+  norms / biases                -> replicated
+  KV cache   [L, B, KVH, T, dh] -> (None, 'data', 'model', None, None)
+  tokens/lengths/active         -> ('data',) on the batch axis
 """
 
 from __future__ import annotations
