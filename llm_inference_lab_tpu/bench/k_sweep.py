@@ -111,7 +111,11 @@ def run_k_sweep(
                     seed=seed,
                 )
             )
-            eng.generate(prompts[0], max_new_tokens=8)  # warmup/compile
+            # Warmup with the MEASUREMENT shapes (batch size and max_new are
+            # static under jit — a mismatched warmup leaves compilation
+            # inside the first timed iteration).
+            bs0 = batch_size or len(prompts)
+            eng.generate_batch(prompts[:bs0], max_new_tokens=max_new_tokens)
             tok_s: List[float] = []
             agg_tok_s: List[float] = []
             acc: List[float] = []

@@ -109,6 +109,9 @@ class EngineConfig:
     quantization: Optional[str] = None  # None | "int8" | "int4"
     kv_quantization: Optional[str] = None  # None | "int8"
     quantize_embed: bool = False  # int8 per-row embed + tied lm_head
+    # Random-init directly in quantized form (benchmarking models whose bf16
+    # params would not fit HBM during init, e.g. 8B int4 on one 16GB chip).
+    quantized_init: bool = False
 
     # Parallelism (green-field vs reference Phase 4C "Planned")
     mesh_shape: dict = field(default_factory=dict)  # e.g. {"data": 1, "model": 4}

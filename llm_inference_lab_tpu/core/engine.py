@@ -96,8 +96,14 @@ class Engine:
 
         # Models (dependency injection supported, reference test_pipeline_new
         # :178; otherwise the factory path pipeline.py:464-515).
+        qinit = cfg.quantization if (cfg.quantized_init and cfg.quantization) else None
+        model_kw = (
+            dict(quantized_init=qinit, quantize_embed=cfg.quantize_embed)
+            if qinit and cfg.implementation != "fake"
+            else {}
+        )
         self.target = target_model or get_model(
-            cfg.base_model, cfg.implementation, rng=rng_t, dtype=dtype
+            cfg.base_model, cfg.implementation, rng=rng_t, dtype=dtype, **model_kw
         )
         if draft_model is not None:
             self.draft = draft_model
@@ -109,10 +115,11 @@ class Engine:
             self.draft = get_model("fake-draft", "fake", miss_permille=150)
         else:
             self.draft = get_model(
-                cfg.draft_model, cfg.implementation, rng=rng_d, dtype=dtype
+                cfg.draft_model, cfg.implementation, rng=rng_d, dtype=dtype,
+                **model_kw,
             )
 
-        if cfg.quantization:
+        if cfg.quantization and not cfg.quantized_init:
             self.target.params = quantize_params(
                 self.target.params, cfg.quantization,
                 include_embed=cfg.quantize_embed,

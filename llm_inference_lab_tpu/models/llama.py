@@ -81,12 +81,19 @@ class LlamaModel:
         rng: Optional[jax.Array] = None,
         dtype=jnp.bfloat16,
         checkpoint_path: Optional[str] = None,
+        quantized_init: Optional[str] = None,
+        quantize_embed: bool = False,
     ) -> Model:
         cfg = replace(LLAMA_CONFIGS[name], dtype=dtype)
         if checkpoint_path:
             from llm_inference_lab_tpu.models.loader import load_llama_checkpoint
 
             params = load_llama_checkpoint(checkpoint_path, cfg)
+        elif quantized_init:
+            params = transformer.init_params_quantized(
+                cfg, rng if rng is not None else jax.random.PRNGKey(0),
+                mode=quantized_init, quantize_embed=quantize_embed,
+            )
         else:
             params = transformer.init_params(cfg, rng if rng is not None else jax.random.PRNGKey(0))
         return Model(config=cfg, params=params, apply_fn=partial(transformer.forward, cfg),

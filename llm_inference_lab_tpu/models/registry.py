@@ -15,6 +15,8 @@ def get_model(
     rng: Optional[jax.Array] = None,
     dtype=jnp.bfloat16,
     checkpoint_path: Optional[str] = None,
+    quantized_init: Optional[str] = None,
+    quantize_embed: bool = False,
     **fake_kwargs,
 ):
     """implementation="fake" returns the deterministic test model regardless of
@@ -27,10 +29,12 @@ def get_model(
         return make_fake_model(name=name, **fake_kwargs)
 
     key = name.lower().replace("meta-llama/", "").replace("openai-community/", "")
+    kw = dict(rng=rng, dtype=dtype, checkpoint_path=checkpoint_path,
+              quantized_init=quantized_init, quantize_embed=quantize_embed)
     if key in GPT2_CONFIGS:
-        return GPT2Model.create(key, rng=rng, dtype=dtype, checkpoint_path=checkpoint_path)
+        return GPT2Model.create(key, **kw)
     if key in LLAMA_CONFIGS:
-        return LlamaModel.create(key, rng=rng, dtype=dtype, checkpoint_path=checkpoint_path)
+        return LlamaModel.create(key, **kw)
     raise ValueError(
         f"unknown model {name!r}; known: "
         f"{sorted(GPT2_CONFIGS) + sorted(LLAMA_CONFIGS)} or implementation='fake'"

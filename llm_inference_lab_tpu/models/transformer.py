@@ -185,9 +185,64 @@ def lm_head_logits(cfg: ModelConfig, params: Any, x: jax.Array) -> jax.Array:
     return logits.astype(jnp.float32)
 
 
-def init_params(cfg: ModelConfig, rng: jax.Array) -> Any:
+def init_params_quantized(cfg: ModelConfig, rng: jax.Array, mode: str = "int8",
+                          quantize_embed: bool = False) -> Any:
+    """Random init DIRECTLY in quantized form — for benchmarking models whose
+    bf16 params would not fit HBM during init (e.g. Llama-3.1-8B int4 on a
+    16 GB chip). Weight distributions match init_params' N(0, 0.02²) after
+    dequantization."""
+    from llm_inference_lab_tpu.ops.quant import EmbedQuant, QuantTensor
+
+    params = init_params(
+        dataclasses_replace_dtype(cfg, jnp.bfloat16), rng, skip_big=True
+    )
+
+    def rand_qt(key, d_in, d_out, layers=None):
+        shape = (d_in // (2 if mode == "int4" else 1), d_out)
+        if layers is not None:
+            shape = (layers, *shape)
+        maxq = 127 if mode == "int8" else 7
+        data = jax.random.randint(key, shape, -maxq, maxq + 1, dtype=jnp.int8)
+        if mode == "int4":  # pack two random nibbles per byte
+            data = ((data & 0x0F) | (data << 4)).astype(jnp.int8)
+        scale_shape = (layers, d_out) if layers is not None else (d_out,)
+        scale = jnp.full(scale_shape, 0.02 / maxq, jnp.float32)
+        bits = 4 if mode == "int4" else 8
+        return QuantTensor(data, scale, bits=bits)
+
+    keys = iter(jax.random.split(jax.random.fold_in(rng, 1), 16))
+    D, F, H, KV, Dh, L = (cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.n_kv_heads,
+                          cfg.head_dim, cfg.n_layers)
+    params["layers"]["w_qkv"] = rand_qt(next(keys), D, (H + 2 * KV) * Dh, L)
+    params["layers"]["wo"] = rand_qt(next(keys), H * Dh, D, L)
+    if cfg.arch == "gpt2":
+        params["layers"]["w_fc"] = rand_qt(next(keys), D, F, L)
+        params["layers"]["w_proj"] = rand_qt(next(keys), F, D, L)
+    else:
+        params["layers"]["w_gate_up"] = rand_qt(next(keys), D, 2 * F, L)
+        params["layers"]["w_down"] = rand_qt(next(keys), F, D, L)
+    if quantize_embed:
+        eq = jax.random.randint(next(keys), (cfg.vocab_size, D), -127, 128,
+                                dtype=jnp.int8)
+        params["embed"] = EmbedQuant(eq, jnp.full((cfg.vocab_size,), 0.02 / 127,
+                                                  jnp.float32))
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = rand_qt(next(keys), D, cfg.vocab_size)
+    elif not cfg.tie_word_embeddings:
+        params["lm_head"] = rand_qt(next(keys), D, cfg.vocab_size)
+    return params
+
+
+def dataclasses_replace_dtype(cfg: ModelConfig, dtype):
+    import dataclasses
+
+    return dataclasses.replace(cfg, dtype=dtype)
+
+
+def init_params(cfg: ModelConfig, rng: jax.Array, skip_big: bool = False) -> Any:
     """Random init with correct shapes/dtypes (benchmarking + tests; real
-    checkpoints come from models.loader)."""
+    checkpoints come from models.loader). skip_big: leave the large matmul
+    weights out (init_params_quantized replaces them)."""
     keys = iter(jax.random.split(rng, 32))
     D, F, H, KV, Dh, L = (
         cfg.d_model,
@@ -205,21 +260,27 @@ def init_params(cfg: ModelConfig, rng: jax.Array) -> Any:
     layers = {
         "attn_norm_scale": jnp.ones((L, D), dt),
         "mlp_norm_scale": jnp.ones((L, D), dt),
-        "w_qkv": init(next(keys), (L, D, (H + 2 * KV) * Dh)),
-        "wo": init(next(keys), (L, H * Dh, D)),
     }
+    if not skip_big:
+        layers.update(
+            w_qkv=init(next(keys), (L, D, (H + 2 * KV) * Dh)),
+            wo=init(next(keys), (L, H * Dh, D)),
+        )
     if cfg.arch == "gpt2":
         layers.update(
             attn_norm_bias=jnp.zeros((L, D), dt),
             mlp_norm_bias=jnp.zeros((L, D), dt),
             b_qkv=jnp.zeros((L, (H + 2 * KV) * Dh), dt),
             bo=jnp.zeros((L, D), dt),
-            w_fc=init(next(keys), (L, D, F)),
             b_fc=jnp.zeros((L, F), dt),
-            w_proj=init(next(keys), (L, F, D)),
             b_proj=jnp.zeros((L, D), dt),
         )
-    else:
+        if not skip_big:
+            layers.update(
+                w_fc=init(next(keys), (L, D, F)),
+                w_proj=init(next(keys), (L, F, D)),
+            )
+    elif not skip_big:
         layers.update(
             w_gate_up=init(next(keys), (L, D, 2 * F)),
             w_down=init(next(keys), (L, F, D)),
@@ -233,6 +294,6 @@ def init_params(cfg: ModelConfig, rng: jax.Array) -> Any:
     if cfg.arch == "gpt2":
         params["pos_embed"] = init(next(keys), (cfg.max_position_embeddings, D))
         params["final_norm_bias"] = jnp.zeros((D,), dt)
-    if not cfg.tie_word_embeddings:
+    if not cfg.tie_word_embeddings and not skip_big:
         params["lm_head"] = init(next(keys), (D, cfg.vocab_size))
     return params
