@@ -83,11 +83,22 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool = False):
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
 
-    BN = 256 if N % 256 == 0 else 128
+    # Tile selection: minimize grid steps (per-step overhead dominates at
+    # decode M). Full-K blocks when they fit VMEM (K*BN int8 <= ~4MB), so
+    # the accumulator is written once per N tile.
+    BN = 512 if N % 512 == 0 else 256 if N % 256 == 0 else 128
     scale2d = qt.scale.reshape(1, N)
 
+    def pick_bk(k_total: int) -> int:
+        if k_total * BN <= (4 << 20) and k_total % 128 == 0:
+            return k_total  # whole reduction in one block
+        for cand in (2048, 1024, 512, 256, 128):
+            if k_total % cand == 0:
+                return cand
+        return k_total
+
     if qt.bits == 8:
-        BK = 512 if K % 512 == 0 else 256 if K % 256 == 0 else 128
+        BK = pick_bk(K)
         grid = (N // BN, K // BK)
         out = pl.pallas_call(
             _kernel_int8,
@@ -106,7 +117,7 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool = False):
         )(x, qt.data, scale2d)
     else:
         half = K // 2
-        BK = 256 if half % 256 == 0 else 128
+        BK = pick_bk(half)
         grid = (N // BN, half // BK)
         x_lo = x[:, :half]
         x_hi = x[:, half:]
