@@ -197,16 +197,25 @@ def init_params_quantized(cfg: ModelConfig, rng: jax.Array, mode: str = "int8",
         dataclasses_replace_dtype(cfg, jnp.bfloat16), rng, skip_big=True
     )
 
+    def rand_bytes(key, shape):
+        # random.bits in uint8 avoids the int32 temporaries that
+        # random.randint materializes (an 8B gate_up stack would need a
+        # ~15 GB int32 scratch — instant OOM on a 16 GB chip).
+        return jax.lax.convert_element_type(
+            jax.random.bits(key, shape, dtype=jnp.uint8), jnp.int8
+        )
+
     def rand_qt(key, d_in, d_out, layers=None):
         shape = (d_in // (2 if mode == "int4" else 1), d_out)
+        maxq_eff = 127 if mode == "int8" else 7
         if layers is not None:
-            shape = (layers, *shape)
-        maxq = 127 if mode == "int8" else 7
-        data = jax.random.randint(key, shape, -maxq, maxq + 1, dtype=jnp.int8)
-        if mode == "int4":  # pack two random nibbles per byte
-            data = ((data & 0x0F) | (data << 4)).astype(jnp.int8)
+            # Generate per layer to bound temporary memory.
+            keys_l = jax.random.split(key, layers)
+            data = jnp.stack([rand_bytes(keys_l[i], shape) for i in range(layers)])
+        else:
+            data = rand_bytes(key, shape)
         scale_shape = (layers, d_out) if layers is not None else (d_out,)
-        scale = jnp.full(scale_shape, 0.02 / maxq, jnp.float32)
+        scale = jnp.full(scale_shape, 0.02 / maxq_eff, jnp.float32)
         bits = 4 if mode == "int4" else 8
         return QuantTensor(data, scale, bits=bits)
 
@@ -222,8 +231,7 @@ def init_params_quantized(cfg: ModelConfig, rng: jax.Array, mode: str = "int8",
         params["layers"]["w_gate_up"] = rand_qt(next(keys), D, 2 * F, L)
         params["layers"]["w_down"] = rand_qt(next(keys), F, D, L)
     if quantize_embed:
-        eq = jax.random.randint(next(keys), (cfg.vocab_size, D), -127, 128,
-                                dtype=jnp.int8)
+        eq = rand_bytes(next(keys), (cfg.vocab_size, D))
         params["embed"] = EmbedQuant(eq, jnp.full((cfg.vocab_size,), 0.02 / 127,
                                                   jnp.float32))
         if not cfg.tie_word_embeddings:
