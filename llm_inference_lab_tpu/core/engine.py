@@ -216,6 +216,14 @@ class Engine:
         )
         self._step_cache: Dict[tuple, Any] = {}
         self._max_k = getattr(self.controller, "max_k", cfg.max_draft)
+        if self.draft_mode == "tree":
+            # The verify chunk writes num_nodes+1 cache slots per step, so
+            # buffer headroom must be sized by the tree, not max_draft.
+            from llm_inference_lab_tpu.core.treespec import TreeConfig
+
+            self._max_k = TreeConfig(
+                tuple(cfg.tree.get("branching", [3, 2]))
+            ).num_nodes + 1
 
     # ------------------------------------------------------------------
     def _build_step(self, k: int, max_new_tokens: int, jit: bool):
