@@ -144,16 +144,18 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool = False):
 def _dispatch(x: jax.Array, qt: QuantTensor) -> jax.Array:
     from llm_inference_lab_tpu.ops.pallas import interpret_mode, use_pallas
 
-    # Measured on v5e (1B-model decode forward, dependent-chain timing):
-    # bf16 3.74 ms, XLA int8 dequant 2.51 ms, THIS kernel 4.25 ms — XLA
-    # fuses the int8->bf16 convert into the dot at near-roofline, so it is
-    # the default int8 path. The Pallas kernel stays opt-in
-    # (SPECDX_PALLAS_QUANT_MATMUL=1) until it beats XLA.
+    # Measured on v5e (1B-model decode forward, on-device dependent-chain
+    # timing): bf16 3.74 ms; int8: XLA fused dequant 2.51 ms vs this kernel
+    # 3.24 ms (XLA fuses int8->bf16 into the dot at near-roofline — it wins,
+    # so int8 defaults to XLA); int4: XLA unpack 3.69 ms (materializes int8)
+    # vs this kernel 2.82 ms — the kernel wins and is the int4 default.
+    # Override with SPECDX_PALLAS_QUANT_MATMUL=1/0.
     import os
 
     K = qt.data.shape[0] * (2 if qt.bits == 4 else 1)
     N = qt.data.shape[-1]
-    prefer_pallas = os.environ.get("SPECDX_PALLAS_QUANT_MATMUL") == "1"
+    env = os.environ.get("SPECDX_PALLAS_QUANT_MATMUL")
+    prefer_pallas = (qt.bits == 4) if env is None else env == "1"
     if (
         not prefer_pallas
         or K % 256 != 0
