@@ -158,6 +158,7 @@ def _dispatch(x: jax.Array, qt: QuantTensor) -> jax.Array:
     prefer_pallas = (qt.bits == 4) if env is None else env == "1"
     if (
         not prefer_pallas
+        or x.shape[0] > 32  # decode kernel: prefill-sized M blows VMEM
         or K % 256 != 0
         or N % 128 != 0
         or not use_pallas()
