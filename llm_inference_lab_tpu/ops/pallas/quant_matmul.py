@@ -89,16 +89,16 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool = False):
     BN = 512 if N % 512 == 0 else 256 if N % 256 == 0 else 128
     scale2d = qt.scale.reshape(1, N)
 
-    def pick_bk(k_total: int) -> int:
-        if k_total * BN <= (4 << 20) and k_total % 128 == 0:
+    def pick_bk(k_total: int, budget: int) -> int:
+        if k_total * BN <= budget and k_total % 128 == 0:
             return k_total  # whole reduction in one block
         for cand in (2048, 1024, 512, 256, 128):
-            if k_total % cand == 0:
+            if k_total % cand == 0 and cand * BN <= budget:
                 return cand
         return k_total
 
     if qt.bits == 8:
-        BK = pick_bk(K)
+        BK = pick_bk(K, 4 << 20)
         grid = (N // BN, K // BK)
         out = pl.pallas_call(
             _kernel_int8,
@@ -117,7 +117,10 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool = False):
         )(x, qt.data, scale2d)
     else:
         half = K // 2
-        BK = pick_bk(half)
+        # The in-kernel int32 nibble extraction expands the weight tile ~6x
+        # in VMEM, so the int4 block budget is much tighter than int8's
+        # (a 3.67 MB tile OOMed scoped vmem on v5e).
+        BK = pick_bk(half, 2 << 20)
         grid = (N // BN, half // BK)
         x_lo = x[:, :half]
         x_hi = x[:, half:]

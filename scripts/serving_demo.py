@@ -1,0 +1,84 @@
+"""Serving throughput demo: OpenAI-compatible server + concurrent clients.
+
+Boots the InferenceServer on the flagship engine, fires concurrent
+completion requests, and reports aggregate throughput + latency percentiles.
+Run: python scripts/serving_demo.py [--small] [--requests 20] [--slots 8]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import concurrent.futures
+import json
+import time
+import urllib.request
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--requests", type=int, default=20)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--max-tokens", type=int, default=32)
+    ap.add_argument("--quant", default="int8")
+    args = ap.parse_args()
+
+    import jax
+
+    from llm_inference_lab_tpu.config import EngineConfig
+    from llm_inference_lab_tpu.core.engine import Engine
+    from llm_inference_lab_tpu.server import InferenceServer
+
+    small = args.small or jax.default_backend() == "cpu"
+    cfg = EngineConfig(
+        base_model="llama-tiny" if small else "llama-3.2-3b",
+        draft_model="llama-tiny" if small else "llama-3.2-1b",
+        implementation="hf",
+        max_draft=2,
+        max_new_tokens=args.max_tokens,
+        quantization=None if small else args.quant,
+        quantize_embed=not small,
+        max_seq_len=256,
+    )
+    server = InferenceServer(Engine(cfg), n_slots=args.slots, port=0)
+    server.start()
+    url = f"http://127.0.0.1:{server.port}/v1/completions"
+
+    def one(i):
+        body = json.dumps({
+            "prompt": f"Request number {i}: the quick brown fox",
+            "max_tokens": args.max_tokens,
+        }).encode()
+        req = urllib.request.Request(url, data=body,
+                                     headers={"Content-Type": "application/json"})
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            out = json.loads(resp.read())
+        return time.perf_counter() - t0, out["usage"]["completion_tokens"]
+
+    one(0)  # warm/compile
+    t0 = time.perf_counter()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=args.slots) as ex:
+        results = list(ex.map(one, range(args.requests)))
+    wall = time.perf_counter() - t0
+    lats = sorted(r[0] for r in results)
+    toks = sum(r[1] for r in results)
+    print(json.dumps({
+        "requests": args.requests,
+        "slots": args.slots,
+        "wall_s": round(wall, 2),
+        "aggregate_tok_s": round(toks / wall, 1),
+        "latency_p50_s": round(lats[len(lats) // 2], 2),
+        "latency_p95_s": round(lats[int(len(lats) * 0.95)], 2),
+    }))
+    server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
