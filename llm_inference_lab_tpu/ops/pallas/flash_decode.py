@@ -171,7 +171,16 @@ def _kernel_wrapper(q, k_cache, v_cache, positions, k_scale=None, v_scale=None,
 
     T = k_cache.shape[2]
     D = q.shape[-1]
-    if tree_mask is not None or T % 128 != 0 or D % 128 != 0 or not use_pallas():
+    # S guard: this is a DECODE kernel — its q block and (S*group, BT)
+    # score tile live wholly in VMEM, so prefill-sized S must take the XLA
+    # path (a dedicated prefill flash kernel is future work).
+    if (
+        tree_mask is not None
+        or q.shape[1] > 32
+        or T % 128 != 0
+        or D % 128 != 0
+        or not use_pallas()
+    ):
         from llm_inference_lab_tpu.ops.attention import attend_xla
 
         return attend_xla(q, k_cache, v_cache, positions, k_scale, v_scale,
