@@ -8,6 +8,10 @@ collectives with compute (latency-hiding scheduler), replacing hand-written
 NCCL calls the reference never had.
 """
 
+from llm_inference_lab_tpu.parallel.context import (  # noqa: F401
+    ring_attention_shard,
+    ring_self_attention,
+)
 from llm_inference_lab_tpu.parallel.mesh import make_mesh  # noqa: F401
 from llm_inference_lab_tpu.parallel.sharding import (  # noqa: F401
     shard_params,
