@@ -369,7 +369,7 @@ class Engine:
 
         prev_prop, prev_acc = 0, 0
         prof_prev_acc = 0
-        done_handle = None
+        pending = None
         steps_run = 0
         # Each active step commits >= 1 token, so max_new steps always finish.
         for step_i in range(max_new + 1):
@@ -392,17 +392,27 @@ class Engine:
                     accepted=acc_now - prof_prev_acc,
                 )
                 prof_prev_acc = acc_now
-            if adaptive:
-                prop = int(jnp.sum(state.proposed))
-                acc = int(jnp.sum(state.accepted))
-                self.controller.update(prop - prev_prop, acc - prev_acc)
-                prev_prop, prev_acc = prop, acc
 
-            # One-step-delayed completion poll: reading last step's flag
-            # never stalls the step already in flight.
-            if done_handle is not None and not bool(done_handle):
-                break
-            done_handle = jnp.any(state.active)
+            # One-step-delayed combined observation: materializing device
+            # values costs a full relay RTT here (~27 ms, more than a 3B
+            # step), so the previous step's (proposed, accepted, active)
+            # is fetched as ONE device_get while this step is in flight.
+            # The adaptive controller therefore sees acceptance with one
+            # step of lag (the reference updates immediately,
+            # controllers.py:109-118 — its window-32 smoothing makes the
+            # lag immaterial, and it saves 2 RTTs/step).
+            if pending is not None:
+                prop, acc, act = (int(x) for x in jax.device_get(pending))
+                if adaptive:
+                    self.controller.update(prop - prev_prop, acc - prev_acc)
+                    prev_prop, prev_acc = prop, acc
+                if not act:
+                    break
+            pending = (
+                jnp.sum(state.proposed),
+                jnp.sum(state.accepted),
+                jnp.any(state.active),
+            )
 
         jax.block_until_ready(state.tokens)
         decode_s = time.perf_counter() - t_decode
