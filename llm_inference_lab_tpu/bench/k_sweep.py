@@ -82,6 +82,9 @@ def run_k_sweep(
 ) -> Dict[str, Any]:
     flags = EnvFlags.from_env()
     prompts = prompts or PROMPT_SUITE
+    # SPECDX_BATCH_SIZE (reference SPECDEC_BATCH_SIZE,
+    # comprehensive_k_sweep.py:444) — explicit argument wins.
+    batch_size = batch_size or flags.batch_size
     if flags.dry_run:
         # Synthetic results without touching the device (reference
         # SPECDEC_DRY_RUN, comprehensive_k_sweep.py:261-291).

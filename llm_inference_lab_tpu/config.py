@@ -50,6 +50,7 @@ class EnvFlags:
     force_reference_kernels: bool = False  # SPECDEC_FORCE_PY / FORCE_PYTORCH_BACKEND
     dtype: Optional[str] = None  # SPECDEC_DTYPE
     debug: bool = False  # SPECDEC_DEBUG
+    debug_kv_verify: bool = False  # SPECDEC_DEBUG_KV_VERIFY
     dry_run: bool = False  # SPECDEC_DRY_RUN
     sync_steps: bool = False  # SPECDEC_SYNC_KERNELS analogue: block after each step
     seed: int = 0
@@ -64,6 +65,7 @@ class EnvFlags:
             force_reference_kernels=_env_bool("SPECDX_FORCE_REFERENCE_KERNELS", False),
             dtype=_env_str("SPECDX_DTYPE"),
             debug=_env_bool("SPECDX_DEBUG", False),
+            debug_kv_verify=_env_bool("SPECDX_DEBUG_KV_VERIFY", False),
             dry_run=_env_bool("SPECDX_DRY_RUN", False),
             sync_steps=_env_bool("SPECDX_SYNC_STEPS", False),
             seed=_env_int("SPECDX_SEED", 0),

@@ -91,7 +91,15 @@ class Engine:
 
             _registry.force_reference = True
         dtype = _DTYPES[self.flags.dtype or cfg.dtype]
-        rng = jax.random.PRNGKey(cfg.seed)
+        # SPECDX_SEED applies when the config leaves the seed at its default;
+        # SPECDX_DETERMINISTIC seeds host-side RNGs too (device randomness is
+        # already deterministic via the threaded keys in DecodeState.rng).
+        self._seed = cfg.seed or self.flags.seed
+        if self.flags.deterministic:
+            from llm_inference_lab_tpu.utils.determinism import ensure_deterministic
+
+            ensure_deterministic(self._seed)
+        rng = jax.random.PRNGKey(self._seed)
         rng_t, rng_d = jax.random.split(rng)
 
         # Models (dependency injection supported, reference test_pipeline_new
@@ -172,7 +180,12 @@ class Engine:
         self.controller = create_controller(
             cfg.controller, k=cfg.max_draft, **cfg.controller_params
         )
-        self.profiler = StructuredProfiler(enabled=cfg.profile or self.flags.profile)
+        # SPECDX_DETAILED_METRICS enables the same per-step recorder (the
+        # acceptance histogram is the "detailed" layer, reference
+        # detailed_profiler.py:54-62).
+        self.profiler = StructuredProfiler(
+            enabled=cfg.profile or self.flags.profile or self.flags.detailed_metrics
+        )
         self.profiler.run_metadata = {
             "base_model": cfg.base_model,
             "draft_model": cfg.draft_model,
@@ -188,18 +201,23 @@ class Engine:
         if self.draft_mode in ("medusa", "eagle", "tree"):
             self.draft = None
         self.is_spec = self.draft is not None or self.draft_mode != "vanilla"
+        # The largest K any controller setting can request — sizes Medusa
+        # head count and buffer headroom (an adaptive controller raising K
+        # past the head count would otherwise fail at trace time).
+        self._max_k = max(getattr(self.controller, "max_k", 0), cfg.max_draft)
         if self.draft_mode in ("medusa", "tree"):
-            # Tree mode drafts with one Medusa head per tree depth.
+            # Tree mode drafts with one Medusa head per tree depth; medusa
+            # mode needs one head per draftable position up to max K.
             k = (
                 len(cfg.tree.get("branching", [3, 2]))
                 if self.draft_mode == "tree"
-                else cfg.max_draft
+                else self._max_k
             )
             D = self.target.config.d_model
             eye = jnp.eye(D, dtype=dtype)
             if cfg.medusa.get("head_init", "tie") == "random":
                 noise = (
-                    jax.random.normal(jax.random.PRNGKey(cfg.seed + 7), (k, D, D))
+                    jax.random.normal(jax.random.PRNGKey(self._seed + 7), (k, D, D))
                     * 0.02
                 ).astype(dtype)
                 proj = eye[None] + noise
@@ -215,7 +233,6 @@ class Engine:
             self.target, self.draft, prefill_draft=self.draft is not None
         )
         self._step_cache: Dict[tuple, Any] = {}
-        self._max_k = getattr(self.controller, "max_k", cfg.max_draft)
         if self.draft_mode == "tree":
             # The verify chunk writes num_nodes+1 cache slots per step, so
             # buffer headroom must be sized by the tree, not max_draft.
@@ -226,7 +243,10 @@ class Engine:
             ).num_nodes + 1
 
     # ------------------------------------------------------------------
-    def _build_step(self, k: int, max_new_tokens: int, jit: bool):
+    def _build_step(self, k: int, jit: bool):
+        # The per-sequence generation budget lives in DecodeState.max_new
+        # (server requests carry their own max_tokens), so step functions
+        # depend only on K — not on max_new_tokens.
         cfg = self.config
         if self.draft_mode == "tree":
             from llm_inference_lab_tpu.core.treespec import (
@@ -241,7 +261,6 @@ class Engine:
                 temperature=cfg.temperature,
                 top_k=cfg.top_k,
                 top_p=cfg.top_p,
-                max_new_tokens=max_new_tokens,
                 eos_token_id=self.eos_token_id,
                 jit=jit,
             )
@@ -252,7 +271,6 @@ class Engine:
                 temperature=cfg.temperature,
                 top_k=cfg.top_k,
                 top_p=cfg.top_p,
-                max_new_tokens=max_new_tokens,
                 eos_token_id=self.eos_token_id,
                 jit=jit,
             )
@@ -267,7 +285,6 @@ class Engine:
             top_k=cfg.top_k,
             top_p=cfg.top_p,
             draft_temperature_scale=cfg.draft_temperature_scale,
-            max_new_tokens=max_new_tokens,
             eos_token_id=self.eos_token_id,
             use_rejection_bonus=(cfg.policy == "rejection"),
             draft_mode=self.draft_mode,
@@ -276,24 +293,23 @@ class Engine:
             jit=jit,
         )
 
-    def _get_step(self, k: int, max_new_tokens: int):
-        key = ("step", k, max_new_tokens)
+    def _get_step(self, k: int):
+        key = ("step", k)
         fn = self._step_cache.get(key)
         if fn is None:
-            fn = self._build_step(k, max_new_tokens, jit=True)
+            fn = self._build_step(k, jit=True)
             self._step_cache[key] = fn
         return fn
 
-    def _get_loop(self, k: int, max_new_tokens: int, max_steps: Optional[int] = None):
+    def _get_loop(self, k: int, max_steps: int):
         """Device-side decode loop (see make_decode_loop): the fast path
         when K is fixed and per-step host observation isn't needed.
-        `max_steps` bounds the loop (default: run to completion) — the
-        continuous batcher uses small chunks so admissions can interleave."""
-        max_steps = max_steps or max_new_tokens + 1
-        key = ("loop", k, max_new_tokens, max_steps)
+        `max_steps` bounds the loop — the continuous batcher uses small
+        chunks so admissions can interleave."""
+        key = ("loop", k, max_steps)
         fn = self._step_cache.get(key)
         if fn is None:
-            raw = self._build_step(k, max_new_tokens, jit=False)
+            raw = self._build_step(k, jit=False)
             fn = make_decode_loop(raw, max_steps=max_steps, is_spec=self.is_spec)
             self._step_cache[key] = fn
         return fn
@@ -315,11 +331,32 @@ class Engine:
         SURVEY.md §5.5 schema."""
         cfg = self.config
         max_new = max_new_tokens or cfg.max_new_tokens
-        seed = cfg.seed if seed is None else seed
+        seed = self._seed if seed is None else seed
         B = len(prompts)
 
         enc = [self.tokenizer.encode(p)[: cfg.max_seq_len - max_new - self._max_k - 2]
                for p in prompts]
+        if self.flags.debug:
+            # Trust-boundary token validation (reference validates ~15x per
+            # step because eager mutation can corrupt ids anywhere,
+            # token_validation.py:15; the pure jitted step needs it only
+            # here, on tokenizer output entering the device).
+            from llm_inference_lab_tpu.utils.validation import (
+                validate_and_clamp_tokens,
+            )
+
+            vocab = self.target.config.vocab_size
+            for i, e in enumerate(enc):
+                clamped, n_bad = validate_and_clamp_tokens(
+                    jnp.asarray(e, jnp.int32), vocab
+                )
+                if int(n_bad):
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "prompt %d: %d out-of-vocab token ids clamped", i, int(n_bad)
+                    )
+                    enc[i] = [int(t) for t in np.asarray(clamped)]
         plens = np.array([len(e) for e in enc], np.int32)
         P = _round_up(max(int(plens.max()), 1), 32)
         max_len = _round_up(P + max_new + self._max_k + 2, 128)
@@ -332,6 +369,7 @@ class Engine:
         state = init_state(
             self.target, self.draft, B, max_len, seed=seed,
             kv_quantized=cfg.kv_quantization == "int8",
+            max_new_tokens=max_new,
         )
         if self.mesh is not None:
             from llm_inference_lab_tpu.parallel.sharding import shard_state
@@ -352,7 +390,7 @@ class Engine:
             # Fast path: ONE device-side while_loop decodes everything —
             # no per-step host polls (each costs a full RTT on tunneled
             # TPUs; measured 27 ms vs ~3 ms of 3B step compute).
-            loop_fn = self._get_loop(self.controller.get_k(0), max_new)
+            loop_fn = self._get_loop(self.controller.get_k(0), max_steps=max_new + 1)
             if not self.is_spec:
                 state = loop_fn(self.target.params, {}, state)
             else:
@@ -374,7 +412,7 @@ class Engine:
         # Each active step commits >= 1 token, so max_new steps always finish.
         for step_i in range(max_new + 1):
             k = self.controller.get_k(step_i)
-            step_fn = self._get_step(k, max_new)
+            step_fn = self._get_step(k)
             t0 = time.perf_counter()
             if not self.is_spec:
                 state = step_fn(self.target.params, state)
@@ -434,6 +472,19 @@ class Engine:
         accepted = np.asarray(state.accepted)
         bonus = np.asarray(state.bonus)
         mem = device_memory_stats().as_dict()
+        kv_report = None
+        if self.flags.debug_kv_verify:
+            # Runtime KV-alignment cross-check vs a from-scratch prefill
+            # (reference SPECDEC_DEBUG_KV_VERIFY, kv_cache_verification.py).
+            from llm_inference_lab_tpu.core.kv_verify import kv_alignment_report
+
+            kv_report = kv_alignment_report(self.target, self.target.params, state)
+            if not kv_report["aligned"]:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "KV cache misaligned vs target-only recompute: %s", kv_report
+                )
         B = len(prompts)
         total_generated = int((lengths - plens).sum())
         results = []
@@ -466,8 +517,12 @@ class Engine:
                     "base_model": cfg.base_model,
                     "draft_model": cfg.draft_model,
                     "draft_mode": cfg.draft_mode,
+                    "weights_source": self.target.extras.get(
+                        "weights_source", "unknown"
+                    ),
                     "batch_index": b,
                     "batch_size": B,
+                    **({"kv_verify": kv_report} if kv_report is not None else {}),
                     "batch_metrics": {
                         "aggregate_tokens_per_sec": (
                             total_generated / decode_s if decode_s > 0 else 0.0

@@ -61,20 +61,44 @@ def typical(rng, draft_tokens, draft_logits, target_logits, *, p: float = 0.9, *
     return _prefix_len(p_draft >= p)
 
 
-def rejection(rng, draft_tokens, draft_logits, target_logits, *, temperature: float = 1.0, **_):
+def rejection(
+    rng,
+    draft_tokens,
+    draft_logits,
+    target_logits,
+    *,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    draft_temperature: float = 1.0,
+    draft_greedy: bool = False,
+    **_,
+):
     """Stochastic speculative sampling: accept d_i w.p. min(1, p_t/p_d).
 
-    Distribution-exact w.r.t. the target model (not in the reference; its
-    Phase 4D lists lossless sampling-based verification as future work).
-    The residual-distribution bonus resample is handled by
+    Distribution-exact w.r.t. the target model's SAMPLING distribution
+    (post temperature/top-k/top-p) — not in the reference; its Phase 4D
+    lists lossless sampling-based verification as future work. Exactness
+    holds for ANY proposal q as long as p_d is the distribution the draft
+    actually sampled from (Leviathan et al.): here both p_t and p_d are the
+    true filtered sampling distributions, including the greedy point-mass
+    case. The residual-distribution bonus resample is handled by
     `rejection_bonus_logits` below.
     """
-    t = jnp.maximum(temperature, 1e-6)
-    p_t = jax.nn.softmax(target_logits[:, :-1].astype(jnp.float32) / t, axis=-1)
-    p_d = jax.nn.softmax(draft_logits.astype(jnp.float32) / t, axis=-1)
-    pt_i = jnp.take_along_axis(p_t, draft_tokens[..., None], axis=-1)[..., 0]
-    pd_i = jnp.take_along_axis(p_d, draft_tokens[..., None], axis=-1)[..., 0]
-    ratio = pt_i / jnp.maximum(pd_i, 1e-20)
+    from llm_inference_lab_tpu.ops.sampling import proposal_log_probs
+
+    lp_t = proposal_log_probs(
+        target_logits[:, :-1], temperature, top_k, top_p
+    )
+    lp_d = proposal_log_probs(
+        draft_logits, draft_temperature, top_k, top_p, greedy=draft_greedy
+    )
+    lpt_i = jnp.take_along_axis(lp_t, draft_tokens[..., None], axis=-1)[..., 0]
+    lpd_i = jnp.take_along_axis(lp_d, draft_tokens[..., None], axis=-1)[..., 0]
+    # p_d(d_i) > 0 by construction (d_i was sampled from p_d); the -inf
+    # guard covers only numeric edge cases.
+    ratio = jnp.exp(jnp.minimum(lpt_i - jnp.maximum(lpd_i, -30.0), 0.0))
+    ratio = jnp.where(jnp.isfinite(lpt_i), ratio, 0.0)
     u = jax.random.uniform(rng, draft_tokens.shape)
     return _prefix_len(u < ratio)
 
@@ -84,27 +108,34 @@ def rejection_bonus_logits(
     target_logits: jax.Array,  # [B, K+1, V]
     accept_len: jax.Array,  # [B]
     temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    draft_temperature: float = 1.0,
+    draft_greedy: bool = False,
 ) -> jax.Array:
-    """Residual distribution max(0, p_t - p_d) (log-space) at the first
-    rejected position; plain target logits when everything was accepted."""
+    """Log-probs of the bonus distribution: residual max(0, p_t - p_d) at
+    the first rejected position, the target sampling distribution when
+    everything was accepted. p_t/p_d are the same filtered distributions the
+    `rejection` policy used — the result is FINAL (sample it at temperature
+    1.0 with no further filtering, or the distribution would be scaled
+    twice; round-1 ADVICE.md finding)."""
+    from llm_inference_lab_tpu.ops.sampling import proposal_log_probs
+
     B, K, V = draft_logits.shape
-    t = jnp.maximum(temperature, 1e-6)
     idx = jnp.minimum(accept_len, K - 1)
     tl = jnp.take_along_axis(target_logits, idx[:, None, None], axis=1)[:, 0]
     dl = jnp.take_along_axis(draft_logits, idx[:, None, None], axis=1)[:, 0]
-    resid = jnp.maximum(
-        jax.nn.softmax(tl.astype(jnp.float32) / t, -1)
-        - jax.nn.softmax(dl.astype(jnp.float32) / t, -1),
-        0.0,
-    )
+    lp_t = proposal_log_probs(tl, temperature, top_k, top_p)
+    lp_d = proposal_log_probs(dl, draft_temperature, top_k, top_p, greedy=draft_greedy)
+    resid = jnp.maximum(jnp.exp(lp_t) - jnp.exp(lp_d), 0.0)
     # Degenerate (p_t <= p_d everywhere) -> fall back to target distribution.
     total = jnp.sum(resid, axis=-1, keepdims=True)
     resid_logits = jnp.where(resid > 0, jnp.log(jnp.maximum(resid, 1e-30)), -jnp.inf)
-    fallback = tl.astype(jnp.float32) / t
-    resid_logits = jnp.where(total > 1e-9, resid_logits, fallback)
+    resid_logits = jnp.where(total > 1e-9, resid_logits, lp_t)
     # All-accepted -> bonus comes from the free K-th target row.
     full = jnp.take_along_axis(target_logits, jnp.full((B, 1, 1), K), axis=1)[:, 0]
-    return jnp.where((accept_len >= K)[:, None], full.astype(jnp.float32) / t, resid_logits)
+    lp_full = proposal_log_probs(full, temperature, top_k, top_p)
+    return jnp.where((accept_len >= K)[:, None], lp_full, resid_logits)
 
 
 POLICIES: Dict[str, Callable] = {

@@ -55,7 +55,6 @@ def make_spec_step(
     top_k: int = 0,
     top_p: float = 1.0,
     draft_temperature_scale: float = 1.5,
-    max_new_tokens: int = 64,
     eos_token_id: Optional[int] = None,
     use_rejection_bonus: bool = False,
     draft_mode: str = "vanilla",  # | "medusa" | "eagle"
@@ -87,6 +86,18 @@ def make_spec_step(
     # Reference subtlety for acceptance parity: the draft samples at
     # temperature/1.5 (pipeline.py:2324-2328) while verify stays greedy.
     draft_temp = temperature / draft_temperature_scale
+    if use_rejection_bonus:
+        # The rejection policy and its residual bonus need the EXACT draft
+        # and target sampling distributions (temperature + top-k/top-p +
+        # greedy point-mass) — min(1, p_t/p_d) with any other p_d is not
+        # distribution-preserving (round-1 ADVICE.md finding).
+        policy_params.update(
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            draft_temperature=draft_temp,
+            draft_greedy=greedy,
+        )
     medusa_cfg = dict(medusa_cfg or {})
     eagle_alpha = float((eagle_cfg or {}).get("alpha", 0.7))
     compute_dtype = target_model.config.dtype
@@ -186,17 +197,24 @@ def make_spec_step(
 
         # ---- 4. Bonus token ----
         if use_rejection_bonus:
+            # Already a FINAL log-prob distribution (filters + temperature
+            # applied inside) — sample it raw or it would be scaled twice.
             bonus_logits = rejection_bonus_logits(
-                draft_logits, target_logits, a, temperature=temperature
+                draft_logits, target_logits, a, temperature=temperature,
+                top_k=top_k, top_p=top_p, draft_temperature=draft_temp,
+                draft_greedy=greedy,
+            )
+            bonus = sample_tokens(
+                rng_bonus, bonus_logits, temperature=1.0, greedy=greedy
             )
         else:
             bonus_logits = jnp.take_along_axis(
                 target_logits, a[:, None, None], axis=1
             )[:, 0]
-        bonus = sample_tokens(
-            rng_bonus, bonus_logits, temperature=temperature, top_k=top_k,
-            top_p=top_p, greedy=greedy,
-        )
+            bonus = sample_tokens(
+                rng_bonus, bonus_logits, temperature=temperature, top_k=top_k,
+                top_p=top_p, greedy=greedy,
+            )
 
         # ---- 5. Commit ----
         # Slot values: accepted draft tokens then the bonus everywhere after
@@ -211,7 +229,10 @@ def make_spec_step(
             any_eos = jnp.any(is_eos, axis=1)
             first_eos = jnp.argmax(is_eos, axis=1).astype(jnp.int32)
             commit = jnp.where(any_eos, first_eos + 1, commit)
-        remaining = state.prompt_lens + max_new_tokens - state.lengths
+        # Per-sequence generation budget (state.max_new): server requests
+        # carry their own max_tokens (reference API contract; round-1
+        # ADVICE.md finding — the budget must not be a compile-time constant).
+        remaining = state.prompt_lens + state.max_new - state.lengths
         commit = jnp.minimum(commit, jnp.maximum(remaining, 0))
         commit = jnp.minimum(commit, max_len - state.lengths - 1)
         commit = jnp.where(state.active, commit, 0)
@@ -232,7 +253,7 @@ def make_spec_step(
             if eos_token_id is not None
             else jnp.zeros((B,), jnp.bool_)
         )
-        exhausted = (new_lengths - state.prompt_lens) >= max_new_tokens
+        exhausted = (new_lengths - state.prompt_lens) >= state.max_new
         # Next step needs room for K+1 writes starting at new_lengths-1.
         no_room = new_lengths + K + 1 > max_len
         new_active = state.active & ~hit_eos & ~exhausted & ~no_room
@@ -304,7 +325,6 @@ def make_baseline_step(
     temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 1.0,
-    max_new_tokens: int = 64,
     eos_token_id: Optional[int] = None,
     donate: bool = True,
     jit: bool = True,
@@ -327,7 +347,7 @@ def make_baseline_step(
             top_p=top_p, greedy=greedy,
         )
         commit = jnp.where(state.active, 1, 0)
-        remaining = state.prompt_lens + max_new_tokens - state.lengths
+        remaining = state.prompt_lens + state.max_new - state.lengths
         commit = jnp.minimum(commit, jnp.maximum(remaining, 0))
         new_tokens = jax.vmap(
             lambda t, v, s: jax.lax.dynamic_update_slice(t, v[None], (s,))
@@ -339,7 +359,7 @@ def make_baseline_step(
             if eos_token_id is not None
             else jnp.zeros_like(state.active)
         )
-        exhausted = (new_lengths - state.prompt_lens) >= max_new_tokens
+        exhausted = (new_lengths - state.prompt_lens) >= state.max_new
         no_room = new_lengths + 2 > max_len
         return state.replace(
             tokens=new_tokens,

@@ -30,6 +30,7 @@ class DecodeState:
     tokens: jax.Array  # [B, max_len] int32
     lengths: jax.Array  # [B] int32 — committed length L
     prompt_lens: jax.Array  # [B] int32
+    max_new: jax.Array  # [B] int32 — per-sequence generation budget
     active: jax.Array  # [B] bool
     target_cache: KVCache
     draft_cache: KVCache
@@ -54,6 +55,7 @@ def init_state(
     max_seq_len: int,
     seed: int = 0,
     kv_quantized: bool = False,
+    max_new_tokens: int = 64,
 ) -> DecodeState:
     B = batch_size
     # Baseline / Medusa / EAGLE modes have no autoregressive draft model;
@@ -72,6 +74,7 @@ def init_state(
         tokens=jnp.zeros((B, max_seq_len), jnp.int32),
         lengths=jnp.zeros((B,), jnp.int32),
         prompt_lens=jnp.zeros((B,), jnp.int32),
+        max_new=jnp.full((B,), max_new_tokens, jnp.int32),
         active=jnp.zeros((B,), jnp.bool_),
         target_cache=target_model.init_cache(B, max_seq_len, quantized=kv_quantized),
         draft_cache=draft_cache,

@@ -105,7 +105,6 @@ def make_tree_spec_step(
     temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 1.0,
-    max_new_tokens: int = 64,
     eos_token_id: Optional[int] = None,
     donate: bool = True,
     jit: bool = True,
@@ -218,7 +217,7 @@ def make_tree_spec_step(
             any_eos = jnp.any(is_eos, axis=1)
             first_eos = jnp.argmax(is_eos, axis=1).astype(jnp.int32)
             commit = jnp.where(any_eos, first_eos + 1, commit)
-        remaining = state.prompt_lens + max_new_tokens - state.lengths
+        remaining = state.prompt_lens + state.max_new - state.lengths
         commit = jnp.minimum(commit, jnp.maximum(remaining, 0))
         commit = jnp.minimum(commit, max_len - state.lengths - 1)
         commit = jnp.where(state.active, commit, 0)
@@ -262,7 +261,7 @@ def make_tree_spec_step(
             if eos_token_id is not None
             else jnp.zeros((B,), jnp.bool_)
         )
-        exhausted = (new_lengths - state.prompt_lens) >= max_new_tokens
+        exhausted = (new_lengths - state.prompt_lens) >= state.max_new
         no_room = new_lengths + S + 1 > max_len
         new_active = state.active & ~hit_eos & ~exhausted & ~no_room
 

@@ -119,6 +119,7 @@ def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
         tokens=jax.device_put(state.tokens, batch2),
         lengths=jax.device_put(state.lengths, batch),
         prompt_lens=jax.device_put(state.prompt_lens, batch),
+        max_new=jax.device_put(state.max_new, batch),
         active=jax.device_put(state.active, batch),
         target_cache=place_cache(state.target_cache),
         draft_cache=place_cache(state.draft_cache),

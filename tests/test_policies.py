@@ -94,6 +94,50 @@ def test_rejection_bonus_residual():
     assert int(jnp.argmax(bl[0])) == 6
 
 
+@pytest.mark.parametrize(
+    "temperature,top_p,draft_scale",
+    [(1.0, 1.0, 1.0), (0.7, 1.0, 1.5), (1.3, 0.9, 1.5)],
+)
+def test_rejection_is_distribution_exact(temperature, top_p, draft_scale):
+    """End-to-end single-position check of the speculative-sampling theorem:
+    emit accepted-draft-or-residual-bonus must be distributed EXACTLY like
+    sampling the target directly (incl. temperature != 1 and top-p filters —
+    the round-1 ADVICE.md double-scaling bug breaks this)."""
+    from llm_inference_lab_tpu.ops.sampling import (
+        proposal_log_probs,
+        sample_tokens,
+    )
+
+    V, N = 16, 40000
+    key = jax.random.PRNGKey(42)
+    k_t, k_d, k_draft, k_pol, k_bonus = jax.random.split(key, 5)
+    tl_row = jax.random.normal(k_t, (V,)) * 2.0
+    dl_row = jax.random.normal(k_d, (V,)) * 2.0
+    draft_temp = temperature / draft_scale
+
+    dl = jnp.broadcast_to(dl_row, (N, 1, V))
+    tl = jnp.broadcast_to(tl_row, (N, 2, V))
+    d_tok = sample_tokens(
+        jax.random.split(k_draft, 1)[0], dl[:, 0],
+        temperature=draft_temp, top_p=top_p,
+    )[:, None]
+    a = rejection(
+        k_pol, d_tok, dl, tl, temperature=temperature, top_p=top_p,
+        draft_temperature=draft_temp,
+    )
+    bl = rejection_bonus_logits(
+        dl, tl, a, temperature=temperature, top_p=top_p,
+        draft_temperature=draft_temp,
+    )
+    bonus = sample_tokens(k_bonus, bl, temperature=1.0)
+    emitted = np.where(np.asarray(a) == 1, np.asarray(d_tok[:, 0]), np.asarray(bonus))
+
+    emp = np.bincount(emitted, minlength=V) / N
+    want = np.exp(np.asarray(proposal_log_probs(tl_row, temperature, 0, top_p)))
+    tv = 0.5 * np.abs(emp - want).sum()
+    assert tv < 0.02, (tv, emp, want)
+
+
 def test_factory():
     for name in POLICIES:
         assert create_policy(name) is POLICIES[name]

@@ -78,6 +78,37 @@ def test_concurrent_requests(server):
     assert all(o["usage"]["completion_tokens"] > 0 for o in outs)
 
 
+def test_http_bench_client_against_server(server):
+    """BenchmarkRunner http mode: health poll, retries, completions + chat
+    endpoints (reference VLLMPingClient, src/server/ping_vllm.py:24-305)."""
+    from llm_inference_lab_tpu.bench.run_bench import BenchmarkRunner
+
+    runner = BenchmarkRunner(
+        mode="http", iterations=1,
+        server_url=f"http://127.0.0.1:{server.port}",
+    )
+    out = runner.run(["bench client prompt"], max_new_tokens=5)
+    assert out["healthy"] is True
+    assert out["success_rate"] == 1.0
+    assert out["tokens_per_sec"]["mean"] > 0
+    runner.http_chat = True
+    out = runner.run(["chat prompt"], max_new_tokens=5)
+    assert out["endpoint"] == "chat/completions"
+    assert out["success_rate"] == 1.0
+
+
+def test_http_bench_client_unreachable():
+    from llm_inference_lab_tpu.bench.run_bench import BenchmarkRunner
+
+    runner = BenchmarkRunner(
+        mode="http", iterations=1, server_url="http://127.0.0.1:9"  # discard port
+    )
+    runner.health_timeout_s = 1.0
+    out = runner.run(["x"], max_new_tokens=2)
+    assert out["healthy"] is False
+    assert out["success_rate"] == 0.0
+
+
 def test_bad_json(server):
     req = urllib.request.Request(
         f"http://127.0.0.1:{server.port}/v1/completions",
