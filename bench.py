@@ -68,6 +68,8 @@ def main() -> None:
         accepts.append(r["acceptance_rate"])
     value = sorted(runs)[len(runs) // 2]  # median
 
+    src = r.get("weights_source", "unknown")
+    real_weights = src not in ("random", "unknown")
     print(
         json.dumps(
             {
@@ -78,7 +80,12 @@ def main() -> None:
                 "unit": "tok/s",
                 "vs_baseline": round(value / BASELINE_TOK_S, 3),
                 "acceptance_rate": round(sum(accepts) / len(accepts), 4),
-                "note": "random weights (no hub access): worst-case acceptance",
+                "weights": "real-checkpoint" if real_weights else "random-init",
+                "note": (
+                    "real weights auto-loaded from local HF cache"
+                    if real_weights
+                    else "random weights (no hub access): worst-case acceptance"
+                ),
                 "backend": jax.default_backend(),
                 "runs": [round(x, 2) for x in runs],
             }

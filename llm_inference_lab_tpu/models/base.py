@@ -47,6 +47,12 @@ class ModelConfig:
     d_ff: int = 3072
     max_position_embeddings: int = 2048
     rope_theta: float = 10000.0
+    # Llama-3 rope frequency scaling, as ("llama3", factor, low_freq_factor,
+    # high_freq_factor, original_max_position_embeddings) — tuple so the
+    # frozen config stays hashable. None = plain rotary. Real Llama-3.1/3.2
+    # checkpoints REQUIRE this (HF config.json rope_scaling): without it the
+    # low-frequency rotary components diverge from the released weights.
+    rope_scaling: Optional[tuple] = None
     rms_norm_eps: float = 1e-5
     layer_norm_eps: float = 1e-5
     tie_word_embeddings: bool = True

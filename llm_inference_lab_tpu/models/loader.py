@@ -168,6 +168,87 @@ def resolve_hf_dir(name: str) -> Optional[str]:
     return os.path.join(cand, snaps[-1]) if snaps else None
 
 
+# Framework model key -> candidate HF hub repo ids (first cached wins).
+HF_REPO_IDS = {
+    "gpt2": ["gpt2", "openai-community/gpt2"],
+    "distilgpt2": ["distilgpt2", "distilbert/distilgpt2"],
+    "gpt2-medium": ["gpt2-medium", "openai-community/gpt2-medium"],
+    "llama-3.2-1b": ["meta-llama/Llama-3.2-1B", "meta-llama/Llama-3.2-1B-Instruct"],
+    "llama-3.2-3b": ["meta-llama/Llama-3.2-3B", "meta-llama/Llama-3.2-3B-Instruct"],
+    "llama-3.1-8b": [
+        "meta-llama/Llama-3.1-8B",
+        "meta-llama/Meta-Llama-3.1-8B",
+        "meta-llama/Llama-3.1-8B-Instruct",
+    ],
+}
+
+
+def find_cached_checkpoint(key: str) -> Optional[str]:
+    """Snapshot dir with weights for a framework model key, if the local HF
+    cache has one (zero-egress environments: present only when pre-seeded).
+    The engine prefers real weights whenever this returns a path."""
+    for repo in HF_REPO_IDS.get(key, [key]):
+        d = resolve_hf_dir(repo)
+        if d and any(f.endswith(".safetensors") for f in os.listdir(d)):
+            return d
+    return None
+
+
 def load_hf_config(path: str) -> dict:
     with open(os.path.join(path, "config.json")) as f:
         return json.load(f)
+
+
+def config_from_hf(hf: dict, name: str, dtype) -> ModelConfig:
+    """HF config.json -> ModelConfig, so hyperparameters (rope theta/scaling,
+    eps, GQA heads) come from the CHECKPOINT, not a preset — byte-correct
+    parity with whatever snapshot is cached (reference loads these via
+    AutoModel, hf_wrappers.py:80-141)."""
+    mt = hf.get("model_type", "")
+    if mt == "gpt2":
+        return ModelConfig(
+            name=name,
+            arch="gpt2",
+            vocab_size=hf["vocab_size"],
+            n_layers=hf["n_layer"],
+            n_heads=hf["n_head"],
+            n_kv_heads=hf["n_head"],
+            d_model=hf["n_embd"],
+            d_ff=hf.get("n_inner") or 4 * hf["n_embd"],
+            max_position_embeddings=hf["n_positions"],
+            layer_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+            use_learned_pos=True,
+            use_bias=True,
+            act="gelu",
+            tie_word_embeddings=hf.get("tie_word_embeddings", True),
+            dtype=dtype,
+        )
+    if mt == "llama":
+        rs = hf.get("rope_scaling")
+        rope_scaling = None
+        if rs:
+            kind = rs.get("rope_type", rs.get("type", "llama3"))
+            rope_scaling = (
+                kind,
+                float(rs["factor"]),
+                float(rs.get("low_freq_factor", 1.0)),
+                float(rs.get("high_freq_factor", 4.0)),
+                int(rs.get("original_max_position_embeddings", 8192)),
+            )
+        return ModelConfig(
+            name=name,
+            arch="llama",
+            vocab_size=hf["vocab_size"],
+            n_layers=hf["num_hidden_layers"],
+            n_heads=hf["num_attention_heads"],
+            n_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+            d_model=hf["hidden_size"],
+            d_ff=hf["intermediate_size"],
+            max_position_embeddings=hf.get("max_position_embeddings", 2048),
+            rope_theta=float(hf.get("rope_theta", 10000.0)),
+            rope_scaling=rope_scaling,
+            rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            dtype=dtype,
+        )
+    raise ValueError(f"unsupported HF model_type {mt!r}")

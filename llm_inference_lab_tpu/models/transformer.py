@@ -43,11 +43,49 @@ def layer_norm(
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
-def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
-    """Rotary embedding. x: [B, S, H, D], positions: [B, S]."""
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _rope_inv_freq(head_dim: int, theta: float, rope_scaling: Optional[tuple]):
+    """Inverse rotary frequencies [head_dim//2], with optional llama3
+    scaling (HF modeling_rope_utils._compute_llama3_parameters: frequencies
+    whose wavelength exceeds original_max/low_freq_factor are divided by
+    `factor`, with a smooth ramp in the medium band). Host-side numpy,
+    cached — becomes a compile-time constant under jit."""
+    import numpy as np
+
+    half = head_dim // 2
+    inv = theta ** (-np.arange(0, half, dtype=np.float64) / half)
+    if rope_scaling is not None:
+        kind, factor, low_f, high_f, orig = rope_scaling
+        if kind != "llama3":
+            raise ValueError(f"unsupported rope_scaling type {kind!r}")
+        wavelen = 2.0 * np.pi / inv
+        low_wl = orig / low_f
+        high_wl = orig / high_f
+        scaled = np.where(wavelen > low_wl, inv / factor, inv)
+        smooth = (orig / wavelen - low_f) / (high_f - low_f)
+        smoothed = (1.0 - smooth) / factor * inv + smooth * inv
+        medium = (wavelen >= high_wl) & (wavelen <= low_wl)
+        inv = np.where(medium, smoothed, scaled)
+    # Return a NUMPY constant: the lru_cache is shared across jit traces, and
+    # a cached jax.Array materialized inside one trace leaks into the next
+    # (UnexpectedTracerError); numpy closures are always safe.
+    return np.asarray(inv, np.float32)
+
+
+def rope(
+    x: jax.Array,
+    positions: jax.Array,
+    theta: float,
+    rope_scaling: Optional[tuple] = None,
+) -> jax.Array:
+    """Rotary embedding (half-split rotate convention, matching HF Llama).
+    x: [B, S, H, D], positions: [B, S]."""
     D = x.shape[-1]
     half = D // 2
-    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    freqs = _rope_inv_freq(D, theta, rope_scaling)
     angles = positions[..., None].astype(jnp.float32) * freqs  # [B, S, half]
     cos = jnp.cos(angles)[:, :, None, :]
     sin = jnp.sin(angles)[:, :, None, :]
@@ -84,8 +122,8 @@ def _attn_block(
     v = qkv[..., (H + KV) * Dh :].reshape(B, S, KV, Dh)
 
     if not cfg.use_learned_pos:  # llama: rotary on q and k
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
+        q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+        k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
     # Write new KV at absolute positions BEFORE attending (see ops.attention).
     kv_layer = update_cache_layer(*kv_layer, k, v, cache_lens)
