@@ -153,6 +153,7 @@ class ContinuousBatcher:
             engine.target, engine.draft, n_slots, self.max_seq_len, seed=cfg.seed,
             kv_quantized=cfg.kv_quantization == "int8",
             max_new_tokens=cfg.max_new_tokens,
+            init_k=getattr(engine.controller, "k", cfg.max_draft),
         )
         self._steps = 0
 
@@ -260,9 +261,13 @@ class ContinuousBatcher:
 
     def _current_k(self) -> int:
         # Adaptive serving: K comes from the native scheduler's EMA tracker
-        # (fed by _retire_finished); fixed controllers keep their constant.
-        if self.engine.config.controller == "adaptive":
+        # (fed by _retire_finished); fixed controllers keep their constant;
+        # adaptive-device steps carry K in DecodeState and adapt on-device.
+        ctl = self.engine.config.controller
+        if ctl == "adaptive":
             return min(self.scheduler.k, self.engine._max_k)
+        if ctl == "adaptive-device":
+            return self.engine._max_k  # static bound; ctrl_k adapts on device
         return self.engine.controller.get_k(self._steps)
 
     def step_chunk(self, n: Optional[int] = None) -> None:

@@ -71,9 +71,55 @@ class AdaptiveKController:
         }
 
 
+@dataclass
+class AdaptiveDeviceKController:
+    """Marker/config for DEVICE-side adaptive K: the EMA + hysteresis update
+    runs inside the compiled spec step (core/specstep.py adaptive_cfg), so
+    the one-dispatch decode loop adapts with zero host round trips — closing
+    the measured 2x host-observation tax of the host-stepped adaptive path.
+    Same control rule as AdaptiveKController (reference controllers.py:109-118).
+    """
+
+    k: int = 4  # initial K (DecodeState.ctrl_k seed)
+    min_k: int = 1
+    max_k: int = 8
+    target_acceptance: float = 0.5
+    window: int = 32
+    step_size: int = 1
+
+    def get_k(self, step: int = 0) -> int:
+        return self.k
+
+    def update(self, proposed: int, accepted: int) -> None:
+        pass  # adaptation happens on device
+
+    def adaptive_cfg(self) -> dict:
+        return {
+            "min_k": self.min_k,
+            "target_acceptance": self.target_acceptance,
+            "window": self.window,
+            "step_size": self.step_size,
+        }
+
+    def info(self) -> dict:
+        return {
+            "type": "adaptive-device",
+            "k": self.k,
+            "min_k": self.min_k,
+            "max_k": self.max_k,
+            "target_acceptance": self.target_acceptance,
+            "window": self.window,
+        }
+
+
 def create_controller(name: str, k: int = 4, **params):
     if name == "fixed":
         return FixedKController(k=k)
     if name == "adaptive":
         return AdaptiveKController(k=k, **params)
-    raise ValueError(f"unknown controller {name!r}; known: ['fixed', 'adaptive']")
+    if name == "adaptive-device":
+        return AdaptiveDeviceKController(k=k, **params)
+    raise ValueError(
+        f"unknown controller {name!r}; known: "
+        "['fixed', 'adaptive', 'adaptive-device']"
+    )

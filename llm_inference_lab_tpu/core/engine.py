@@ -274,6 +274,14 @@ class Engine:
                 eos_token_id=self.eos_token_id,
                 jit=jit,
             )
+        from llm_inference_lab_tpu.core.controllers import AdaptiveDeviceKController
+
+        adaptive_cfg = None
+        if isinstance(self.controller, AdaptiveDeviceKController):
+            # Device-side adaptive K: compile ONE step at the static bound
+            # max_k; the effective K lives in DecodeState.ctrl_k.
+            adaptive_cfg = self.controller.adaptive_cfg()
+            k = self.controller.max_k
         return make_spec_step(
             self.target,
             self.draft,
@@ -290,6 +298,7 @@ class Engine:
             draft_mode=self.draft_mode,
             medusa_cfg=cfg.medusa,
             eagle_cfg=cfg.eagle,
+            adaptive_cfg=adaptive_cfg,
             jit=jit,
         )
 
@@ -370,6 +379,7 @@ class Engine:
             self.target, self.draft, B, max_len, seed=seed,
             kv_quantized=cfg.kv_quantization == "int8",
             max_new_tokens=max_new,
+            init_k=getattr(self.controller, "k", cfg.max_draft),
         )
         if self.mesh is not None:
             from llm_inference_lab_tpu.parallel.sharding import shard_state
@@ -472,6 +482,15 @@ class Engine:
         accepted = np.asarray(state.accepted)
         bonus = np.asarray(state.bonus)
         mem = device_memory_stats().as_dict()
+        controller_info = self.controller.info()
+        if controller_info.get("type") == "adaptive-device":
+            # Surface the device controller's final state (one extra fetch,
+            # after decode completed — not per-step).
+            controller_info = {
+                **controller_info,
+                "final_k": int(np.asarray(state.ctrl_k)),
+                "recent_acceptance": float(np.asarray(state.acc_ema)),
+            }
         kv_report = None
         if self.flags.debug_kv_verify:
             # Runtime KV-alignment cross-check vs a from-scratch prefill
@@ -509,7 +528,7 @@ class Engine:
                     "tokens_per_sec": n_gen / decode_s if decode_s > 0 else 0.0,
                     "steps": steps_run,
                     "policy": cfg.policy,
-                    "controller": self.controller.info(),
+                    "controller": controller_info,
                     "impl": cfg.implementation,
                     "device": jax.default_backend(),
                     "dtype": self.flags.dtype or cfg.dtype,

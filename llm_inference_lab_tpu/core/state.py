@@ -46,6 +46,11 @@ class DecodeState:
     # reference modes/eagle.py:178-183).
     last_hidden: jax.Array  # [B, D_target] float32
     prev_hidden: jax.Array  # [B, D_target] float32
+    # Device-side adaptive-K controller state (reference AdaptiveKController
+    # semantics, controllers.py:109-118, moved INTO the compiled step so the
+    # one-dispatch decode loop keeps adapting with zero host round trips).
+    ctrl_k: jax.Array  # [] int32 — current effective draft length
+    acc_ema: jax.Array  # [] float32 — acceptance-rate EMA
 
 
 def init_state(
@@ -56,6 +61,7 @@ def init_state(
     seed: int = 0,
     kv_quantized: bool = False,
     max_new_tokens: int = 64,
+    init_k: int = 4,
 ) -> DecodeState:
     B = batch_size
     # Baseline / Medusa / EAGLE modes have no autoregressive draft model;
@@ -85,4 +91,6 @@ def init_state(
         steps=jnp.int32(0),
         last_hidden=jnp.zeros((B, target_model.config.d_model), jnp.float32),
         prev_hidden=jnp.zeros((B, target_model.config.d_model), jnp.float32),
+        ctrl_k=jnp.int32(init_k),
+        acc_ema=jnp.float32(0.5),
     )

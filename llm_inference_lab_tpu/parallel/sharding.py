@@ -130,4 +130,6 @@ def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
         steps=jax.device_put(state.steps, rep),
         last_hidden=jax.device_put(state.last_hidden, batch2),
         prev_hidden=jax.device_put(state.prev_hidden, batch2),
+        ctrl_k=jax.device_put(state.ctrl_k, rep),
+        acc_ema=jax.device_put(state.acc_ema, rep),
     )

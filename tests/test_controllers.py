@@ -66,3 +66,78 @@ def test_factory():
     assert isinstance(create_controller("adaptive", k=2), AdaptiveKController)
     with pytest.raises(ValueError):
         create_controller("nope")
+
+
+# ---- device-side adaptive K (core/specstep.py adaptive_cfg) ----
+
+def _dev_engine(**kw):
+    from llm_inference_lab_tpu.config import EngineConfig
+    from llm_inference_lab_tpu.core.engine import Engine
+
+    defaults = dict(implementation="fake", base_model="fake", draft_model="fake",
+                    max_draft=2, max_new_tokens=32, controller="adaptive-device")
+    defaults.update(kw)
+    return Engine(EngineConfig(**defaults))
+
+
+def test_adaptive_device_output_matches_baseline():
+    """Whatever K the device controller picks, committed tokens must equal
+    the target's own greedy sequence."""
+    from llm_inference_lab_tpu.config import EngineConfig
+    from llm_inference_lab_tpu.core.engine import Engine
+
+    eng = _dev_engine(
+        controller_params={"min_k": 1, "max_k": 4, "target_acceptance": 0.5},
+    )
+    base = Engine(EngineConfig(implementation="fake", base_model="fake",
+                               draft_model=None, max_new_tokens=32))
+    p = "device adaptive equivalence"
+    assert eng.generate(p)["generated_ids"] == base.generate(p)["generated_ids"]
+
+
+def test_adaptive_device_k_rises_on_high_acceptance():
+    eng = _dev_engine(
+        controller_params={"min_k": 1, "max_k": 5, "target_acceptance": 0.05},
+    )
+    r = eng.generate("rising k")
+    # Fake draft agrees ~85% >> 0.05 target: K must climb to the ceiling,
+    # with zero host round trips (single device-loop dispatch).
+    assert r["controller"]["final_k"] == 5
+    assert r["controller"]["recent_acceptance"] > 0.5
+    assert r["steps"] == int(r["steps"])  # device loop ran
+
+
+def test_adaptive_device_k_falls_on_low_acceptance():
+    eng = _dev_engine(
+        max_draft=4,
+        controller_params={"min_k": 1, "max_k": 4, "target_acceptance": 0.99},
+    )
+    r = eng.generate("falling k")
+    assert r["controller"]["final_k"] == 1
+
+
+def test_adaptive_device_counts_effective_proposals():
+    """`proposed` must count the EFFECTIVE K, not the static bound."""
+    eng = _dev_engine(
+        controller_params={"min_k": 1, "max_k": 8, "target_acceptance": 0.5},
+    )
+    r = eng.generate("proposal accounting")
+    # With max_k=8 but adaptation active, proposed < steps * 8 once K dips;
+    # at minimum, proposed must be consistent: accepted <= proposed.
+    assert 0 < r["accepted"] <= r["proposed"]
+    assert r["acceptance_rate"] <= 1.0
+
+
+def test_adaptive_device_in_batcher():
+    from llm_inference_lab_tpu.core.batching import ContinuousBatcher
+
+    eng = _dev_engine(
+        max_new_tokens=16,
+        controller_params={"min_k": 1, "max_k": 4, "target_acceptance": 0.3},
+        max_seq_len=256,
+    )
+    b = ContinuousBatcher(eng, n_slots=2)
+    single = eng.generate("serving adaptive device")["generated_ids"]
+    b.submit("serving adaptive device")
+    out = b.run()
+    assert out[0]["generated_ids"] == single
