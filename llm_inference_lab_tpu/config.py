@@ -106,6 +106,13 @@ class EngineConfig:
     max_batch_size: int = 8
     max_new_tokens: int = 64
 
+    # KV cache layout: "contiguous" (one [max_seq] lane per slot) or "paged"
+    # (page-pool + per-sequence page tables, models/paged.py — serving
+    # memory proportional to live tokens; north-star SURVEY §7 item 4b).
+    kv_layout: str = "contiguous"
+    kv_page_size: int = 64
+    kv_pages: Optional[int] = None  # pool size; None = slots*max_seq/page
+
     # Numerics
     dtype: str = "bfloat16"  # compute/weights dtype on TPU
     quantization: Optional[str] = None  # None | "int8" | "int4"

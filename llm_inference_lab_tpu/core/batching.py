@@ -38,38 +38,61 @@ class _Request:
     submitted_at: float = field(default_factory=time.perf_counter)
     slot: Optional[int] = None
     result: Optional[dict] = None
+    pages: Optional[List[int]] = None  # paged KV: pages owned by this request
 
 
 def make_admit(target_model, draft_model):
-    """Jitted single-slot admission: prefill a [1, P] prompt and splice its
-    tokens/caches/lengths into slot `b` of the running state."""
+    """Jitted single-slot admission: prefill a [1, P] prompt into a small
+    contiguous scratch cache, then splice into slot `b` of the running
+    state. Contiguous caches splice the whole lane; paged caches scatter
+    page-size chunks into the slot's allocated pages (table_row) and set
+    the slot's page-table row."""
     target_apply = target_model.apply_fn
     draft_apply = draft_model.apply_fn if draft_model is not None else None
 
     def admit(target_params, draft_params, state, prompt_row, prompt_len, slot,
-              max_new):
+              max_new, table_row):
+        from llm_inference_lab_tpu.models.base import KVCache
+        from llm_inference_lab_tpu.models.paged import PagedKVCache
+
         P = prompt_row.shape[1]
         positions = jnp.arange(P, dtype=jnp.int32)[None]
         zero = jnp.zeros((1,), jnp.int32)
-        T = state.target_cache.k.shape[2]
-
-        from llm_inference_lab_tpu.models.base import KVCache
+        paged = isinstance(state.target_cache, PagedKVCache)
+        # Prefill scratch: the full lane for contiguous, just the prompt
+        # block (page-aligned) for paged.
+        T = P if paged else state.target_cache.k.shape[-2]
 
         def sub_cache(cache):
+            # [L, 1, KVH, T, d] scratch (dtype matches, so int8 caches
+            # prefill quantized exactly like the decode write path).
+            L, d, kvh = cache.k.shape[0], cache.k.shape[-1], cache.k.shape[-3]
             return KVCache(
-                k=jnp.zeros((cache.k.shape[0], 1, T) + cache.k.shape[3:], cache.k.dtype),
-                v=jnp.zeros((cache.v.shape[0], 1, T) + cache.v.shape[3:], cache.v.dtype),
-                k_scale=jnp.ones(cache.k_scale.shape[:1] + (1, T) + cache.k_scale.shape[3:], jnp.float32),
-                v_scale=jnp.ones(cache.v_scale.shape[:1] + (1, T) + cache.v_scale.shape[3:], jnp.float32),
+                k=jnp.zeros((L, 1, kvh, T, d), cache.k.dtype),
+                v=jnp.zeros((L, 1, kvh, T, d), cache.v.dtype),
+                k_scale=jnp.ones((L, 1, kvh, T), jnp.float32),
+                v_scale=jnp.ones((L, 1, kvh, T), jnp.float32),
             )
 
         def splice(cache, sub):
-            return KVCache(
-                cache.k.at[:, slot].set(sub.k[:, 0]),
-                cache.v.at[:, slot].set(sub.v[:, 0]),
-                cache.k_scale.at[:, slot].set(sub.k_scale[:, 0]),
-                cache.v_scale.at[:, slot].set(sub.v_scale[:, 0]),
-            )
+            if not paged:
+                return KVCache(
+                    cache.k.at[:, slot].set(sub.k[:, 0]),
+                    cache.v.at[:, slot].set(sub.v[:, 0]),
+                    cache.k_scale.at[:, slot].set(sub.k_scale[:, 0]),
+                    cache.v_scale.at[:, slot].set(sub.v_scale[:, 0]),
+                )
+            # Paged: copy each page-size chunk of the scratch lane into its
+            # allocated page (page count is static: P // page rows).
+            pg = cache.page_size
+            k, v, ks, vs = cache.k, cache.v, cache.k_scale, cache.v_scale
+            for j in range(T // pg):
+                pid = table_row[j]
+                k = k.at[:, pid].set(sub.k[:, 0, :, j * pg : (j + 1) * pg, :])
+                v = v.at[:, pid].set(sub.v[:, 0, :, j * pg : (j + 1) * pg, :])
+                ks = ks.at[:, pid].set(sub.k_scale[:, 0, :, j * pg : (j + 1) * pg])
+                vs = vs.at[:, pid].set(sub.v_scale[:, 0, :, j * pg : (j + 1) * pg])
+            return PagedKVCache(k, v, ks, vs, cache.table.at[slot].set(table_row))
 
         _, t_cache, hidden = target_apply(
             target_params, prompt_row, positions, sub_cache(state.target_cache),
@@ -79,7 +102,8 @@ def make_admit(target_model, draft_model):
 
         if draft_apply is not None:
             _, d_cache = draft_apply(
-                draft_params, prompt_row, positions, sub_cache(state.draft_cache), zero
+                draft_params, prompt_row, positions,
+                sub_cache(state.draft_cache), zero,
             )
             draft_cache = splice(state.draft_cache, d_cache)
         else:
@@ -149,11 +173,31 @@ class ContinuousBatcher:
         self._done_prop = self._done_acc = 0
         self._prev_prop = self._prev_acc = 0
         self._admit = make_admit(engine.target, engine.draft)
+        # Paged KV: page pool + host-side allocator. Pool defaults to the
+        # contiguous-equivalent size; cap it with cfg.kv_pages to make
+        # serving memory proportional to the LIVE token budget (admission
+        # then becomes memory-aware: requests wait for free pages).
+        self.paged = cfg.kv_layout == "paged"
+        paged_kw = {}
+        if self.paged:
+            from llm_inference_lab_tpu.models.paged import PageAllocator
+
+            P = cfg.kv_page_size
+            self._pages_per_seq = (self.max_seq_len + P - 1) // P
+            n_pages = cfg.kv_pages or (n_slots * self._pages_per_seq + 1)
+            self.allocator = PageAllocator(n_pages, P)
+            paged_kw = dict(
+                paged=True, page_size=P, n_pages=n_pages,
+                table=jnp.zeros((n_slots, self._pages_per_seq), jnp.int32),
+            )
+        else:
+            self.allocator = None
         self.state = init_state(
             engine.target, engine.draft, n_slots, self.max_seq_len, seed=cfg.seed,
             kv_quantized=cfg.kv_quantization == "int8",
             max_new_tokens=cfg.max_new_tokens,
             init_k=getattr(engine.controller, "k", cfg.max_draft),
+            **paged_kw,
         )
         self._steps = 0
 
@@ -175,28 +219,62 @@ class ContinuousBatcher:
         return req.req_id
 
     # ------------------------------------------------------------------
+    def _admit_one(self, slot: int, req: _Request) -> None:
+        eng = self.engine
+        req.slot = slot
+        # Paged prompts round to the page size (whole pages are spliced);
+        # contiguous to the usual 32-bucket.
+        bucket = self.engine.config.kv_page_size if self.paged else 32
+        P = _round_up(max(len(req.ids), 1), bucket)
+        row = np.zeros((1, P), np.int32)
+        row[0, : len(req.ids)] = req.ids
+        if self.paged:
+            table_row = np.zeros((self._pages_per_seq,), np.int32)
+            table_row[: len(req.pages)] = req.pages
+        else:
+            table_row = np.zeros((1,), np.int32)  # ignored
+        self.state = self._admit(
+            eng.target.params,
+            eng._draft_params,
+            self.state,
+            jnp.asarray(row),
+            jnp.int32(len(req.ids)),
+            jnp.int32(slot),
+            jnp.int32(req.max_new_tokens),
+            jnp.asarray(table_row),
+        )
+        self._slots[slot] = req
+
     def _admit_pending(self) -> None:
         eng = self.engine
         free = [s for s in range(self.n_slots) if self._slots[s] is None]
         if not free or not self.scheduler.pending():
             return
-        admitted = self.scheduler.admit(len(free))
-        for slot, rid in zip(free, admitted):
-            req = self._requests.pop(rid)
-            req.slot = slot
-            P = _round_up(max(len(req.ids), 1), 32)
-            row = np.zeros((1, P), np.int32)
-            row[0, : len(req.ids)] = req.ids
-            self.state = self._admit(
-                eng.target.params,
-                eng._draft_params,
-                self.state,
-                jnp.asarray(row),
-                jnp.int32(len(req.ids)),
-                jnp.int32(slot),
-                jnp.int32(req.max_new_tokens),
+        if not self.paged:
+            admitted = self.scheduler.admit(len(free))
+            for slot, rid in zip(free, admitted):
+                self._admit_one(slot, self._requests.pop(rid))
+            return
+        # Paged: memory-aware admission — one at a time; a request that
+        # can't get its pages goes back to the queue and admission stops
+        # (the scheduler's overdue rule keeps it from starving).
+        for slot in free:
+            if not self.scheduler.pending():
+                break
+            (rid,) = self.scheduler.admit(1) or (None,)
+            if rid is None:
+                break
+            req = self._requests[rid]
+            need = self.allocator.pages_needed(
+                len(req.ids) + req.max_new_tokens + eng._max_k + 2
             )
-            self._slots[slot] = req
+            pages = self.allocator.alloc(need)
+            if pages is None:
+                self.scheduler.submit(rid, len(req.ids), req.max_new_tokens)
+                break
+            req.pages = pages
+            self._requests.pop(rid)
+            self._admit_one(slot, req)
 
     def _retire_finished(self) -> None:
         # ONE combined host fetch per poll: active flags + acceptance
@@ -242,6 +320,9 @@ class ContinuousBatcher:
             }
             self._done[req.req_id] = req
             self._slots[slot] = None
+            if self.paged and req.pages:
+                self.allocator.free(req.pages)
+                req.pages = None
             # Move this slot's counters into the retired accumulators (the
             # slot's device counters stay stale until admission zeroes them,
             # and unoccupied slots are excluded from the in-flight sum).

@@ -232,6 +232,13 @@ class Engine:
         self._prefill = make_prefill(
             self.target, self.draft, prefill_draft=self.draft is not None
         )
+        if cfg.kv_layout == "paged" and self.draft_mode == "tree":
+            raise ValueError(
+                "tree speculation requires kv_layout='contiguous' (path "
+                "compaction across page boundaries is not supported)"
+            )
+        if cfg.kv_layout == "paged" and 128 % cfg.kv_page_size != 0:
+            raise ValueError("kv_page_size must divide 128 (buffer bucketing)")
         self._step_cache: Dict[tuple, Any] = {}
         if self.draft_mode == "tree":
             # The verify chunk writes num_nodes+1 cache slots per step, so
@@ -380,6 +387,8 @@ class Engine:
             kv_quantized=cfg.kv_quantization == "int8",
             max_new_tokens=max_new,
             init_k=getattr(self.controller, "k", cfg.max_draft),
+            paged=cfg.kv_layout == "paged",
+            page_size=cfg.kv_page_size,
         )
         if self.mesh is not None:
             from llm_inference_lab_tpu.parallel.sharding import shard_state

@@ -65,7 +65,20 @@ def kv_alignment_report(
     lengths = state.lengths
     B, T = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
-    fresh = model.init_cache(B, T, quantized=state.target_cache.quantized)
+    live = state.target_cache
+    from llm_inference_lab_tpu.models.paged import PagedKVCache, gather_pages, gather_scale_pages
+
+    if isinstance(live, PagedKVCache):
+        # Gather the paged pool into the contiguous view for comparison.
+        gp = jax.vmap(gather_pages, in_axes=(0, None))
+        gs = jax.vmap(gather_scale_pages, in_axes=(0, None))
+        live = KVCache(
+            k=gp(live.k, live.table)[:, :, :, :T, :],
+            v=gp(live.v, live.table)[:, :, :, :T, :],
+            k_scale=gs(live.k_scale, live.table)[..., :T],
+            v_scale=gs(live.v_scale, live.table)[..., :T],
+        )
+    fresh = model.init_cache(B, T, quantized=live.quantized)
     _, fresh = model.apply_fn(
         params, tokens, positions, fresh, jnp.zeros((B,), jnp.int32)
     )
@@ -78,8 +91,8 @@ def kv_alignment_report(
     diffs = {}
     aligned = True
     for name, live_c, fresh_c, live_s, fresh_s in (
-        ("k", state.target_cache.k, fresh.k, state.target_cache.k_scale, fresh.k_scale),
-        ("v", state.target_cache.v, fresh.v, state.target_cache.v_scale, fresh.v_scale),
+        ("k", live.k, fresh.k, live.k_scale, fresh.k_scale),
+        ("v", live.v, fresh.v, live.v_scale, fresh.v_scale),
     ):
         a = _dequant(live_c, live_s)
         b = _dequant(fresh_c, fresh_s)
@@ -91,7 +104,7 @@ def kv_alignment_report(
     return {
         "aligned": bool(aligned),
         **diffs,
-        "checksum_live": compute_kv_checksum(state.target_cache, lengths),
+        "checksum_live": compute_kv_checksum(live, lengths),
         "checksum_fresh": compute_kv_checksum(fresh, lengths),
         "committed_rows": int(np.asarray(jnp.sum(jnp.maximum(lengths - 1, 0)))),
     }

@@ -62,12 +62,19 @@ def init_state(
     kv_quantized: bool = False,
     max_new_tokens: int = 64,
     init_k: int = 4,
+    paged: bool = False,
+    page_size: int = 64,
+    n_pages: int | None = None,
+    table=None,
 ) -> DecodeState:
     B = batch_size
+    kv_kw = dict(quantized=kv_quantized)
+    if paged:
+        kv_kw.update(paged=True, page_size=page_size, n_pages=n_pages, table=table)
     # Baseline / Medusa / EAGLE modes have no autoregressive draft model;
     # keep a minimal placeholder cache so the state pytree is uniform.
     draft_cache = (
-        draft_model.init_cache(B, max_seq_len, quantized=kv_quantized)
+        draft_model.init_cache(B, max_seq_len, **kv_kw)
         if draft_model is not None
         else KVCache(
             k=jnp.zeros((1, B, 1, 1, 1), target_model.config.dtype),
@@ -82,7 +89,7 @@ def init_state(
         prompt_lens=jnp.zeros((B,), jnp.int32),
         max_new=jnp.full((B,), max_new_tokens, jnp.int32),
         active=jnp.zeros((B,), jnp.bool_),
-        target_cache=target_model.init_cache(B, max_seq_len, quantized=kv_quantized),
+        target_cache=target_model.init_cache(B, max_seq_len, **kv_kw),
         draft_cache=draft_cache,
         rng=jax.random.PRNGKey(seed),
         proposed=jnp.zeros((B,), jnp.int32),

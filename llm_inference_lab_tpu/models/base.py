@@ -208,8 +208,22 @@ class Model:
         return self.apply_fn(params, tokens, positions, cache, cache_lens)
 
     def init_cache(
-        self, batch_size: int, max_seq_len: int, quantized: bool = False
-    ) -> KVCache:
+        self,
+        batch_size: int,
+        max_seq_len: int,
+        quantized: bool = False,
+        paged: bool = False,
+        page_size: int = 64,
+        n_pages: Optional[int] = None,
+        table: Any = None,
+    ):
+        if paged:
+            from llm_inference_lab_tpu.models.paged import PagedKVCache
+
+            return PagedKVCache.create(
+                self.config, batch_size, max_seq_len, n_pages=n_pages,
+                page_size=page_size, quantized=quantized, table=table,
+            )
         return KVCache.create(self.config, batch_size, max_seq_len, quantized=quantized)
 
 

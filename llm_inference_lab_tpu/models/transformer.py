@@ -109,6 +109,7 @@ def _attn_block(
     kv_layer: Tuple[jax.Array, jax.Array, jax.Array, jax.Array],  # one layer's (k, v, k_scale, v_scale)
     cache_lens: jax.Array,  # [B]
     tree_mask: Optional[jax.Array] = None,
+    page_table: Optional[jax.Array] = None,  # [B, max_pages] (paged caches)
 ):
     B, S, _ = x.shape
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -126,11 +127,20 @@ def _attn_block(
         k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
     # Write new KV at absolute positions BEFORE attending (see ops.attention).
-    kv_layer = update_cache_layer(*kv_layer, k, v, cache_lens)
-    attn = get_op("decode_attention")(
-        q, kv_layer[0], kv_layer[1], positions, kv_layer[2], kv_layer[3],
-        tree_mask, cache_lens if tree_mask is not None else None,
-    )
+    if page_table is not None:
+        from llm_inference_lab_tpu.models.paged import update_paged_layer
+
+        kv_layer = update_paged_layer(*kv_layer, k, v, cache_lens, page_table)
+        attn = get_op("paged_attention")(
+            q, kv_layer[0], kv_layer[1], positions, kv_layer[2], kv_layer[3],
+            page_table,
+        )
+    else:
+        kv_layer = update_cache_layer(*kv_layer, k, v, cache_lens)
+        attn = get_op("decode_attention")(
+            q, kv_layer[0], kv_layer[1], positions, kv_layer[2], kv_layer[3],
+            tree_mask, cache_lens if tree_mask is not None else None,
+        )
     out = dense(attn.reshape(B, S, H * Dh), p["wo"], p.get("bo"))
     return out, kv_layer
 
@@ -159,8 +169,18 @@ def forward(
     plus the final (post-norm) hidden states [B, S, D] when return_hidden —
     consumed by the Medusa/EAGLE draft heads. With tree_mask, intra-chunk
     attention follows the tree ancestry instead of slot order
-    (core/treespec.py)."""
+    (core/treespec.py). Paged caches (models/paged.py) route the KV write
+    and attention through the paged ops; the page table is loop-invariant
+    across layers so it rides the closure, not the scan."""
+    from llm_inference_lab_tpu.models.paged import PagedKVCache
     from llm_inference_lab_tpu.ops.quant import EmbedQuant
+
+    page_table = cache.table if isinstance(cache, PagedKVCache) else None
+    if page_table is not None and tree_mask is not None:
+        raise NotImplementedError(
+            "tree speculation requires a contiguous KV cache (compaction "
+            "gathers across page boundaries are future work)"
+        )
 
     embed = params["embed"]
     if isinstance(embed, EmbedQuant):
@@ -174,7 +194,7 @@ def forward(
         p, kv_layer = xs
         a, kv_layer = _attn_block(
             cfg, p, _norm(cfg, x, p, "attn_norm"), positions, kv_layer,
-            cache_lens, tree_mask,
+            cache_lens, tree_mask, page_table,
         )
         x = x + a
         x = x + _mlp_block(cfg, p, _norm(cfg, x, p, "mlp_norm"))
@@ -189,7 +209,10 @@ def forward(
         (params["layers"], (cache.k, cache.v, cache.k_scale, cache.v_scale)),
         unroll=unroll,
     )
-    new_cache = KVCache(*kv_new)
+    if page_table is not None:
+        new_cache = PagedKVCache(*kv_new, table=page_table)
+    else:
+        new_cache = KVCache(*kv_new)
 
     if cfg.arch == "gpt2":
         x = layer_norm(

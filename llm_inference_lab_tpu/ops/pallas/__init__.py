@@ -30,6 +30,7 @@ def use_pallas() -> bool:
 from llm_inference_lab_tpu.ops.pallas import quant_matmul  # noqa: F401,E402
 from llm_inference_lab_tpu.ops.pallas import verify_pallas  # noqa: F401,E402
 from llm_inference_lab_tpu.ops.pallas import flash_decode  # noqa: F401,E402
+from llm_inference_lab_tpu.ops.pallas import paged_flash  # noqa: F401,E402
 
 # Backwards-compat import-time flag (tests may read it).
 INTERPRET = interpret_mode()

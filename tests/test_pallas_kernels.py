@@ -101,3 +101,34 @@ def test_flash_decode_matches_xla(S, group):
     ref = attend_xla(q, k, v, positions)
     out = flash_decode_attention(q, k, v, positions, interpret=True, block_t=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_flash_matches_xla_reference(quantized):
+    """Paged flash kernel (page-table indirection) vs the gather+attend XLA
+    reference, fp and int8 pools."""
+    from llm_inference_lab_tpu.ops.paged_attention import paged_attend_xla
+    from llm_inference_lab_tpu.ops.pallas.paged_flash import paged_flash_attention
+
+    rng = np.random.default_rng(3)
+    B, S, KVH, group, D, P, M, N = 2, 4, 2, 2, 128, 32, 3, 8
+    H = KVH * group
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    if quantized:
+        k_pool = jnp.asarray(rng.integers(-127, 128, size=(N, KVH, P, D)), jnp.int8)
+        v_pool = jnp.asarray(rng.integers(-127, 128, size=(N, KVH, P, D)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.02, size=(N, KVH, P)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.01, 0.02, size=(N, KVH, P)), jnp.float32)
+    else:
+        k_pool = jnp.asarray(rng.normal(size=(N, KVH, P, D)), jnp.float32)
+        v_pool = jnp.asarray(rng.normal(size=(N, KVH, P, D)), jnp.float32)
+        ks = vs = None
+    table = jnp.asarray(rng.permutation(N - 1)[: B * M].reshape(B, M) + 1, jnp.int32) % N
+    # positions mid-sequence: queries at rows [40, 44) of each sequence
+    positions = 40 + jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+
+    want = paged_attend_xla(q, k_pool, v_pool, positions, ks, vs, table)
+    got = paged_flash_attention(
+        q, k_pool, v_pool, positions, ks, vs, table, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-4)
