@@ -106,6 +106,13 @@ class EngineConfig:
     max_batch_size: int = 8
     max_new_tokens: int = 64
 
+    # Chunked prefill: cap prompt-forward activation memory by prefilling in
+    # fixed-size chunks (None = single-shot). Long prompts (>= chunk) scan
+    # chunk-sized forwards; each chunk attends to the cache prefix written by
+    # the previous ones. Chunk sizes that are multiples of 128 route through
+    # the Pallas flash-prefill kernel (ops/pallas/flash_prefill.py).
+    prefill_chunk: Optional[int] = None
+
     # KV cache layout: "contiguous" (one [max_seq] lane per slot) or "paged"
     # (page-pool + per-sequence page tables, models/paged.py — serving
     # memory proportional to live tokens; north-star SURVEY §7 item 4b).

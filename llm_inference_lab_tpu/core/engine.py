@@ -148,7 +148,25 @@ class Engine:
             self.mesh = make_mesh(
                 data=cfg.mesh_shape.get("data", 1),
                 model=cfg.mesh_shape.get("model", 1),
+                seq=cfg.mesh_shape.get("seq", 1),
             )
+        # Context parallelism: a seq axis in the mesh routes single-shot
+        # prefill through ring attention (sequence sharded, KV rotating over
+        # ICI — parallel/context.py) and shards the KV cache's T dim.
+        self._cp = None
+        if (
+            self.mesh is not None
+            and "seq" in self.mesh.axis_names
+            and self.mesh.shape["seq"] > 1
+            and cfg.implementation != "fake"
+        ):
+            if cfg.prefill_chunk:
+                raise ValueError(
+                    "prefill_chunk and seq-parallel (ring) prefill are "
+                    "mutually exclusive: chunked prefill attends to the "
+                    "cache prefix, which the ring pass does not cover"
+                )
+            self._cp = (self.mesh, "seq")
         if self.mesh is not None:
             from llm_inference_lab_tpu.parallel.sharding import shard_params
 
@@ -230,7 +248,8 @@ class Engine:
             self._draft_params = self.draft.params if self.draft is not None else None
 
         self._prefill = make_prefill(
-            self.target, self.draft, prefill_draft=self.draft is not None
+            self.target, self.draft, prefill_draft=self.draft is not None,
+            chunk=cfg.prefill_chunk, context_parallel=self._cp,
         )
         if cfg.kv_layout == "paged" and self.draft_mode == "tree":
             raise ValueError(
@@ -375,6 +394,14 @@ class Engine:
                     enc[i] = [int(t) for t in np.asarray(clamped)]
         plens = np.array([len(e) for e in enc], np.int32)
         P = _round_up(max(int(plens.max()), 1), 32)
+        if cfg.prefill_chunk and P > cfg.prefill_chunk:
+            # Chunked prefill scans fixed-size chunks; pad P to a multiple.
+            P = _round_up(P, cfg.prefill_chunk)
+        if self._cp is not None:
+            # Ring prefill shards the prompt: P must divide by the seq axis.
+            import math
+
+            P = _round_up(P, math.lcm(32, self.mesh.shape["seq"]))
         max_len = _round_up(P + max_new + self._max_k + 2, 128)
         block = np.zeros((B, P), np.int32)
         for i, e in enumerate(enc):

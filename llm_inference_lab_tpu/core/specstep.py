@@ -456,11 +456,19 @@ def make_baseline_step(
     return jax.jit(step, donate_argnums=(1,) if donate else ())
 
 
-def make_prefill(target_model, draft_model, prefill_draft: bool = True):
+def make_prefill(target_model, draft_model, prefill_draft: bool = True,
+                 chunk: int = None, context_parallel: tuple = None):
     """Jitted prompt prefill: populate both caches over the padded prompt
     block in one forward each. Prompts are right-padded; junk KV rows beyond
     each prompt's length sit at positions the attention mask never reaches
-    until they are overwritten (see ops/attention.py masking rule)."""
+    until they are overwritten (see ops/attention.py masking rule).
+
+    With `chunk` set and P > chunk, the prompt is prefilled in a lax.scan of
+    fixed-size chunks: chunk i's queries attend to the cache rows chunks
+    0..i-1 already wrote plus its own freshly-written rows — activation
+    memory is O(chunk * d_model) instead of O(P * d_model), which is what
+    makes >=16k-token prompts fit (long-context axis; the reference has no
+    chunked prefill, hf_wrappers.py:98 runs one sdpa over the whole prompt)."""
     target_apply = target_model.apply_fn
     draft_apply = draft_model.apply_fn if draft_model is not None else None
 
@@ -471,27 +479,70 @@ def make_prefill(target_model, draft_model, prefill_draft: bool = True):
         prompt_lens: jax.Array,  # [B]
     ) -> DecodeState:
         B, P = prompt_block.shape
-        positions = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (B, P))
-        zeros = jnp.zeros((B,), jnp.int32)
-        _, target_cache, hidden = target_apply(
-            target_params, prompt_block, positions, state.target_cache, zeros,
-            return_hidden=True,
-        )
-        if prefill_draft and draft_apply is not None:
-            _, draft_cache = draft_apply(
-                draft_params, prompt_block, positions, state.draft_cache, zeros
+        # The hidden row that predicted the last prompt token (index
+        # plen-2, clamped) seeds the Medusa/EAGLE carry.
+        h_idx = jnp.maximum(prompt_lens - 2, 0)
+
+        if chunk is not None and P > chunk:
+            assert P % chunk == 0, (P, chunk)
+            NC = P // chunk
+            toks = jnp.swapaxes(
+                prompt_block.reshape(B, NC, chunk), 0, 1
+            )  # [NC, B, C]
+            arange_c = jnp.arange(chunk, dtype=jnp.int32)
+
+            def body(carry, xs):
+                tc, dc, h = carry
+                i, tok = xs
+                positions = i * chunk + jnp.broadcast_to(
+                    arange_c[None], (B, chunk)
+                )
+                start = jnp.full((B,), i * chunk, jnp.int32)
+                _, tc, hid = target_apply(
+                    target_params, tok, positions, tc, start,
+                    return_hidden=True,
+                )
+                if prefill_draft and draft_apply is not None:
+                    _, dc = draft_apply(draft_params, tok, positions, dc, start)
+                local = h_idx - i * chunk
+                sel = jnp.take_along_axis(
+                    hid, jnp.clip(local, 0, chunk - 1)[:, None, None], axis=1
+                )[:, 0].astype(jnp.float32)
+                in_chunk = ((local >= 0) & (local < chunk))[:, None]
+                return (tc, dc, jnp.where(in_chunk, sel, h)), None
+
+            (target_cache, draft_cache, h_last), _ = jax.lax.scan(
+                body,
+                (state.target_cache, state.draft_cache,
+                 jnp.zeros_like(state.last_hidden)),
+                (jnp.arange(NC, dtype=jnp.int32), toks),
             )
         else:
-            draft_cache = state.draft_cache
+            positions = jnp.broadcast_to(
+                jnp.arange(P, dtype=jnp.int32)[None], (B, P)
+            )
+            zeros = jnp.zeros((B,), jnp.int32)
+            # Context-parallel (ring-attention) prefill only applies to the
+            # single-shot path: the block is the whole sequence, so attention
+            # is pure causal self-attention (parallel/context.py).
+            cp_kw = {"cp": context_parallel} if context_parallel else {}
+            _, target_cache, hidden = target_apply(
+                target_params, prompt_block, positions, state.target_cache,
+                zeros, return_hidden=True, **cp_kw,
+            )
+            if prefill_draft and draft_apply is not None:
+                _, draft_cache = draft_apply(
+                    draft_params, prompt_block, positions, state.draft_cache,
+                    zeros, **cp_kw,
+                )
+            else:
+                draft_cache = state.draft_cache
+            h_last = jnp.take_along_axis(
+                hidden, h_idx[:, None, None], axis=1
+            )[:, 0].astype(jnp.float32)
         tokens = jax.lax.dynamic_update_slice(
             state.tokens, prompt_block, (0, 0)
         )
-        # Seed the Medusa/EAGLE hidden carry: the row that predicted the
-        # last prompt token (index plen-2, clamped).
-        h_idx = jnp.maximum(prompt_lens - 2, 0)
-        h_last = jnp.take_along_axis(hidden, h_idx[:, None, None], axis=1)[
-            :, 0
-        ].astype(jnp.float32)
         return state.replace(
             tokens=tokens,
             lengths=prompt_lens,

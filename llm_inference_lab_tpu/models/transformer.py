@@ -110,6 +110,7 @@ def _attn_block(
     cache_lens: jax.Array,  # [B]
     tree_mask: Optional[jax.Array] = None,
     page_table: Optional[jax.Array] = None,  # [B, max_pages] (paged caches)
+    cp: Optional[tuple] = None,  # (Mesh, seq-axis name): ring-attention prefill
 ):
     B, S, _ = x.shape
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -127,7 +128,19 @@ def _attn_block(
         k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
 
     # Write new KV at absolute positions BEFORE attending (see ops.attention).
-    if page_table is not None:
+    if cp is not None:
+        # Context-parallel single-shot prefill: the chunk IS the whole
+        # sequence so far (cache_lens == 0), so attention is pure causal
+        # self-attention over the chunk — ring attention shards the sequence
+        # over the mesh's seq axis and rotates KV blocks via ppermute
+        # (parallel/context.py); no [S, T] score tile ever materializes and
+        # per-device activations are O(S/n). The KV write still lands in the
+        # cache (sequence-sharded on T) for the decode phase that follows.
+        from llm_inference_lab_tpu.parallel.context import ring_self_attention
+
+        kv_layer = update_cache_layer(*kv_layer, k, v, cache_lens)
+        attn = ring_self_attention(q, k, v, mesh=cp[0], axis=cp[1])
+    elif page_table is not None:
         from llm_inference_lab_tpu.models.paged import update_paged_layer
 
         kv_layer = update_paged_layer(*kv_layer, k, v, cache_lens, page_table)
@@ -164,6 +177,7 @@ def forward(
     cache_lens: jax.Array,  # [B] int32
     return_hidden: bool = False,
     tree_mask: Optional[jax.Array] = None,  # [S, S] ancestry (tree spec)
+    cp: Optional[tuple] = None,  # (Mesh, axis): context-parallel prefill
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Full decoder forward. Returns (logits [B, S, V] float32, updated cache),
     plus the final (post-norm) hidden states [B, S, D] when return_hidden —
@@ -194,7 +208,7 @@ def forward(
         p, kv_layer = xs
         a, kv_layer = _attn_block(
             cfg, p, _norm(cfg, x, p, "attn_norm"), positions, kv_layer,
-            cache_lens, tree_mask, page_table,
+            cache_lens, tree_mask, page_table, cp,
         )
         x = x + a
         x = x + _mlp_block(cfg, p, _norm(cfg, x, p, "mlp_norm"))

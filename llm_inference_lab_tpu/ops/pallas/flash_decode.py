@@ -26,21 +26,25 @@ from llm_inference_lab_tpu.ops.registry import PRIORITY_PALLAS, registry
 NEG_INF = -1e30
 
 
-def _attend_tile(pos_ref, q_ref, k, v, kv_scale, o_ref, m_ref, l_ref, acc_ref):
-    """Shared online-softmax tile body. k/v: [BT, D] (any dtype the MXU
-    takes after cast); kv_scale: None for fp caches, else a pair of
-    [1, BT] per-row int8 scales — k's scales multiply score COLUMNS and v's
-    scales multiply p's columns, so dequantization never touches the
-    [BT, D] tiles."""
-    t = pl.program_id(2)
+def _init_state(m_ref, l_ref, acc_ref):
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+
+def _finalize(o_ref, m_ref, l_ref, acc_ref):
+    S, group, D = o_ref.shape[1], o_ref.shape[2], o_ref.shape[3]
+    out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+    o_ref[0] = out.reshape(S, group, D).astype(o_ref.dtype)
+
+
+def _accum_tile(pos_ref, q_ref, k, v, kv_scale, m_ref, l_ref, acc_ref, kv_base):
+    """Online-softmax accumulation of one KV tile whose first row sits at
+    absolute position `kv_base`. k/v: [BT, D] (any dtype the MXU takes after
+    cast); kv_scale: None for fp caches, else a pair of [1, BT] per-row int8
+    scales — k's scales multiply score COLUMNS and v's scales multiply p's
+    columns, so dequantization never touches the [BT, D] tiles."""
     BT = k.shape[0]
-
-    @pl.when(t == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
     S, group, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
     Sg = S * group
     q = q_ref[0].reshape(Sg, D)  # [S*group, D]
@@ -55,7 +59,7 @@ def _attend_tile(pos_ref, q_ref, k, v, kv_scale, o_ref, m_ref, l_ref, acc_ref):
     if kv_scale is not None:
         scores = scores * kv_scale[0]  # [1, BT] broadcast over rows
 
-    kv_pos = t * BT + jax.lax.broadcasted_iota(jnp.int32, (S, group, BT), 2)
+    kv_pos = kv_base + jax.lax.broadcasted_iota(jnp.int32, (S, group, BT), 2)
     # pos_ref block: (1, S, 1) -> [0] is [S, 1]; broadcast over (group, BT).
     allowed = kv_pos <= pos_ref[0][:, :, None]  # [S, group, BT]
     scores = jnp.where(allowed.reshape(Sg, BT), scores, NEG_INF)
@@ -73,10 +77,22 @@ def _attend_tile(pos_ref, q_ref, k, v, kv_scale, o_ref, m_ref, l_ref, acc_ref):
     )
     m_ref[:] = m_new
 
+
+def _attend_tile(pos_ref, q_ref, k, v, kv_scale, o_ref, m_ref, l_ref, acc_ref):
+    """Decode-grid tile body: the T sweep is grid axis 2 (shared with
+    paged_flash.py, whose page sweep is also axis 2)."""
+    t = pl.program_id(2)
+    BT = k.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        _init_state(m_ref, l_ref, acc_ref)
+
+    _accum_tile(pos_ref, q_ref, k, v, kv_scale, m_ref, l_ref, acc_ref, t * BT)
+
     @pl.when(t == pl.num_programs(2) - 1)
     def _():
-        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
-        o_ref[0] = out.reshape(S, group, D).astype(o_ref.dtype)
+        _finalize(o_ref, m_ref, l_ref, acc_ref)
 
 
 def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
@@ -170,26 +186,35 @@ def _kernel_wrapper(q, k_cache, v_cache, positions, k_scale=None, v_scale=None,
     from llm_inference_lab_tpu.ops.pallas import interpret_mode, use_pallas
 
     T = k_cache.shape[2]
-    D = q.shape[-1]
-    # S guard: this is a DECODE kernel — its q block and (S*group, BT)
-    # score tile live wholly in VMEM, so prefill-sized S must take the XLA
-    # path (a dedicated prefill flash kernel is future work).
-    if (
-        tree_mask is not None
-        or q.shape[1] > 32
-        or T % 128 != 0
-        or D % 128 != 0
-        or not use_pallas()
-    ):
-        from llm_inference_lab_tpu.ops.attention import attend_xla
-
-        return attend_xla(q, k_cache, v_cache, positions, k_scale, v_scale,
-                          tree_mask, chunk_start)
-    bt = 256 if T % 256 == 0 else 128
-    return flash_decode_attention(
-        q, k_cache, v_cache, positions, k_scale, v_scale,
-        interpret=interpret_mode(), block_t=bt,
+    S, D = q.shape[1], q.shape[-1]
+    group = q.shape[2] // k_cache.shape[1]
+    ok = (
+        tree_mask is None and T % 128 == 0 and D % 128 == 0 and use_pallas()
     )
+    bt = 256 if T % 256 == 0 else 128
+    if ok and S <= 32:
+        # Decode/verify chunk: the whole q block lives in VMEM.
+        return flash_decode_attention(
+            q, k_cache, v_cache, positions, k_scale, v_scale,
+            interpret=interpret_mode(), block_t=bt,
+        )
+    if ok and S > 32:
+        # Prefill-length S: sweep query blocks too (flash_prefill.py).
+        from llm_inference_lab_tpu.ops.pallas.flash_prefill import (
+            flash_prefill_attention,
+            pick_block_s,
+        )
+
+        bs = pick_block_s(S, group)
+        if bs:
+            return flash_prefill_attention(
+                q, k_cache, v_cache, positions, k_scale, v_scale,
+                interpret=interpret_mode(), block_s=bs, block_t=bt,
+            )
+    from llm_inference_lab_tpu.ops.attention import attend_xla
+
+    return attend_xla(q, k_cache, v_cache, positions, k_scale, v_scale,
+                      tree_mask, chunk_start)
 
 
 registry.register(

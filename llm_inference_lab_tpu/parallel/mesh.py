@@ -23,12 +23,21 @@ from jax.sharding import Mesh
 def make_mesh(
     data: int = 1,
     model: int = 1,
+    seq: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
+    """Device mesh with ("data", "model") axes, plus a "seq" axis (between
+    data and model) when seq > 1 — the context-parallel axis for ring-
+    attention prefill (parallel/context.py)."""
     devices = list(devices if devices is not None else jax.devices())
-    need = data * model
+    need = data * seq * model
     if need > len(devices):
-        raise ValueError(f"mesh {data}x{model} needs {need} devices, have {len(devices)}")
+        raise ValueError(
+            f"mesh {data}x{seq}x{model} needs {need} devices, have {len(devices)}"
+        )
+    if seq > 1:
+        arr = np.array(devices[:need]).reshape(data, seq, model)
+        return Mesh(arr, ("data", "seq", "model"))
     arr = np.array(devices[:need]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 

@@ -94,25 +94,32 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     )
 
 
-def _cache_sharding(mesh: Mesh) -> NamedSharding:
-    # [L, B, n_kv, T, d]: batch on data, kv heads on model.
-    return NamedSharding(mesh, P(None, "data", "model", None, None))
+def _cache_sharding(mesh: Mesh, shape) -> NamedSharding:
+    # [L, B, n_kv, T, d]: batch on data, kv heads on model; with a seq axis
+    # in the mesh (context parallelism) the T dim shards over it, so the
+    # long-context KV footprint is O(T/n_seq) per device. Axes whose dim
+    # doesn't divide (e.g. the [1,B,1,1,1] placeholder draft cache in
+    # medusa/baseline modes) replicate instead.
+    seq_ax = "seq" if "seq" in mesh.axis_names else None
+    axes = [None, "data", "model", seq_ax, None][: len(shape)]
+    axes = [
+        a if a and shape[i] % mesh.shape[a] == 0 else None
+        for i, a in enumerate(axes)
+    ]
+    return NamedSharding(mesh, P(*axes))
 
 
 def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
     batch = NamedSharding(mesh, P("data"))
     batch2 = NamedSharding(mesh, P("data", None))
     rep = NamedSharding(mesh, P())
-    cache = _cache_sharding(mesh)
-
-    scale_sh = NamedSharding(mesh, P(None, "data", "model", None))
 
     def place_cache(c: KVCache) -> KVCache:
         return KVCache(
-            jax.device_put(c.k, cache),
-            jax.device_put(c.v, cache),
-            jax.device_put(c.k_scale, scale_sh),
-            jax.device_put(c.v_scale, scale_sh),
+            jax.device_put(c.k, _cache_sharding(mesh, c.k.shape)),
+            jax.device_put(c.v, _cache_sharding(mesh, c.v.shape)),
+            jax.device_put(c.k_scale, _cache_sharding(mesh, c.k_scale.shape)),
+            jax.device_put(c.v_scale, _cache_sharding(mesh, c.v_scale.shape)),
         )
 
     return DecodeState(

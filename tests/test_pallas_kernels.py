@@ -104,6 +104,68 @@ def test_flash_decode_matches_xla(S, group):
 
 
 @pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("group", [1, 2])
+def test_flash_prefill_matches_xla(quantized, group):
+    """Prefill flash kernel (query-block sweep) vs the XLA score-matrix
+    path, fp and int8 caches, GQA, and a nonzero chunk base (chunked
+    prefill resumes mid-sequence)."""
+    from llm_inference_lab_tpu.ops.pallas.flash_prefill import (
+        flash_prefill_attention,
+    )
+
+    rng = np.random.default_rng(5)
+    B, KVH, D, S, T = 2, 2, 128, 256, 512
+    H = KVH * group
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    if quantized:
+        k = jnp.asarray(rng.integers(-127, 128, size=(B, KVH, T, D)), jnp.int8)
+        v = jnp.asarray(rng.integers(-127, 128, size=(B, KVH, T, D)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.02, size=(B, KVH, T)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.01, 0.02, size=(B, KVH, T)), jnp.float32)
+    else:
+        k = jnp.asarray(rng.normal(size=(B, KVH, T, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, KVH, T, D)).astype(np.float32))
+        ks = vs = None
+    # Row 0 prefills from 0; row 1 is a chunk resuming at base position 128.
+    positions = jnp.stack(
+        [jnp.arange(S), 128 + jnp.arange(S)]
+    ).astype(jnp.int32)
+    ref = attend_xla(q, k, v, positions, ks, vs)
+    out = flash_prefill_attention(
+        q, k, v, positions, ks, vs, interpret=True, block_s=128, block_t=128
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_decode_attention_dispatch_long_s_uses_prefill_kernel(monkeypatch):
+    """The registry op must route S>32 to the prefill kernel when shapes
+    allow (the old behavior silently fell back to the O(S*T) XLA path)."""
+    import llm_inference_lab_tpu.ops.pallas.flash_prefill as fp
+    from llm_inference_lab_tpu.ops.pallas.flash_decode import _kernel_wrapper
+
+    calls = []
+    orig = fp.flash_prefill_attention
+
+    def spy(*a, **kw):
+        calls.append(kw.get("block_s"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fp, "flash_prefill_attention", spy)
+    rng = np.random.default_rng(6)
+    B, S, H, D, T = 1, 128, 2, 128, 256
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, 2, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, 2, T, D)).astype(np.float32))
+    positions = jnp.arange(S, dtype=jnp.int32)[None]
+    out = _kernel_wrapper(q, k, v, positions)
+    assert calls == [128]
+    ref = attend_xla(q, k, v, positions)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
 def test_paged_flash_matches_xla_reference(quantized):
     """Paged flash kernel (page-table indirection) vs the gather+attend XLA
     reference, fp and int8 pools."""

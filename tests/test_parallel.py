@@ -103,6 +103,36 @@ def test_engine_with_mesh_end_to_end():
     assert [r["generated_ids"] for r in rs] == [r["generated_ids"] for r in rs2]
 
 
+def test_engine_seq_parallel_ring_prefill():
+    """Engine with a seq axis routes single-shot prefill through ring
+    attention (sequence sharded, KV rotating over ppermute); output must be
+    identical to the unsharded engine — sharding never changes numerics."""
+    prompts = ["ring prefill prompt " * 4, "a shorter one"]
+    kw = dict(implementation="hf", max_draft=2, max_new_tokens=8,
+              dtype="float32", shard_draft=True)
+
+    mesh = make_mesh(data=1, seq=4, model=2)
+    eng = Engine(EngineConfig(**kw), target_model=tp_model(2, layers=2, rng_seed=1),
+                 draft_model=tp_model(2, layers=1, rng_seed=2), mesh=mesh)
+    rs = eng.generate_batch(prompts)
+
+    kw.pop("shard_draft")
+    eng2 = Engine(EngineConfig(**kw), target_model=tp_model(2, layers=2, rng_seed=1),
+                 draft_model=tp_model(2, layers=1, rng_seed=2))
+    rs2 = eng2.generate_batch(prompts)
+    assert [r["generated_ids"] for r in rs] == [r["generated_ids"] for r in rs2]
+
+
+def test_seq_parallel_rejects_chunked_prefill():
+    mesh = make_mesh(data=1, seq=4, model=2)
+    with pytest.raises(ValueError):
+        Engine(
+            EngineConfig(implementation="hf", dtype="float32",
+                         prefill_chunk=64),
+            target_model=tp_model(2), draft_model=tp_model(2), mesh=mesh,
+        )
+
+
 def test_multihost_helpers_single_process():
     from llm_inference_lab_tpu.parallel.multihost import (
         initialize_multihost,
