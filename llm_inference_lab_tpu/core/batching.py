@@ -199,6 +199,10 @@ class ContinuousBatcher:
             init_k=getattr(engine.controller, "k", cfg.max_draft),
             **paged_kw,
         )
+        if engine.mesh is not None:
+            from llm_inference_lab_tpu.parallel.sharding import shard_state
+
+            self.state = shard_state(self.state, engine.mesh)
         self._steps = 0
 
     def submit(self, prompt: str, max_new_tokens: Optional[int] = None) -> int:
@@ -220,6 +224,9 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------
     def _admit_one(self, slot: int, req: _Request) -> None:
+        """Collective half of admission: the jitted prefill+splice. Inputs
+        are plain numpy (host-uniform, uncommitted) so the same call works
+        under multi-controller execution (core/multihost_batching.py)."""
         eng = self.engine
         req.slot = slot
         # Paged prompts round to the page size (whole pages are spliced);
@@ -237,24 +244,31 @@ class ContinuousBatcher:
             eng.target.params,
             eng._draft_params,
             self.state,
-            jnp.asarray(row),
-            jnp.int32(len(req.ids)),
-            jnp.int32(slot),
-            jnp.int32(req.max_new_tokens),
-            jnp.asarray(table_row),
+            row,
+            np.int32(len(req.ids)),
+            np.int32(slot),
+            np.int32(req.max_new_tokens),
+            table_row,
         )
         self._slots[slot] = req
 
-    def _admit_pending(self) -> None:
+    def _plan_admissions(self) -> List[_Request]:
+        """Host-side admission decisions (queue order, page allocation) —
+        pops chosen requests and assigns req.slot / req.pages, WITHOUT
+        touching the device. In multi-host serving only the coordinator
+        plans; plans are broadcast and executed collectively."""
         eng = self.engine
         free = [s for s in range(self.n_slots) if self._slots[s] is None]
+        plans: List[_Request] = []
         if not free or not self.scheduler.pending():
-            return
+            return plans
         if not self.paged:
             admitted = self.scheduler.admit(len(free))
             for slot, rid in zip(free, admitted):
-                self._admit_one(slot, self._requests.pop(rid))
-            return
+                req = self._requests.pop(rid)
+                req.slot = slot
+                plans.append(req)
+            return plans
         # Paged: memory-aware admission — one at a time; a request that
         # can't get its pages goes back to the queue and admission stops
         # (the scheduler's overdue rule keeps it from starving).
@@ -273,20 +287,35 @@ class ContinuousBatcher:
                 self.scheduler.submit(rid, len(req.ids), req.max_new_tokens)
                 break
             req.pages = pages
+            req.slot = slot
             self._requests.pop(rid)
-            self._admit_one(slot, req)
+            plans.append(req)
+        return plans
+
+    def _admit_pending(self) -> None:
+        for req in self._plan_admissions():
+            self._admit_one(req.slot, req)
+
+    def _fetch_flags(self):
+        """[B] active/proposed/accepted as host numpy (one combined fetch).
+        Multi-host serving overrides this with a process allgather so every
+        controller sees the same global values."""
+        return tuple(
+            np.asarray(x)
+            for x in jax.device_get(
+                (self.state.active, self.state.proposed, self.state.accepted)
+            )
+        )
+
+    def _fetch_tokens(self):
+        return np.asarray(self.state.tokens), np.asarray(self.state.lengths)
 
     def _retire_finished(self) -> None:
         # ONE combined host fetch per poll: active flags + acceptance
         # counters. The counters feed the native scheduler's adaptive-K EMA
         # (native/scheduler.cc sched_record_step; round-1 VERDICT weak #2 —
         # the serving path previously never fed acceptance back).
-        active, proposed, accepted = (
-            np.asarray(x)
-            for x in jax.device_get(
-                (self.state.active, self.state.proposed, self.state.accepted)
-            )
-        )
+        active, proposed, accepted = self._fetch_flags()
         occupied = [s for s, r in enumerate(self._slots) if r is not None]
         prop_total = self._done_prop + int(proposed[occupied].sum())
         acc_total = self._done_acc + int(accepted[occupied].sum())
@@ -301,8 +330,7 @@ class ContinuousBatcher:
             if req is None or active[slot]:
                 continue
             if tokens is None:
-                tokens = np.asarray(self.state.tokens)
-                lengths = np.asarray(self.state.lengths)
+                tokens, lengths = self._fetch_tokens()
             plen = len(req.ids)
             gen = tokens[slot, plen : lengths[slot]].tolist()
             text_ids = [t for t in gen if t != self.engine.eos_token_id]

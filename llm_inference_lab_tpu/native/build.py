@@ -33,7 +33,9 @@ def build_and_load(source_name: str) -> Optional[ctypes.CDLL]:
         os.makedirs(_CACHE_DIR, exist_ok=True)
         so_path = os.path.join(_CACHE_DIR, f"{source_name}-{digest}.so")
         if not os.path.exists(so_path):
-            tmp = so_path + ".tmp"
+            # pid-unique tmp + atomic rename: concurrent processes (e.g.
+            # multi-host ranks on one box) never clobber each other's build.
+            tmp = f"{so_path}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", tmp],
                 check=True,

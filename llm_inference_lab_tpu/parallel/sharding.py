@@ -94,14 +94,19 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     )
 
 
-def _cache_sharding(mesh: Mesh, shape) -> NamedSharding:
+def _cache_sharding(mesh: Mesh, shape, paged: bool = False) -> NamedSharding:
     # [L, B, n_kv, T, d]: batch on data, kv heads on model; with a seq axis
     # in the mesh (context parallelism) the T dim shards over it, so the
     # long-context KV footprint is O(T/n_seq) per device. Axes whose dim
     # doesn't divide (e.g. the [1,B,1,1,1] placeholder draft cache in
-    # medusa/baseline modes) replicate instead.
+    # medusa/baseline modes) replicate instead. Paged pools
+    # [L, n_pages, KVH, page, d] share pages across all slots, so only the
+    # head axis shards (on model); the page axis never maps to data.
     seq_ax = "seq" if "seq" in mesh.axis_names else None
-    axes = [None, "data", "model", seq_ax, None][: len(shape)]
+    if paged:
+        axes = [None, None, "model", None, None][: len(shape)]
+    else:
+        axes = [None, "data", "model", seq_ax, None][: len(shape)]
     axes = [
         a if a and shape[i] % mesh.shape[a] == 0 else None
         for i, a in enumerate(axes)
@@ -115,12 +120,19 @@ def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
     rep = NamedSharding(mesh, P())
 
     def place_cache(c: KVCache) -> KVCache:
-        return KVCache(
-            jax.device_put(c.k, _cache_sharding(mesh, c.k.shape)),
-            jax.device_put(c.v, _cache_sharding(mesh, c.v.shape)),
-            jax.device_put(c.k_scale, _cache_sharding(mesh, c.k_scale.shape)),
-            jax.device_put(c.v_scale, _cache_sharding(mesh, c.v_scale.shape)),
+        from llm_inference_lab_tpu.models.paged import PagedKVCache
+
+        paged = isinstance(c, PagedKVCache)
+        parts = (
+            jax.device_put(c.k, _cache_sharding(mesh, c.k.shape, paged)),
+            jax.device_put(c.v, _cache_sharding(mesh, c.v.shape, paged)),
+            jax.device_put(c.k_scale, _cache_sharding(mesh, c.k_scale.shape, paged)),
+            jax.device_put(c.v_scale, _cache_sharding(mesh, c.v_scale.shape, paged)),
         )
+        if paged:
+            # The page table is tiny per-slot metadata — replicated.
+            return PagedKVCache(*parts, jax.device_put(c.table, rep))
+        return KVCache(*parts)
 
     return DecodeState(
         tokens=jax.device_put(state.tokens, batch2),
