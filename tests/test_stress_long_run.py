@@ -44,3 +44,55 @@ def test_long_batcher_run():
     results = b.run()
     assert len(results) == 40
     assert all(r["generated_tokens"] > 0 for r in results)
+
+
+def test_stress_churn_hundreds_of_steps():
+    """The real harness (bench/stress.py): 120 requests with skewed prompt
+    lengths and mixed 2..32-token budgets arriving over time — hundreds of
+    decode steps with constant admission/retirement churn. Bounds: every
+    request completes non-empty, RSS growth stays bounded, and late-run poll
+    latency does not degrade vs early-run (no leak-driven slowdown).
+    Reference stress model: /root/reference/tests/stress_test_long_run.py
+    (hundreds of steps, memory + responsiveness bounds)."""
+    from llm_inference_lab_tpu.bench.stress import StressConfig, run_stress
+
+    eng = Engine(EngineConfig(implementation="fake", base_model="fake",
+                              draft_model="fake", max_draft=2,
+                              max_new_tokens=32, max_seq_len=256))
+    report = run_stress(
+        eng,
+        StressConfig(total_requests=120, n_slots=4, prompt_len_cap=120,
+                     max_wall_s=240.0),
+    )
+    assert report["completed"] == 120
+    assert report["all_nonempty"]
+    assert report["decode_steps"] >= 200, report["decode_steps"]
+    assert report["rss_growth_mb"] < 600, report["rss_growth_mb"]
+    assert report["latency_degradation"] < 2.5, report["latency_degradation"]
+
+
+def test_stress_churn_paged():
+    """Same churn through the paged-KV serving path with a page pool sized
+    BELOW slots x max_seq (memory-aware admission must queue, not fail)."""
+    import jax
+
+    from llm_inference_lab_tpu.bench.stress import StressConfig, run_stress
+    from llm_inference_lab_tpu.models.llama import LlamaModel
+
+    def tiny(seed):
+        return LlamaModel.create("llama-tiny", rng=jax.random.PRNGKey(seed),
+                                 dtype=jax.numpy.float32)
+
+    eng = Engine(EngineConfig(implementation="hf", max_draft=2,
+                              max_new_tokens=16, max_seq_len=256,
+                              dtype="float32",
+                              kv_layout="paged", kv_page_size=32,
+                              kv_pages=3 * (256 // 32)),  # 3 full seqs / 4 slots
+                 target_model=tiny(0), draft_model=tiny(1))
+    report = run_stress(
+        eng,
+        StressConfig(total_requests=30, n_slots=4, prompt_len_cap=100,
+                     max_new_choices=(2, 4, 8, 16), max_wall_s=240.0),
+    )
+    assert report["completed"] == 30
+    assert report["all_nonempty"]
