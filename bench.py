@@ -39,7 +39,15 @@ def main() -> None:
     quant = None if quant_env in ("none", "bf16", "") else quant_env
     qembed = os.environ.get("SPECDX_BENCH_QEMBED", "1" if quant else "0") == "1"
     max_new = 64
-    k = int(os.environ.get("SPECDX_BENCH_K", "4"))
+    # Default K mirrors the reference's headline config (K=1, BASELINE.md)
+    # — which is also the throughput-optimal K at worst-case acceptance
+    # (measured on v5e: 128.3 tok/s at K=1 vs 73.0 at K=4 with random
+    # weights). With real cached weights (acceptance 0.62-0.86 on this
+    # pair) deeper speculation pays for itself, so default to K=4 then.
+    from llm_inference_lab_tpu.models.loader import find_cached_checkpoint
+
+    real_ckpt = find_cached_checkpoint(base) is not None
+    k = int(os.environ.get("SPECDX_BENCH_K", "4" if real_ckpt else "1"))
 
     eng = Engine(
         EngineConfig(
