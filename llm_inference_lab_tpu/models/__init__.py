@@ -14,4 +14,7 @@ from llm_inference_lab_tpu.models.base import (  # noqa: F401
 from llm_inference_lab_tpu.models.fake import make_fake_model  # noqa: F401
 from llm_inference_lab_tpu.models.gpt2 import GPT2Model  # noqa: F401
 from llm_inference_lab_tpu.models.llama import LlamaModel  # noqa: F401
+from llm_inference_lab_tpu.models.mistral import MistralModel  # noqa: F401
+from llm_inference_lab_tpu.models.opt import OPTModel  # noqa: F401
+from llm_inference_lab_tpu.models.qwen2 import Qwen2Model  # noqa: F401
 from llm_inference_lab_tpu.models.registry import get_model  # noqa: F401

@@ -38,7 +38,9 @@ class ModelConfig:
     """Architecture hyperparameters shared by all decoder models."""
 
     name: str = "model"
-    arch: str = "llama"  # "llama" | "gpt2" | "fake"
+    # "llama" (also Qwen2/Mistral: RMSNorm + rotary + gated mlp),
+    # "gpt2" / "opt" (LayerNorm + learned positions + plain mlp), "fake".
+    arch: str = "llama"
     vocab_size: int = 32000
     n_layers: int = 12
     n_heads: int = 12
@@ -57,10 +59,16 @@ class ModelConfig:
     layer_norm_eps: float = 1e-5
     tie_word_embeddings: bool = True
     dtype: Any = jnp.bfloat16
-    # GPT-2 specifics
+    # GPT-2 / OPT specifics
     use_learned_pos: bool = False  # learned absolute position embeddings
     use_bias: bool = False  # bias terms on projections / layernorms
-    act: str = "silu"  # "silu" (llama gated mlp) | "gelu" (gpt2 mlp)
+    act: str = "silu"  # "silu" (gated mlp) | "gelu" (gpt2) | "relu" (opt)
+    pos_offset: int = 0  # learned-pos table index offset (HF OPT uses 2)
+    # Qwen2: bias on the fused q/k/v projection only (not on o_proj/mlp)
+    qkv_bias: bool = False
+    # Mistral: local attention window (token at position p attends to
+    # (p - window, p]); None = full causal attention
+    sliding_window: Optional[int] = None
     # lax.scan unroll factor for the layer stack. Measured on v5e: unroll=4
     # REGRESSED 3B decode 2.6x (39.9 -> 15.4 tok/s) — larger loop bodies
     # scheduled worse than the rolled scan. Keep 1 unless re-measured.
@@ -69,6 +77,16 @@ class ModelConfig:
     @property
     def head_dim(self) -> int:
         return self.d_model // self.n_heads
+
+    @property
+    def use_layernorm(self) -> bool:
+        """LayerNorm-with-bias archs (gpt2/opt) vs RMSNorm (llama family)."""
+        return self.arch in ("gpt2", "opt")
+
+    @property
+    def gated_mlp(self) -> bool:
+        """Gated silu MLP (llama family) vs plain 2-layer MLP (gpt2/opt)."""
+        return self.act == "silu"
 
 
 @jax.tree_util.register_pytree_node_class

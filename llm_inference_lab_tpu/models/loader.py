@@ -99,6 +99,12 @@ def load_llama_checkpoint(path: str, cfg: ModelConfig) -> Any:
         ]),
         "w_down": layer_stack("model.layers.{i}.mlp.down_proj.weight"),
     }
+    if cfg.qkv_bias:  # qwen2: q/k/v biases, concatenated to match fused qkv
+        layers["b_qkv"] = fused_stack([
+            "model.layers.{i}.self_attn.q_proj.bias",
+            "model.layers.{i}.self_attn.k_proj.bias",
+            "model.layers.{i}.self_attn.v_proj.bias",
+        ])
     params = {
         "embed": _to_jax(w["model.embed_tokens.weight"], dt),
         "layers": layers,
@@ -156,6 +162,70 @@ def load_gpt2_checkpoint(path: str, cfg: ModelConfig) -> Any:
     }
 
 
+def load_opt_checkpoint(path: str, cfg: ModelConfig) -> Any:
+    """HF OPT (facebook/opt-*): torch Linear layout (transposed), separate
+    q/k/v projections with biases fused here, LayerNorm with bias, learned
+    positions with the HF +2 index offset (the table has max_pos+2 rows —
+    kept whole; the runtime adds cfg.pos_offset when indexing)."""
+    w = _open_shards(path)
+    dt = cfg.dtype
+    L = cfg.n_layers
+
+    def g(name: str, i: int) -> np.ndarray:
+        for prefix in ("model.decoder.", "decoder."):
+            key = f"{prefix}layers.{i}.{name}"
+            if key in w:
+                return w[key]
+        raise KeyError(name)
+
+    def top(name: str) -> np.ndarray:
+        for prefix in ("model.decoder.", "decoder."):
+            if prefix + name in w:
+                return w[prefix + name]
+        raise KeyError(name)
+
+    def stack(name: str, transpose: bool = False):
+        ts = [g(name, i) for i in range(L)]
+        return _to_jax(np.stack([t.T if transpose else t for t in ts]), dt)
+
+    def fused(names, transpose: bool):
+        ts = []
+        for i in range(L):
+            ts.append(
+                np.concatenate(
+                    [g(n, i).T if transpose else g(n, i) for n in names], axis=-1
+                )
+            )
+        return _to_jax(np.stack(ts), dt)
+
+    qkv = ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"]
+    layers = {
+        "attn_norm_scale": stack("self_attn_layer_norm.weight"),
+        "attn_norm_bias": stack("self_attn_layer_norm.bias"),
+        # OPT's per-layer `final_layer_norm` is the pre-MLP norm.
+        "mlp_norm_scale": stack("final_layer_norm.weight"),
+        "mlp_norm_bias": stack("final_layer_norm.bias"),
+        "w_qkv": fused([n + ".weight" for n in qkv], transpose=True),
+        "b_qkv": fused([n + ".bias" for n in qkv], transpose=False),
+        "wo": stack("self_attn.out_proj.weight", transpose=True),
+        "bo": stack("self_attn.out_proj.bias"),
+        "w_fc": stack("fc1.weight", transpose=True),
+        "b_fc": stack("fc1.bias"),
+        "w_proj": stack("fc2.weight", transpose=True),
+        "b_proj": stack("fc2.bias"),
+    }
+    params = {
+        "embed": _to_jax(top("embed_tokens.weight"), dt),
+        "pos_embed": _to_jax(top("embed_positions.weight"), dt),
+        "layers": layers,
+        "final_norm_scale": _to_jax(top("final_layer_norm.weight"), dt),
+        "final_norm_bias": _to_jax(top("final_layer_norm.bias"), dt),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _to_jax(w["lm_head.weight"].T, dt)
+    return params
+
+
 def resolve_hf_dir(name: str) -> Optional[str]:
     """Find a model's snapshot dir in the local HF hub cache, if present."""
     root = os.path.expanduser(
@@ -179,6 +249,16 @@ HF_REPO_IDS = {
         "meta-llama/Llama-3.1-8B",
         "meta-llama/Meta-Llama-3.1-8B",
         "meta-llama/Llama-3.1-8B-Instruct",
+    ],
+    "opt-125m": ["facebook/opt-125m"],
+    "opt-1.3b": ["facebook/opt-1.3b"],
+    "qwen2.5-0.5b": ["Qwen/Qwen2.5-0.5B", "Qwen/Qwen2.5-0.5B-Instruct"],
+    "qwen2.5-1.5b": ["Qwen/Qwen2.5-1.5B", "Qwen/Qwen2.5-1.5B-Instruct"],
+    "qwen2.5-7b": ["Qwen/Qwen2.5-7B", "Qwen/Qwen2.5-7B-Instruct"],
+    "mistral-7b": [
+        "mistralai/Mistral-7B-v0.1",
+        "mistralai/Mistral-7B-v0.3",
+        "mistralai/Mistral-7B-Instruct-v0.3",
     ],
 }
 
@@ -223,7 +303,33 @@ def config_from_hf(hf: dict, name: str, dtype) -> ModelConfig:
             tie_word_embeddings=hf.get("tie_word_embeddings", True),
             dtype=dtype,
         )
-    if mt == "llama":
+    if mt == "opt":
+        if hf.get("word_embed_proj_dim", hf["hidden_size"]) != hf["hidden_size"]:
+            raise ValueError(
+                "OPT checkpoints with word_embed_proj_dim != hidden_size "
+                "(opt-350m) use embed in/out projections we do not implement"
+            )
+        if not hf.get("do_layer_norm_before", True):
+            raise ValueError("post-norm OPT (do_layer_norm_before=False) unsupported")
+        return ModelConfig(
+            name=name,
+            arch="opt",
+            vocab_size=hf["vocab_size"],
+            n_layers=hf["num_hidden_layers"],
+            n_heads=hf["num_attention_heads"],
+            n_kv_heads=hf["num_attention_heads"],
+            d_model=hf["hidden_size"],
+            d_ff=hf["ffn_dim"],
+            max_position_embeddings=hf["max_position_embeddings"],
+            layer_norm_eps=1e-5,
+            use_learned_pos=True,
+            use_bias=True,
+            act=hf.get("activation_function", "relu"),
+            pos_offset=2,
+            tie_word_embeddings=hf.get("tie_word_embeddings", True),
+            dtype=dtype,
+        )
+    if mt in ("llama", "qwen2", "mistral"):
         rs = hf.get("rope_scaling")
         rope_scaling = None
         if rs:
@@ -249,6 +355,15 @@ def config_from_hf(hf: dict, name: str, dtype) -> ModelConfig:
             rope_scaling=rope_scaling,
             rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
             tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            # Qwen2 puts biases on q/k/v only (modeling_qwen2: qkv_bias).
+            qkv_bias=mt == "qwen2" and hf.get("qkv_bias", True),
+            # Mistral enables the window whenever set; Qwen2 gates it behind
+            # use_sliding_window (HF default False).
+            sliding_window=(
+                hf.get("sliding_window")
+                if (mt != "qwen2" or hf.get("use_sliding_window", False))
+                else None
+            ),
             dtype=dtype,
         )
     raise ValueError(f"unsupported HF model_type {mt!r}")

@@ -1,0 +1,56 @@
+"""Mistral family — config presets + factory.
+
+Llama-architecture variant (identical checkpoint key layout; the loader is
+shared) plus sliding-window attention (ModelConfig.sliding_window; the
+window mask lives in ops/attention.attend_xla and only binds when the KV
+cache is longer than the window — Mistral-7B-v0.1's window is 4096).
+Beyond the reference's model zoo (its HFWrapper loads any HF causal LM —
+src/specdec/models/hf_wrappers.py:80-141).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from llm_inference_lab_tpu.models.base import Model, ModelConfig
+
+MISTRAL_CONFIGS = {
+    "mistral-7b": ModelConfig(
+        name="mistral-7b",
+        arch="llama",
+        vocab_size=32000,
+        n_layers=32,
+        n_heads=32,
+        n_kv_heads=8,
+        d_model=4096,
+        d_ff=14336,
+        max_position_embeddings=32768,
+        rope_theta=10000.0,
+        rms_norm_eps=1e-5,
+        sliding_window=4096,
+        tie_word_embeddings=False,
+    ),
+}
+
+
+class MistralModel:
+    @staticmethod
+    def create(
+        name: str = "mistral-7b",
+        rng: Optional[jax.Array] = None,
+        dtype=jnp.bfloat16,
+        checkpoint_path: Optional[str] = None,
+        quantized_init: Optional[str] = None,
+        quantize_embed: bool = False,
+    ) -> Model:
+        from llm_inference_lab_tpu.models.factory import create_family_model
+        from llm_inference_lab_tpu.models.loader import load_llama_checkpoint
+
+        return create_family_model(
+            MISTRAL_CONFIGS, load_llama_checkpoint, name, rng=rng, dtype=dtype,
+            checkpoint_path=checkpoint_path, quantized_init=quantized_init,
+            quantize_embed=quantize_embed,
+        )

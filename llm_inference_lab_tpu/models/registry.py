@@ -24,18 +24,34 @@ def get_model(
     from llm_inference_lab_tpu.models.fake import make_fake_model
     from llm_inference_lab_tpu.models.gpt2 import GPT2_CONFIGS, GPT2Model
     from llm_inference_lab_tpu.models.llama import LLAMA_CONFIGS, LlamaModel
+    from llm_inference_lab_tpu.models.mistral import MISTRAL_CONFIGS, MistralModel
+    from llm_inference_lab_tpu.models.opt import OPT_CONFIGS, OPTModel
+    from llm_inference_lab_tpu.models.qwen2 import QWEN2_CONFIGS, Qwen2Model
 
     if implementation == "fake" or name == "fake":
         return make_fake_model(name=name, **fake_kwargs)
 
-    key = name.lower().replace("meta-llama/", "").replace("openai-community/", "")
+    key = (
+        name.lower()
+        .replace("meta-llama/", "")
+        .replace("openai-community/", "")
+        .replace("facebook/", "")
+        .replace("qwen/", "")
+        .replace("mistralai/", "")
+    )
     kw = dict(rng=rng, dtype=dtype, checkpoint_path=checkpoint_path,
               quantized_init=quantized_init, quantize_embed=quantize_embed)
-    if key in GPT2_CONFIGS:
-        return GPT2Model.create(key, **kw)
-    if key in LLAMA_CONFIGS:
-        return LlamaModel.create(key, **kw)
+    families = (
+        (GPT2_CONFIGS, GPT2Model),
+        (LLAMA_CONFIGS, LlamaModel),
+        (OPT_CONFIGS, OPTModel),
+        (QWEN2_CONFIGS, Qwen2Model),
+        (MISTRAL_CONFIGS, MistralModel),
+    )
+    for configs, family in families:
+        if key in configs:
+            return family.create(key, **kw)
+    known = sorted(k for configs, _ in families for k in configs)
     raise ValueError(
-        f"unknown model {name!r}; known: "
-        f"{sorted(GPT2_CONFIGS) + sorted(LLAMA_CONFIGS)} or implementation='fake'"
+        f"unknown model {name!r}; known: {known} or implementation='fake'"
     )

@@ -96,7 +96,7 @@ def rope(
 
 
 def _norm(cfg: ModelConfig, x, p, prefix):
-    if cfg.arch == "gpt2":
+    if cfg.use_layernorm:
         return layer_norm(x, p[f"{prefix}_scale"], p[f"{prefix}_bias"], cfg.layer_norm_eps)
     return rms_norm(x, p[f"{prefix}_scale"], cfg.rms_norm_eps)
 
@@ -153,14 +153,16 @@ def _attn_block(
         attn = get_op("decode_attention")(
             q, kv_layer[0], kv_layer[1], positions, kv_layer[2], kv_layer[3],
             tree_mask, cache_lens if tree_mask is not None else None,
+            window=cfg.sliding_window,
         )
     out = dense(attn.reshape(B, S, H * Dh), p["wo"], p.get("bo"))
     return out, kv_layer
 
 
 def _mlp_block(cfg: ModelConfig, p: Any, x: jax.Array) -> jax.Array:
-    if cfg.act == "gelu":  # gpt2
-        h = jax.nn.gelu(dense(x, p["w_fc"], p.get("b_fc")))
+    if not cfg.gated_mlp:  # gpt2 gelu / opt relu: plain 2-layer mlp
+        act = jax.nn.gelu if cfg.act == "gelu" else jax.nn.relu
+        h = act(dense(x, p["w_fc"], p.get("b_fc")))
         return dense(h, p["w_proj"], p.get("b_proj"))
     # llama gated silu; gate and up fused into one matmul
     gu = dense(x, p["w_gate_up"])
@@ -195,6 +197,18 @@ def forward(
             "tree speculation requires a contiguous KV cache (compaction "
             "gathers across page boundaries are future work)"
         )
+    if cfg.sliding_window is not None and (
+        page_table is not None or cp is not None or tree_mask is not None
+    ):
+        # The window mask is implemented on the contiguous chain-decode path
+        # only. (With max_seq <= window the mask never binds, so any path is
+        # exact; Mistral's window is 4096 — far above typical serving caches.)
+        max_t = cache.k.shape[-2] * (cache.table.shape[-1] if page_table is not None else 1)
+        if max_t > cfg.sliding_window:
+            raise NotImplementedError(
+                "sliding-window attention with paged / context-parallel / "
+                "tree caches longer than the window is not supported"
+            )
 
     embed = params["embed"]
     if isinstance(embed, EmbedQuant):
@@ -202,7 +216,8 @@ def forward(
     else:
         x = jnp.take(embed, tokens, axis=0).astype(cfg.dtype)
     if cfg.use_learned_pos:
-        x = x + jnp.take(params["pos_embed"], positions, axis=0).astype(cfg.dtype)
+        pos = positions + cfg.pos_offset if cfg.pos_offset else positions
+        x = x + jnp.take(params["pos_embed"], pos, axis=0).astype(cfg.dtype)
 
     def layer(x, xs):
         p, kv_layer = xs
@@ -228,7 +243,7 @@ def forward(
     else:
         new_cache = KVCache(*kv_new)
 
-    if cfg.arch == "gpt2":
+    if cfg.use_layernorm:
         x = layer_norm(
             x, params["final_norm_scale"], params["final_norm_bias"], cfg.layer_norm_eps
         )
@@ -299,7 +314,7 @@ def init_params_quantized(cfg: ModelConfig, rng: jax.Array, mode: str = "int8",
                           cfg.head_dim, cfg.n_layers)
     params["layers"]["w_qkv"] = rand_qt(next(keys), D, (H + 2 * KV) * Dh, L)
     params["layers"]["wo"] = rand_qt(next(keys), H * Dh, D, L)
-    if cfg.arch == "gpt2":
+    if not cfg.gated_mlp:
         params["layers"]["w_fc"] = rand_qt(next(keys), D, F, L)
         params["layers"]["w_proj"] = rand_qt(next(keys), F, D, L)
     else:
@@ -349,7 +364,7 @@ def init_params(cfg: ModelConfig, rng: jax.Array, skip_big: bool = False) -> Any
             w_qkv=init(next(keys), (L, D, (H + 2 * KV) * Dh)),
             wo=init(next(keys), (L, H * Dh, D)),
         )
-    if cfg.arch == "gpt2":
+    if cfg.use_layernorm:  # gpt2 / opt: LayerNorm biases + projection biases
         layers.update(
             attn_norm_bias=jnp.zeros((L, D), dt),
             mlp_norm_bias=jnp.zeros((L, D), dt),
@@ -358,24 +373,30 @@ def init_params(cfg: ModelConfig, rng: jax.Array, skip_big: bool = False) -> Any
             b_fc=jnp.zeros((L, F), dt),
             b_proj=jnp.zeros((L, D), dt),
         )
-        if not skip_big:
+    elif cfg.qkv_bias:  # qwen2: bias on the fused qkv projection only
+        layers["b_qkv"] = jnp.zeros((L, (H + 2 * KV) * Dh), dt)
+    if not skip_big:
+        if cfg.gated_mlp:
+            layers.update(
+                w_gate_up=init(next(keys), (L, D, 2 * F)),
+                w_down=init(next(keys), (L, F, D)),
+            )
+        else:
             layers.update(
                 w_fc=init(next(keys), (L, D, F)),
                 w_proj=init(next(keys), (L, F, D)),
             )
-    elif not skip_big:
-        layers.update(
-            w_gate_up=init(next(keys), (L, D, 2 * F)),
-            w_down=init(next(keys), (L, F, D)),
-        )
 
     params = {
         "embed": init(next(keys), (cfg.vocab_size, D)),
         "layers": layers,
         "final_norm_scale": jnp.ones((D,), dt),
     }
-    if cfg.arch == "gpt2":
-        params["pos_embed"] = init(next(keys), (cfg.max_position_embeddings, D))
+    if cfg.use_learned_pos:
+        params["pos_embed"] = init(
+            next(keys), (cfg.max_position_embeddings + cfg.pos_offset, D)
+        )
+    if cfg.use_layernorm:
         params["final_norm_bias"] = jnp.zeros((D,), dt)
     if not cfg.tie_word_embeddings and not skip_big:
         params["lm_head"] = init(next(keys), (D, cfg.vocab_size))

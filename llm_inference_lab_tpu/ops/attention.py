@@ -35,6 +35,7 @@ def attend_xla(
     v_scale: jax.Array = None,
     tree_mask: jax.Array = None,  # [S, S] intra-chunk ancestry (tree spec)
     chunk_start: jax.Array = None,  # [B] chunk base slot (required w/ tree_mask)
+    window: int = None,  # sliding window (Mistral): attend to (p-window, p]
 ) -> jax.Array:
     if k_cache.dtype == jnp.int8:
         # Reference path for the quantized cache: dequantize then attend.
@@ -56,6 +57,11 @@ def attend_xla(
     if tree_mask is None:
         # Chain decode: slot index == position; causal by position compare.
         mask = kv_pos[None, None, None, None, :] <= positions[:, None, None, :, None]
+        if window is not None:
+            mask &= (
+                kv_pos[None, None, None, None, :]
+                > positions[:, None, None, :, None] - window
+            )
     else:
         # Tree speculation: slots [chunk_start, chunk_start+S) hold tree
         # nodes whose intra-chunk visibility is the ancestry mask; slots

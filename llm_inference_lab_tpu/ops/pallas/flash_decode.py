@@ -182,10 +182,16 @@ def flash_decode_attention(
 
 
 def _kernel_wrapper(q, k_cache, v_cache, positions, k_scale=None, v_scale=None,
-                    tree_mask=None, chunk_start=None):
+                    tree_mask=None, chunk_start=None, window=None):
     from llm_inference_lab_tpu.ops.pallas import interpret_mode, use_pallas
 
     T = k_cache.shape[2]
+    if window is not None and T > window:
+        # Sliding window binds: only the XLA path implements the window mask.
+        from llm_inference_lab_tpu.ops.attention import attend_xla
+
+        return attend_xla(q, k_cache, v_cache, positions, k_scale, v_scale,
+                          tree_mask, chunk_start, window=window)
     S, D = q.shape[1], q.shape[-1]
     group = q.shape[2] // k_cache.shape[1]
     ok = (

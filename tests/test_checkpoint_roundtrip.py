@@ -113,6 +113,74 @@ def test_llama_roundtrip_tied_sharded(tmp_path):
     _compare(cfg, params, m, 128)
 
 
+def test_opt_roundtrip(tmp_path):
+    """Separate q/k/v Linears fused on load + biases + LayerNorm + learned
+    positions with the HF +2 offset + ReLU MLP + tied lm_head, against
+    transformers.OPTForCausalLM (the reference's opt-125m surface,
+    src/server/local_baseline.py)."""
+    hf_cfg = transformers.OPTConfig(
+        vocab_size=96, hidden_size=32, ffn_dim=64, num_hidden_layers=3,
+        num_attention_heads=4, max_position_embeddings=64,
+        do_layer_norm_before=True, word_embed_proj_dim=32,
+    )
+    m = transformers.OPTForCausalLM(hf_cfg).eval()
+    m.save_pretrained(tmp_path, safe_serialization=True)
+
+    from llm_inference_lab_tpu.models.loader import load_opt_checkpoint
+
+    cfg = config_from_hf(load_hf_config(str(tmp_path)), "opt-test", jnp.float32)
+    assert cfg.arch == "opt" and cfg.pos_offset == 2 and cfg.act == "relu"
+    params = load_opt_checkpoint(str(tmp_path), cfg)
+    assert params["pos_embed"].shape[0] == 64 + 2
+    _compare(cfg, params, m, 96)
+
+
+def test_qwen2_roundtrip_qkv_bias(tmp_path):
+    """Llama-layout checkpoint + q/k/v biases (fused to b_qkv on load) + GQA,
+    against transformers.Qwen2ForCausalLM."""
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=100000.0,
+        tie_word_embeddings=False,
+    )
+    m = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    # Qwen2's q/k/v biases are zero-init; randomize so the test actually
+    # proves the fused-bias load order.
+    with torch.no_grad():
+        for layer in m.model.layers:
+            for proj in (layer.self_attn.q_proj, layer.self_attn.k_proj,
+                         layer.self_attn.v_proj):
+                proj.bias.normal_(0.0, 0.5)
+    m.save_pretrained(tmp_path, safe_serialization=True)
+
+    cfg = config_from_hf(load_hf_config(str(tmp_path)), "qwen2-test", jnp.float32)
+    assert cfg.arch == "llama" and cfg.qkv_bias and cfg.sliding_window is None
+    params = load_llama_checkpoint(str(tmp_path), cfg)
+    assert params["layers"]["b_qkv"].shape == (2, (4 + 2 + 2) * 8)
+    _compare(cfg, params, m, 96)
+
+
+def test_mistral_roundtrip_sliding_window(tmp_path):
+    """Llama-layout checkpoint + a sliding window SMALL ENOUGH TO BIND at the
+    test sequence length, against transformers.MistralForCausalLM — proves
+    the window mask (ops/attention.attend_xla) matches HF's."""
+    hf_cfg = transformers.MistralConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, sliding_window=5,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    m = transformers.MistralForCausalLM(hf_cfg).eval()
+    m.save_pretrained(tmp_path, safe_serialization=True)
+
+    cfg = config_from_hf(load_hf_config(str(tmp_path)), "mistral-test", jnp.float32)
+    assert cfg.arch == "llama" and cfg.sliding_window == 5
+    params = load_llama_checkpoint(str(tmp_path), cfg)
+    # The test prompt is 13 tokens > window 5: the mask binds.
+    _compare(cfg, params, m, 96)
+
+
 def test_engine_prefers_cached_checkpoint(tmp_path, monkeypatch):
     """get_model auto-loads from a seeded HF hub cache (bench.py reports
     real acceptance the moment weights exist)."""

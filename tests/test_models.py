@@ -40,7 +40,67 @@ def tiny_gpt2():
     return Model(config=cfg, params=params, apply_fn=partial(transformer.forward, cfg))
 
 
-@pytest.mark.parametrize("factory", [tiny_llama, tiny_gpt2])
+def tiny_opt():
+    from dataclasses import replace
+
+    from llm_inference_lab_tpu.models.base import Model
+    from functools import partial
+
+    cfg = replace(
+        LLAMA_CONFIGS["llama-tiny"],
+        name="opt-tiny",
+        arch="opt",
+        use_learned_pos=True,
+        use_bias=True,
+        act="relu",
+        pos_offset=2,
+        n_kv_heads=4,
+        max_position_embeddings=128,
+        dtype=jnp.float32,
+    )
+    params = transformer.init_params(cfg, jax.random.PRNGKey(3))
+    return Model(config=cfg, params=params, apply_fn=partial(transformer.forward, cfg))
+
+
+def tiny_qwen():
+    """Llama arch + fused qkv bias (Qwen2)."""
+    from dataclasses import replace
+
+    from llm_inference_lab_tpu.models.base import Model
+    from functools import partial
+
+    cfg = replace(
+        LLAMA_CONFIGS["llama-tiny"], name="qwen-tiny", qkv_bias=True,
+        dtype=jnp.float32,
+    )
+    params = transformer.init_params(cfg, jax.random.PRNGKey(4))
+    # Non-zero biases so the test exercises them.
+    params["layers"]["b_qkv"] = (
+        jax.random.normal(jax.random.PRNGKey(5), params["layers"]["b_qkv"].shape)
+        * 0.3
+    ).astype(jnp.float32)
+    return Model(config=cfg, params=params, apply_fn=partial(transformer.forward, cfg))
+
+
+def tiny_mistral():
+    """Llama arch + a sliding window that BINDS at the test lengths."""
+    from dataclasses import replace
+
+    from llm_inference_lab_tpu.models.base import Model
+    from functools import partial
+
+    cfg = replace(
+        LLAMA_CONFIGS["llama-tiny"], name="mistral-tiny", sliding_window=5,
+        dtype=jnp.float32,
+    )
+    params = transformer.init_params(cfg, jax.random.PRNGKey(6))
+    return Model(config=cfg, params=params, apply_fn=partial(transformer.forward, cfg))
+
+
+ALL_ARCHS = [tiny_llama, tiny_gpt2, tiny_opt, tiny_qwen, tiny_mistral]
+
+
+@pytest.mark.parametrize("factory", ALL_ARCHS)
 def test_forward_shapes(factory):
     m = factory()
     B, S, T = 2, 5, 32
@@ -53,7 +113,7 @@ def test_forward_shapes(factory):
     assert cache2.k.shape == cache.k.shape
 
 
-@pytest.mark.parametrize("factory", [tiny_llama, tiny_gpt2])
+@pytest.mark.parametrize("factory", ALL_ARCHS)
 def test_incremental_equals_full(factory):
     """Prefill(T0) + single-token decode steps == one full forward."""
     m = factory()
@@ -93,7 +153,7 @@ def test_incremental_equals_full(factory):
     )
 
 
-@pytest.mark.parametrize("factory", [tiny_llama, tiny_gpt2])
+@pytest.mark.parametrize("factory", ALL_ARCHS)
 def test_chunked_decode_matches_single_steps(factory):
     """A K+1-token verify chunk must equal K+1 single-token decodes (the
     correctness core of single-pass verification)."""
