@@ -39,6 +39,7 @@ class _Request:
     slot: Optional[int] = None
     result: Optional[dict] = None
     pages: Optional[List[int]] = None  # paged KV: pages owned by this request
+    cancelled: bool = False  # early termination (stop sequence / client gone)
 
 
 def make_admit(target_model, draft_model):
@@ -173,6 +174,13 @@ class ContinuousBatcher:
         self._done_prop = self._done_acc = 0
         self._prev_prop = self._prev_acc = 0
         self._admit = make_admit(engine.target, engine.draft)
+        # Early termination (stop sequences, client disconnect): clearing a
+        # slot's active flag retires it at the next poll; the freed slot is
+        # immediately re-usable. One tiny jitted device write.
+        self._deactivate = jax.jit(
+            lambda state, slot: state.replace(active=state.active.at[slot].set(False)),
+            donate_argnums=(0,),
+        )
         # Paged KV: page pool + host-side allocator. Pool defaults to the
         # contiguous-equivalent size; cap it with cfg.kv_pages to make
         # serving memory proportional to the LIVE token budget (admission
@@ -264,21 +272,31 @@ class ContinuousBatcher:
             return plans
         if not self.paged:
             admitted = self.scheduler.admit(len(free))
-            for slot, rid in zip(free, admitted):
+            slots = iter(free)
+            for rid in admitted:
                 req = self._requests.pop(rid)
-                req.slot = slot
+                if req.cancelled:  # cancelled while queued: drop silently
+                    self._finish_cancelled(req)
+                    continue
+                req.slot = next(slots)
                 plans.append(req)
             return plans
         # Paged: memory-aware admission — one at a time; a request that
         # can't get its pages goes back to the queue and admission stops
         # (the scheduler's overdue rule keeps it from starving).
         for slot in free:
-            if not self.scheduler.pending():
+            req = None
+            while req is None and self.scheduler.pending():
+                (rid,) = self.scheduler.admit(1) or (None,)
+                if rid is None:
+                    break
+                req = self._requests[rid]
+                if req.cancelled:  # cancelled while queued: drop silently
+                    self._requests.pop(rid)
+                    self._finish_cancelled(req)
+                    req = None
+            if req is None:
                 break
-            (rid,) = self.scheduler.admit(1) or (None,)
-            if rid is None:
-                break
-            req = self._requests[rid]
             need = self.allocator.pages_needed(
                 len(req.ids) + req.max_new_tokens + eng._max_k + 2
             )
@@ -291,6 +309,16 @@ class ContinuousBatcher:
             self._requests.pop(rid)
             plans.append(req)
         return plans
+
+    def _finish_cancelled(self, req: _Request) -> None:
+        req.result = {
+            "req_id": req.req_id, "text": "", "generated_ids": [],
+            "generated_tokens": 0, "proposed": 0, "accepted": 0,
+            "acceptance_rate": 0.0,
+            "latency_ms": (time.perf_counter() - req.submitted_at) * 1e3,
+            "slot": None, "finish_reason": "cancelled",
+        }
+        self._done[req.req_id] = req
 
     def _admit_pending(self) -> None:
         for req in self._plan_admissions():
@@ -309,6 +337,34 @@ class ContinuousBatcher:
 
     def _fetch_tokens(self):
         return np.asarray(self.state.tokens), np.asarray(self.state.lengths)
+
+    def poll_generated(self) -> Dict[int, List[int]]:
+        """In-flight generated token ids per request (ONE device fetch) —
+        the streaming observation point: callers diff successive polls to
+        emit deltas (server/serving.py SSE path)."""
+        tokens, lengths = self._fetch_tokens()
+        out: Dict[int, List[int]] = {}
+        for slot, req in enumerate(self._slots):
+            if req is None:
+                continue
+            out[req.req_id] = tokens[slot, len(req.ids) : lengths[slot]].tolist()
+        return out
+
+    def cancel(self, req_id: int) -> bool:
+        """Terminate a request early (stop-sequence hit, client disconnect).
+        Queued requests are dropped at admission; in-flight requests get
+        their slot's active flag cleared on device and retire (with the
+        tokens generated so far) at the next poll."""
+        req = self._requests.get(req_id)
+        if req is not None and req.slot is None:
+            req.cancelled = True
+            return True
+        for slot, r in enumerate(self._slots):
+            if r is not None and r.req_id == req_id:
+                r.cancelled = True
+                self.state = self._deactivate(self.state, np.int32(slot))
+                return True
+        return False
 
     def _retire_finished(self) -> None:
         # ONE combined host fetch per poll: active flags + acceptance
@@ -345,6 +401,14 @@ class ContinuousBatcher:
                 "acceptance_rate": acc / prop if prop else 0.0,
                 "latency_ms": (time.perf_counter() - req.submitted_at) * 1e3,
                 "slot": slot,
+                # OpenAI semantics: "length" = ran to the token budget,
+                # "stop" = EOS (or cancel — callers overwrite for stop
+                # sequences they matched host-side).
+                "finish_reason": (
+                    "cancelled" if req.cancelled
+                    else "length" if len(gen) >= req.max_new_tokens
+                    else "stop"
+                ),
             }
             self._done[req.req_id] = req
             self._slots[slot] = None

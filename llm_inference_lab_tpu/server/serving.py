@@ -6,6 +6,12 @@ Endpoints:
   POST /v1/chat/completions    -> {choices: [{message: {...}}], usage: {...}}
   GET  /v1/models              -> model listing
 
+Request features: max_tokens, stop (string or list — host-side match,
+truncates the text AND cancels the slot early so it frees for the next
+request), stream (SSE "data:" chunks + [DONE], OpenAI chunk schema), echo
+(completions). finish_reason is "stop" (EOS / stop sequence) or "length"
+(token budget). Client disconnects mid-stream cancel the generation.
+
 Architecture: HTTP handler threads enqueue requests into a thread-safe
 queue and wait on per-request events; ONE engine thread owns the device —
 it drains the queue into the ContinuousBatcher, runs decode steps, retires
@@ -29,13 +35,21 @@ from llm_inference_lab_tpu.core.engine import Engine
 
 
 class _Pending:
-    __slots__ = ("prompt", "max_tokens", "event", "result")
+    __slots__ = ("prompt", "max_tokens", "event", "result", "stream", "stop",
+                 "chunks", "sent_text", "final_text", "finish_reason")
 
-    def __init__(self, prompt: str, max_tokens: int):
+    def __init__(self, prompt: str, max_tokens: int,
+                 stream: bool = False, stop=None):
         self.prompt = prompt
         self.max_tokens = max_tokens
         self.event = threading.Event()
         self.result: Optional[dict] = None
+        self.stream = stream
+        self.stop = stop or []  # stop sequences (host-side match + truncate)
+        self.chunks: "queue.Queue[Optional[str]]" = queue.Queue()  # SSE deltas
+        self.sent_text = ""  # decoded text already emitted / observed
+        self.final_text: Optional[str] = None  # stop-truncated final text
+        self.finish_reason: Optional[str] = None
 
 
 class InferenceServer:
@@ -51,6 +65,10 @@ class InferenceServer:
         self.batcher = ContinuousBatcher(engine, n_slots=n_slots, poll_every=poll_every)
         self.host, self.port = host, port
         self._incoming: "queue.Queue[_Pending]" = queue.Queue()
+        # Cancels cross from HTTP handler threads to the engine thread here:
+        # only the engine thread may touch JAX state (batcher.cancel writes
+        # the device-side active flags).
+        self._cancels: "queue.Queue[_Pending]" = queue.Queue()
         self._inflight: Dict[int, _Pending] = {}
         self._stop = threading.Event()
         self._worker: Optional[threading.Thread] = None
@@ -87,13 +105,80 @@ class InferenceServer:
             b.step_chunk(b.poll_every)
             b._retire_finished()
             b._admit_pending()
+            while True:  # client-disconnect cancels from handler threads
+                try:
+                    gone = self._cancels.get_nowait()
+                except queue.Empty:
+                    break
+                for rid, p in list(self._inflight.items()):
+                    if p is gone:
+                        b.cancel(rid)
+                        break
+            self._observe_streams()
             for rid, req in list(b._done.items()):
                 pend = self._inflight.pop(rid, None)
                 if pend is not None:
                     pend.result = req.result
-                    pend.event.set()
+                    self._finalize(pend)
                     self._served += 1
                 del b._done[rid]
+
+    def _decode(self, ids) -> str:
+        eos = self.engine.eos_token_id
+        return self.engine.tokenizer.decode([t for t in ids if t != eos])
+
+    def _match_stop(self, pend: _Pending, text: str) -> int:
+        """Index of the earliest stop-sequence match in `text`, or -1."""
+        hits = [text.find(s) for s in pend.stop if s and s in text]
+        return min(hits) if hits else -1
+
+    def _observe_streams(self) -> None:
+        """Per-poll token observation for in-flight streaming / stop-sequence
+        requests: ONE extra device fetch (skipped entirely when no such
+        request is running), decode-full-then-diff deltas (robust to
+        multi-byte tokenizer merges), host-side stop matching with early
+        slot cancellation."""
+        watch = {
+            rid: p for rid, p in self._inflight.items()
+            if (p.stream or p.stop) and p.final_text is None
+        }
+        if not watch:
+            return
+        gen = self.batcher.poll_generated()
+        for rid, pend in watch.items():
+            if rid not in gen:
+                continue  # already retired; _finalize handles the tail
+            text = self._decode(gen[rid])
+            cut = self._match_stop(pend, text)
+            if cut >= 0:
+                pend.final_text = text[:cut]
+                pend.finish_reason = "stop"
+                self.batcher.cancel(rid)  # free the slot now
+                text = pend.final_text
+            if pend.stream and len(text) > len(pend.sent_text):
+                pend.chunks.put(text[len(pend.sent_text):])
+            if len(text) > len(pend.sent_text) or cut >= 0:
+                pend.sent_text = text
+
+    def _finalize(self, pend: _Pending) -> None:
+        """Resolve final text/finish_reason from the batcher result (plus any
+        host-side stop truncation), flush the last stream delta, wake the
+        handler thread."""
+        r = pend.result
+        if pend.final_text is None:
+            text = r["text"]
+            cut = self._match_stop(pend, text)
+            if cut >= 0:
+                text = text[:cut]
+                pend.finish_reason = "stop"
+            pend.final_text = text
+        if pend.finish_reason is None:
+            pend.finish_reason = r.get("finish_reason", "stop")
+        if pend.stream:
+            if len(pend.final_text) > len(pend.sent_text):
+                pend.chunks.put(pend.final_text[len(pend.sent_text):])
+            pend.chunks.put(None)  # sentinel: stream complete
+        pend.event.set()
 
     # --------------------------------------------------------------- http
     def _make_handler(server: "InferenceServer"):
@@ -152,26 +237,37 @@ class InferenceServer:
                     or body.get("max_completion_tokens")
                     or outer.engine.config.max_new_tokens
                 )
-                pend = _Pending(prompt, max_tokens)
+                stop = body.get("stop") or []
+                if isinstance(stop, str):
+                    stop = [stop]
+                stream = bool(body.get("stream", False))
+                chat = self.path == "/v1/chat/completions"
+                pend = _Pending(prompt, max_tokens, stream=stream, stop=stop)
                 outer._incoming.put(pend)
+                if stream:
+                    self._stream_response(pend, chat)
+                    return
                 if not pend.event.wait(timeout=600):
                     self._json(504, {"error": "generation timed out"})
                     return
                 r = pend.result
+                text = pend.final_text if pend.final_text is not None else r["text"]
+                if body.get("echo") and not chat:
+                    text = prompt + text
                 usage = {
                     "prompt_tokens": len(outer.engine.tokenizer.encode(prompt)),
                     "completion_tokens": r["generated_tokens"],
                     "total_tokens": 0,
                 }
                 usage["total_tokens"] = usage["prompt_tokens"] + usage["completion_tokens"]
-                if self.path == "/v1/completions":
+                if not chat:
                     self._json(200, {
                         "id": f"cmpl-{uuid.uuid4().hex[:12]}",
                         "object": "text_completion",
                         "model": outer.engine.config.base_model,
                         "choices": [{
-                            "index": 0, "text": r["text"],
-                            "finish_reason": "stop",
+                            "index": 0, "text": text,
+                            "finish_reason": pend.finish_reason,
                         }],
                         "usage": usage,
                         "specdx": {
@@ -186,11 +282,64 @@ class InferenceServer:
                         "model": outer.engine.config.base_model,
                         "choices": [{
                             "index": 0,
-                            "message": {"role": "assistant", "content": r["text"]},
-                            "finish_reason": "stop",
+                            "message": {"role": "assistant", "content": text},
+                            "finish_reason": pend.finish_reason,
                         }],
                         "usage": usage,
                     })
+
+            def _stream_response(self, pend: _Pending, chat: bool) -> None:
+                """OpenAI-style server-sent events: one `data: {json}` chunk
+                per observed delta, then a finish_reason chunk and
+                `data: [DONE]`."""
+                rid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:12]}"
+                model = outer.engine.config.base_model
+                obj = "chat.completion.chunk" if chat else "text_completion"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+
+                def emit(delta: Optional[str], finish: Optional[str]) -> None:
+                    if chat:
+                        choice = {"index": 0,
+                                  "delta": {} if delta is None else {"content": delta},
+                                  "finish_reason": finish}
+                    else:
+                        choice = {"index": 0, "text": delta or "",
+                                  "finish_reason": finish}
+                    payload = {"id": rid, "object": obj, "model": model,
+                               "choices": [choice]}
+                    self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
+                    self.wfile.flush()
+
+                deadline = time.time() + 600
+                try:
+                    if chat:  # role preamble chunk (OpenAI convention)
+                        emit_first = {"id": rid, "object": obj, "model": model,
+                                      "choices": [{"index": 0,
+                                                   "delta": {"role": "assistant"},
+                                                   "finish_reason": None}]}
+                        self.wfile.write(
+                            f"data: {json.dumps(emit_first)}\n\n".encode())
+                        self.wfile.flush()
+                    while True:
+                        try:
+                            chunk = pend.chunks.get(timeout=1.0)
+                        except queue.Empty:
+                            if time.time() > deadline:
+                                break
+                            continue
+                        if chunk is None:
+                            emit(None, pend.finish_reason or "stop")
+                            self.wfile.write(b"data: [DONE]\n\n")
+                            self.wfile.flush()
+                            break
+                        emit(chunk, None)
+                except (BrokenPipeError, ConnectionResetError):
+                    # Client went away mid-stream: ask the engine thread to
+                    # stop generating for them (no JAX access from here).
+                    outer._cancels.put(pend)
 
         return Handler
 

@@ -57,6 +57,44 @@ def test_batcher_incremental_submission():
     assert len(out) == 2  # run() returns all completed so far
 
 
+def test_batcher_cancel_and_poll():
+    """cancel() on an in-flight request frees its slot early with partial
+    output; cancel() on a queued request drops it; poll_generated exposes
+    in-flight tokens (the streaming observation point)."""
+    eng = make_engine(max_new_tokens=32)
+    b = ContinuousBatcher(eng, n_slots=1)
+    r1 = b.submit("inflight request")
+    r2 = b.submit("queued request")
+    b._admit_pending()
+    b.step_chunk(2)
+    polled = b.poll_generated()
+    assert r1 in polled  # r1 occupies the only slot
+    assert b.cancel(r1)
+    assert b.cancel(r2)
+    results = b.run()
+    by_id = {r["req_id"]: r for r in results}
+    assert by_id[r1]["finish_reason"] == "cancelled"
+    assert by_id[r1]["generated_tokens"] < 32  # stopped early
+    assert by_id[r2]["finish_reason"] == "cancelled"
+    assert by_id[r2]["generated_tokens"] == 0  # never admitted
+    # Slot is reusable after the cancel.
+    r3 = b.submit("after cancel")
+    out = {r["req_id"]: r for r in b.run()}
+    assert out[r3]["generated_tokens"] > 0
+
+
+def test_batcher_finish_reason():
+    eng = make_engine(max_new_tokens=6)
+    b = ContinuousBatcher(eng, n_slots=1)
+    rid = b.submit("finish reason probe")
+    (res,) = b.run()
+    if res["generated_tokens"] >= 6:
+        assert res["finish_reason"] == "length"
+    else:
+        assert res["finish_reason"] == "stop"
+    assert res["req_id"] == rid
+
+
 def test_batcher_per_request_max_new_tokens():
     """Each request's own max_tokens budget must be honored (round-1
     ADVICE.md: the budget used to be a compile-time constant, so server

@@ -109,6 +109,84 @@ def test_http_bench_client_unreachable():
     assert out["success_rate"] == 0.0
 
 
+def _post_stream(server, path, body):
+    """POST with stream=true; returns (deltas list, finish_reason, saw_done)."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    deltas, finish, done = [], None, False
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        for raw in resp:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                done = True
+                break
+            obj = json.loads(payload)
+            ch = obj["choices"][0]
+            if "delta" in ch:
+                deltas.append(ch["delta"].get("content", ""))
+            else:
+                deltas.append(ch["text"])
+            finish = ch["finish_reason"] or finish
+    return deltas, finish, done
+
+
+def test_streaming_completion_matches_non_stream(server):
+    body = {"prompt": "stream me", "max_tokens": 8}
+    full = _post(server, "/v1/completions", body)
+    deltas, finish, done = _post_stream(
+        server, "/v1/completions", {**body, "stream": True}
+    )
+    assert done and finish in ("stop", "length")
+    assert "".join(deltas) == full["choices"][0]["text"]
+
+
+def test_streaming_chat(server):
+    deltas, finish, done = _post_stream(
+        server, "/v1/chat/completions",
+        {"messages": [{"role": "user", "content": "hi"}],
+         "max_tokens": 6, "stream": True},
+    )
+    assert done and finish in ("stop", "length")
+    assert isinstance("".join(deltas), str)
+
+
+def test_stop_sequence_truncates_and_finishes_early(server):
+    base = _post(server, "/v1/completions",
+                 {"prompt": "halt here", "max_tokens": 8})
+    text = base["choices"][0]["text"]
+    if len(text) < 4:
+        pytest.skip("fake output too short to carve a stop sequence")
+    stop = text[2:4]
+    out = _post(server, "/v1/completions",
+                {"prompt": "halt here", "max_tokens": 8, "stop": stop})
+    got = out["choices"][0]["text"]
+    assert stop not in got
+    assert got == text[: text.find(stop)]
+    assert out["choices"][0]["finish_reason"] == "stop"
+
+
+def test_finish_reason_length(server):
+    out = _post(server, "/v1/completions",
+                {"prompt": "run to budget", "max_tokens": 5})
+    if out["usage"]["completion_tokens"] == 5:
+        assert out["choices"][0]["finish_reason"] == "length"
+    else:  # fake model hit EOS before the budget
+        assert out["choices"][0]["finish_reason"] == "stop"
+
+
+def test_echo(server):
+    out = _post(server, "/v1/completions",
+                {"prompt": "echo this", "max_tokens": 4, "echo": True})
+    assert out["choices"][0]["text"].startswith("echo this")
+
+
 def test_bad_json(server):
     req = urllib.request.Request(
         f"http://127.0.0.1:{server.port}/v1/completions",
