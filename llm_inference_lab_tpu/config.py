@@ -100,6 +100,11 @@ class EngineConfig:
     # temperature/1.5 while verification is greedy argmax at temp 1.0
     # (reference pipeline.py:2324-2328, speculative_scheduler.py:192-198).
     draft_temperature_scale: float = 1.5
+    # Per-REQUEST sampling: temperature/top_k/top_p live in DecodeState [B]
+    # arrays (serving: each OpenAI request carries its own; temperature <= 0
+    # means greedy). Off = the scalars above are compiled into the step
+    # (slightly faster). Not compatible with policy="rejection" or tree mode.
+    per_request_sampling: bool = False
 
     # Shapes / limits
     max_seq_len: int = 1024

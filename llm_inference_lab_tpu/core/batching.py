@@ -35,6 +35,11 @@ class _Request:
     prompt: str
     ids: List[int]
     max_new_tokens: int
+    # Per-request sampling (used when the engine has per_request_sampling;
+    # None = engine defaults).
+    temperature: Optional[float] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
     submitted_at: float = field(default_factory=time.perf_counter)
     slot: Optional[int] = None
     result: Optional[dict] = None
@@ -52,7 +57,7 @@ def make_admit(target_model, draft_model):
     draft_apply = draft_model.apply_fn if draft_model is not None else None
 
     def admit(target_params, draft_params, state, prompt_row, prompt_len, slot,
-              max_new, table_row):
+              max_new, table_row, temperature, top_k, top_p):
         from llm_inference_lab_tpu.models.base import KVCache
         from llm_inference_lab_tpu.models.paged import PagedKVCache
 
@@ -127,6 +132,9 @@ def make_admit(target_model, draft_model):
             bonus=state.bonus.at[slot].set(0),
             last_hidden=state.last_hidden.at[slot].set(h_last),
             prev_hidden=state.prev_hidden.at[slot].set(h_last),
+            temperature=state.temperature.at[slot].set(temperature),
+            top_k=state.top_k.at[slot].set(top_k),
+            top_p=state.top_p.at[slot].set(top_p),
         )
 
     return jax.jit(admit, donate_argnums=(2,))
@@ -200,11 +208,17 @@ class ContinuousBatcher:
             )
         else:
             self.allocator = None
+        self._default_sampling = (
+            0.0 if cfg.greedy else cfg.temperature, cfg.top_k, cfg.top_p,
+        )
         self.state = init_state(
             engine.target, engine.draft, n_slots, self.max_seq_len, seed=cfg.seed,
             kv_quantized=cfg.kv_quantization == "int8",
             max_new_tokens=cfg.max_new_tokens,
             init_k=getattr(engine.controller, "k", cfg.max_draft),
+            temperature=self._default_sampling[0],
+            top_k=self._default_sampling[1],
+            top_p=self._default_sampling[2],
             **paged_kw,
         )
         if engine.mesh is not None:
@@ -213,7 +227,14 @@ class ContinuousBatcher:
             self.state = shard_state(self.state, engine.mesh)
         self._steps = 0
 
-    def submit(self, prompt: str, max_new_tokens: Optional[int] = None) -> int:
+    def submit(
+        self,
+        prompt: str,
+        max_new_tokens: Optional[int] = None,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+    ) -> int:
         # Headroom uses engine._max_k (tree-aware: tree mode writes
         # num_nodes+1 cache rows per step, more than max_draft).
         ids = self.engine.tokenizer.encode(prompt)[
@@ -223,6 +244,7 @@ class ContinuousBatcher:
         req = _Request(
             self._next_id, prompt, ids,
             max_new_tokens or self.engine.config.max_new_tokens,
+            temperature=temperature, top_k=top_k, top_p=top_p,
         )
         self._next_id += 1
         self._requests[req.req_id] = req
@@ -248,6 +270,7 @@ class ContinuousBatcher:
             table_row[: len(req.pages)] = req.pages
         else:
             table_row = np.zeros((1,), np.int32)  # ignored
+        dt, dk, dp = self._default_sampling
         self.state = self._admit(
             eng.target.params,
             eng._draft_params,
@@ -257,6 +280,9 @@ class ContinuousBatcher:
             np.int32(slot),
             np.int32(req.max_new_tokens),
             table_row,
+            np.float32(dt if req.temperature is None else req.temperature),
+            np.int32(dk if req.top_k is None else req.top_k),
+            np.float32(dp if req.top_p is None else req.top_p),
         )
         self._slots[slot] = req
 

@@ -280,6 +280,10 @@ class Engine:
                 make_tree_spec_step,
             )
 
+            if cfg.per_request_sampling:
+                raise ValueError(
+                    "per_request_sampling is not supported in tree mode"
+                )
             return make_tree_spec_step(
                 self.target,
                 TreeConfig(tuple(cfg.tree.get("branching", [3, 2]))),
@@ -298,6 +302,7 @@ class Engine:
                 top_k=cfg.top_k,
                 top_p=cfg.top_p,
                 eos_token_id=self.eos_token_id,
+                per_request_sampling=cfg.per_request_sampling,
                 jit=jit,
             )
         from llm_inference_lab_tpu.core.controllers import AdaptiveDeviceKController
@@ -325,6 +330,7 @@ class Engine:
             medusa_cfg=cfg.medusa,
             eagle_cfg=cfg.eagle,
             adaptive_cfg=adaptive_cfg,
+            per_request_sampling=cfg.per_request_sampling,
             jit=jit,
         )
 
@@ -360,11 +366,27 @@ class Engine:
         prompts: List[str],
         max_new_tokens: Optional[int] = None,
         seed: Optional[int] = None,
+        temperature=None,
+        top_k=None,
+        top_p=None,
     ) -> List[Dict[str, Any]]:
         """Batched generation (reference pipeline.generate_batch,
         pipeline.py:1605). Returns one result dict per prompt with the
-        SURVEY.md §5.5 schema."""
+        SURVEY.md §5.5 schema.
+
+        temperature/top_k/top_p (scalar or per-prompt list) override the
+        engine defaults for this call — requires
+        EngineConfig(per_request_sampling=True), otherwise the compiled-in
+        config scalars win and overrides raise."""
         cfg = self.config
+        if (
+            any(x is not None for x in (temperature, top_k, top_p))
+            and not cfg.per_request_sampling
+        ):
+            raise ValueError(
+                "per-call sampling overrides need "
+                "EngineConfig(per_request_sampling=True)"
+            )
         max_new = max_new_tokens or cfg.max_new_tokens
         seed = self._seed if seed is None else seed
         B = len(prompts)
@@ -409,6 +431,10 @@ class Engine:
 
         dparams = self._draft_params
         t_start = time.perf_counter()
+        # Default row sampling params mirror the engine config (greedy =>
+        # temperature 0 under the per-request convention); per-call
+        # overrides replace them.
+        dflt_t = 0.0 if cfg.greedy else cfg.temperature
         state = init_state(
             self.target, self.draft, B, max_len, seed=seed,
             kv_quantized=cfg.kv_quantization == "int8",
@@ -416,6 +442,9 @@ class Engine:
             init_k=getattr(self.controller, "k", cfg.max_draft),
             paged=cfg.kv_layout == "paged",
             page_size=cfg.kv_page_size,
+            temperature=dflt_t if temperature is None else temperature,
+            top_k=cfg.top_k if top_k is None else top_k,
+            top_p=cfg.top_p if top_p is None else top_p,
         )
         if self.mesh is not None:
             from llm_inference_lab_tpu.parallel.sharding import shard_state

@@ -73,13 +73,14 @@ class MultiHostBatcher(ContinuousBatcher):
         self._k_sync = int(super()._current_k())
 
     # -- host-decision overrides ---------------------------------------
-    def submit(self, prompt: str, max_new_tokens: Optional[int] = None) -> int:
+    def submit(self, prompt: str, max_new_tokens: Optional[int] = None,
+               **sampling) -> int:
         if not self.is_coordinator:
             raise RuntimeError(
                 "submit() is coordinator-only (process 0 owns the queue); "
                 "other hosts just call run()"
             )
-        return super().submit(prompt, max_new_tokens)
+        return super().submit(prompt, max_new_tokens, **sampling)
 
     def _fetch_flags(self):
         if self.n_procs == 1:
@@ -112,17 +113,29 @@ class MultiHostBatcher(ContinuousBatcher):
         from jax.experimental import multihost_utils
 
         B = self.n_slots
-        header = np.zeros((B, 4), np.int32)
+        # header rows: (slot, plen, max_new, req_id, top_k)
+        header = np.zeros((B, 5), np.int32)
         rows = np.zeros((B, self._row_buf), np.int32)
         tables = np.zeros((B, self._tab_buf), np.int32)
+        # Per-request sampling (resolved to engine defaults when unset) must
+        # ride the broadcast too: admission writes these into device state,
+        # and hosts executing different values would desync sampling.
+        samp = np.zeros((B, 2), np.float32)  # (temperature, top_p)
         meta = np.zeros((3,), np.int32)  # (n_admit, pending, k)
 
+        dt, dk, dp = self._default_sampling
         plans: List[_Request] = []
         if self.is_coordinator:
             plans = self._plan_admissions()
             for i, req in enumerate(plans):
-                header[i] = (req.slot, len(req.ids), req.max_new_tokens,
-                             req.req_id)
+                header[i] = (
+                    req.slot, len(req.ids), req.max_new_tokens, req.req_id,
+                    dk if req.top_k is None else req.top_k,
+                )
+                samp[i] = (
+                    dt if req.temperature is None else req.temperature,
+                    dp if req.top_p is None else req.top_p,
+                )
                 rows[i, : len(req.ids)] = req.ids
                 if self.paged:
                     tables[i, : len(req.pages)] = req.pages
@@ -130,20 +143,23 @@ class MultiHostBatcher(ContinuousBatcher):
                        super()._current_k())
 
         if self.n_procs > 1:
-            header, rows, tables, meta = multihost_utils.broadcast_one_to_all(
-                (header, rows, tables, meta)
+            header, rows, tables, samp, meta = (
+                multihost_utils.broadcast_one_to_all(
+                    (header, rows, tables, samp, meta)
+                )
             )
         n_admit, pending, self._k_sync = int(meta[0]), int(meta[1]), int(meta[2])
 
         for i in range(n_admit):
-            slot, plen, max_new, rid = (int(x) for x in header[i])
+            slot, plen, max_new, rid, top_k = (int(x) for x in header[i])
             if self.is_coordinator:
                 req = plans[i]
             else:
                 # Placeholder request: enough state to drive the identical
                 # collective admission + retirement bookkeeping.
                 req = _Request(rid, "", [int(t) for t in rows[i, :plen]],
-                               max_new)
+                               max_new, temperature=float(samp[i, 0]),
+                               top_k=top_k, top_p=float(samp[i, 1]))
                 req.slot = slot
                 if self.paged:
                     req.pages = [int(t) for t in tables[i]]

@@ -61,6 +61,7 @@ def make_spec_step(
     medusa_cfg: Optional[dict] = None,
     eagle_cfg: Optional[dict] = None,
     adaptive_cfg: Optional[dict] = None,
+    per_request_sampling: bool = False,
     donate: bool = True,
     jit: bool = True,
 ):
@@ -91,8 +92,20 @@ def make_spec_step(
     generation therefore remains ONE dispatch — eliminating the measured 2x
     host-observation tax of the host-stepped adaptive path (RESULTS.md).
     Keys: min_k, target_acceptance, window, step_size.
+
+    per_request_sampling: draft/bonus sampling reads per-sequence
+    temperature/top_k/top_p from DecodeState instead of the compiled-in
+    scalars (serving: OpenAI per-request parameters; rows with
+    temperature <= 0 decode greedily). The static path is unchanged —
+    and faster — when off. Not compatible with the distribution-exact
+    `rejection` policy, whose proposal/target distributions are compiled in.
     """
     policy_params = dict(policy_params or {})
+    if per_request_sampling and use_rejection_bonus:
+        raise NotImplementedError(
+            "per-request sampling parameters are not supported with the "
+            "rejection policy (its distributions are compiled in)"
+        )
     target_apply = target_model.apply_fn
     draft_apply = draft_model.apply_fn if draft_model is not None else None
     head_fn = target_model.head_fn
@@ -116,6 +129,17 @@ def make_spec_step(
     eagle_alpha = float((eagle_cfg or {}).get("alpha", 0.7))
     compute_dtype = target_model.config.dtype
     adaptive = adaptive_cfg is not None
+
+    def _draft_samp(state):
+        """Draft-sampling kwargs: per-sequence arrays or compiled scalars."""
+        if per_request_sampling:
+            return dict(
+                temperature=state.temperature / draft_temperature_scale,
+                top_k=state.top_k, top_p=state.top_p, greedy=False,
+            )
+        return dict(temperature=draft_temp, top_k=top_k, top_p=top_p,
+                    greedy=greedy)
+
     a_min_k = int((adaptive_cfg or {}).get("min_k", 1))
     a_target = float((adaptive_cfg or {}).get("target_acceptance", 0.5))
     a_alpha = 2.0 / (float((adaptive_cfg or {}).get("window", 32)) + 1.0)
@@ -131,10 +155,7 @@ def make_spec_step(
                     draft_params, x[:, None], pos[:, None], cache, pos
                 )
                 logits = logits[:, 0]
-                nxt = sample_tokens(
-                    rng_i, logits, temperature=draft_temp, top_k=top_k,
-                    top_p=top_p, greedy=greedy,
-                )
+                nxt = sample_tokens(rng_i, logits, **_draft_samp(state))
                 return (nxt, cache), (nxt, logits)
 
             (_, draft_cache), (d, draft_logits) = jax.lax.scan(
@@ -165,8 +186,7 @@ def make_spec_step(
             )
             logits = logits[:, 0]
             nxt = sample_tokens(
-                jax.random.fold_in(rng_draft, i), logits,
-                temperature=draft_temp, top_k=top_k, top_p=top_p, greedy=greedy,
+                jax.random.fold_in(rng_draft, i), logits, **_draft_samp(state)
             )
             db = jax.lax.dynamic_update_index_in_dim(db, nxt, i, 1)
             lb = jax.lax.dynamic_update_index_in_dim(lb, logits, i, 1)
@@ -289,10 +309,16 @@ def make_spec_step(
             bonus_logits = jnp.take_along_axis(
                 target_logits, a[:, None, None], axis=1
             )[:, 0]
-            bonus = sample_tokens(
-                rng_bonus, bonus_logits, temperature=temperature, top_k=top_k,
-                top_p=top_p, greedy=greedy,
-            )
+            if per_request_sampling:
+                bonus = sample_tokens(
+                    rng_bonus, bonus_logits, temperature=state.temperature,
+                    top_k=state.top_k, top_p=state.top_p, greedy=False,
+                )
+            else:
+                bonus = sample_tokens(
+                    rng_bonus, bonus_logits, temperature=temperature,
+                    top_k=top_k, top_p=top_p, greedy=greedy,
+                )
 
         # ---- 5. Commit ----
         # Slot values: accepted draft tokens then the bonus everywhere after
@@ -406,6 +432,7 @@ def make_baseline_step(
     top_k: int = 0,
     top_p: float = 1.0,
     eos_token_id: Optional[int] = None,
+    per_request_sampling: bool = False,
     donate: bool = True,
     jit: bool = True,
 ):
@@ -422,10 +449,16 @@ def make_baseline_step(
         logits, target_cache = target_apply(
             target_params, last[:, None], base[:, None], state.target_cache, base
         )
-        nxt = sample_tokens(
-            rng_s, logits[:, 0], temperature=temperature, top_k=top_k,
-            top_p=top_p, greedy=greedy,
-        )
+        if per_request_sampling:
+            nxt = sample_tokens(
+                rng_s, logits[:, 0], temperature=state.temperature,
+                top_k=state.top_k, top_p=state.top_p, greedy=False,
+            )
+        else:
+            nxt = sample_tokens(
+                rng_s, logits[:, 0], temperature=temperature, top_k=top_k,
+                top_p=top_p, greedy=greedy,
+            )
         commit = jnp.where(state.active, 1, 0)
         remaining = state.prompt_lens + state.max_new - state.lengths
         commit = jnp.minimum(commit, jnp.maximum(remaining, 0))

@@ -51,6 +51,13 @@ class DecodeState:
     # one-dispatch decode loop keeps adapting with zero host round trips).
     ctrl_k: jax.Array  # [] int32 — current effective draft length
     acc_ema: jax.Array  # [] float32 — acceptance-rate EMA
+    # Per-sequence sampling parameters (OpenAI per-request temperature /
+    # top_k / top_p). Read by steps built with per_request_sampling=True;
+    # temperature <= 0 means greedy for that row. Ignored (engine-config
+    # scalars compiled in) otherwise.
+    temperature: jax.Array  # [B] float32
+    top_k: jax.Array  # [B] int32
+    top_p: jax.Array  # [B] float32
 
 
 def init_state(
@@ -66,6 +73,9 @@ def init_state(
     page_size: int = 64,
     n_pages: int | None = None,
     table=None,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
 ) -> DecodeState:
     B = batch_size
     kv_kw = dict(quantized=kv_quantized)
@@ -100,4 +110,10 @@ def init_state(
         prev_hidden=jnp.zeros((B, target_model.config.d_model), jnp.float32),
         ctrl_k=jnp.int32(init_k),
         acc_ema=jnp.float32(0.5),
+        # Scalar (engine default) or per-sequence list/array both broadcast.
+        temperature=jnp.broadcast_to(
+            jnp.asarray(temperature, jnp.float32), (B,)
+        ),
+        top_k=jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (B,)),
+        top_p=jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (B,)),
     )

@@ -21,33 +21,87 @@ import jax
 import jax.numpy as jnp
 
 
+def _dynamic(*params) -> bool:
+    """Any sampling parameter given as an array (per-sequence values)?"""
+    return any(isinstance(p, jax.Array) for p in params)
+
+
+def _bcast(p, logits: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Reshape a per-sequence [B] parameter to broadcast against
+    [B, ..., V] logits (scalars pass through)."""
+    p = jnp.asarray(p, dtype)
+    if p.ndim == 0:
+        return p
+    return p.reshape(p.shape + (1,) * (logits.ndim - p.ndim))
+
+
 def filtered_logits(
     logits: jax.Array,  # [..., V]
-    temperature: float = 1.0,
-    top_k: int = 0,  # 0 = disabled; static
-    top_p: float = 1.0,  # 1.0 = disabled
+    temperature=1.0,  # float or [B] array (per-request)
+    top_k=0,  # int or [B] array; 0 = disabled
+    top_p=1.0,  # float or [B] array; 1.0 = disabled
 ) -> jax.Array:
     """Temperature-scale then mask (-inf) everything outside the top-k /
-    top-p nucleus — the pre-softmax form of the sampling distribution."""
+    top-p nucleus — the pre-softmax form of the sampling distribution.
+
+    Static (python-scalar) parameters compile to the minimal op sequence
+    (disabled filters cost nothing); array parameters take a one-sort path
+    that evaluates both filters with per-sequence values — the serving
+    engine's per-request temperature/top_k/top_p."""
     V = logits.shape[-1]
-    scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    if not _dynamic(temperature, top_k, top_p):
+        scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
 
-    if top_k and top_k > 0:
-        kth = jax.lax.top_k(scaled, min(top_k, V))[0][..., -1:]
-        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+        if top_k and top_k > 0:
+            kth = jax.lax.top_k(scaled, min(top_k, V))[0][..., -1:]
+            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
 
-    if top_p < 1.0:
-        sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # Keep tokens whose *exclusive* cumulative mass is < top_p (always
-        # keeps at least the top token — reference pipeline.py:112-116).
-        keep_sorted = (cum - probs) < top_p
-        cutoff = jnp.max(
-            jnp.where(keep_sorted, sorted_logits, -jnp.inf), axis=-1, keepdims=True
-        )
-        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
-    return scaled
+        if top_p < 1.0:
+            sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+            probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # Keep tokens whose *exclusive* cumulative mass is < top_p (always
+            # keeps at least the top token — reference pipeline.py:112-116).
+            # The mask threshold is the SMALLEST kept logit.
+            keep_sorted = ((cum - probs) < top_p) & jnp.isfinite(sorted_logits)
+            cutoff = jnp.min(
+                jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+            )
+            scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+        return scaled
+
+    t = _bcast(temperature, logits)
+    scaled = logits.astype(jnp.float32) / jnp.maximum(t, 1e-6)
+    sorted_desc = jnp.sort(scaled, axis=-1)[..., ::-1]
+    # Dynamic top-k: the k-th largest value per row is the threshold
+    # (gathered at a per-row index — lax.top_k needs a static k).
+    k_arr = _bcast(top_k, logits, jnp.int32)
+    kth = jnp.take_along_axis(
+        sorted_desc, jnp.broadcast_to(
+            jnp.clip(k_arr - 1, 0, V - 1), scaled.shape[:-1] + (1,)
+        ), axis=-1,
+    )
+    scaled = jnp.where((k_arr > 0) & (scaled < kth), -jnp.inf, scaled)
+    # Dynamic top-p over the same sort, applied AFTER top-k (matching the
+    # static path's order): rank >= k entries drop out of the nucleus mass.
+    ranks = jnp.arange(V, dtype=jnp.int32)
+    sorted_masked = jnp.where(
+        (k_arr > 0) & (ranks >= k_arr), -jnp.inf, sorted_desc
+    )
+    probs = jax.nn.softmax(sorted_masked, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # Exclusive-mass rule keeps at least the top token for any top_p; rows
+    # at 1.0 keep everything. Threshold = the smallest kept logit.
+    # Rows at top_p >= 1.0 disable the filter outright (float32 cum can
+    # saturate at 1.0 and spuriously drop zero-mass tail tokens otherwise).
+    p_arr = _bcast(top_p, logits)
+    keep_sorted = (((cum - probs) < p_arr) | (p_arr >= 1.0)) & jnp.isfinite(
+        sorted_masked
+    )
+    cutoff = jnp.min(
+        jnp.where(keep_sorted, sorted_masked, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(scaled < cutoff, -jnp.inf, scaled)
 
 
 def proposal_log_probs(
@@ -69,14 +123,19 @@ def proposal_log_probs(
 def sample_tokens(
     rng: jax.Array,
     logits: jax.Array,  # [B, V] float32
-    temperature: float = 1.0,
-    top_k: int = 0,  # 0 = disabled; static
-    top_p: float = 1.0,  # 1.0 = disabled
+    temperature=1.0,  # float or [B] array (per-request)
+    top_k=0,  # int or [B] array; 0 = disabled
+    top_p=1.0,  # float or [B] array; 1.0 = disabled
     greedy: bool = False,
 ) -> jax.Array:
-    """Returns [B] int32 sampled token ids, always clamped to [0, V)."""
+    """Returns [B] int32 sampled token ids, always clamped to [0, V).
+
+    With array parameters, rows whose temperature <= 0 decode greedily
+    (the OpenAI temperature=0 convention) — mixed greedy/sampled batches
+    work inside one compiled step."""
     V = logits.shape[-1]
-    if greedy or temperature <= 0.0:
+    dynamic = _dynamic(temperature, top_k, top_p)
+    if not dynamic and (greedy or temperature <= 0.0):
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     scaled = filtered_logits(logits, temperature, top_k, top_p)
@@ -85,4 +144,14 @@ def sample_tokens(
     bad = ~jnp.all(jnp.isfinite(jnp.max(scaled, axis=-1, keepdims=False))[..., None], axis=-1)
     fallback = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     out = jnp.where(bad, fallback, sampled)
+    if dynamic:
+        t = jnp.asarray(temperature, jnp.float32)
+        row_greedy = (
+            jnp.reshape(t, t.shape + (1,) * (logits.ndim - 1 - t.ndim)) <= 0.0
+            if t.ndim
+            else t <= 0.0
+        )
+        if greedy:  # static greedy engines stay greedy regardless of rows
+            row_greedy = True
+        out = jnp.where(row_greedy, fallback, out)
     return jnp.clip(out, 0, V - 1)

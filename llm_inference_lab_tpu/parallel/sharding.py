@@ -151,4 +151,7 @@ def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
         prev_hidden=jax.device_put(state.prev_hidden, batch2),
         ctrl_k=jax.device_put(state.ctrl_k, rep),
         acc_ema=jax.device_put(state.acc_ema, rep),
+        temperature=jax.device_put(state.temperature, batch),
+        top_k=jax.device_put(state.top_k, batch),
+        top_p=jax.device_put(state.top_p, batch),
     )

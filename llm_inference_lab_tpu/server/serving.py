@@ -36,12 +36,16 @@ from llm_inference_lab_tpu.core.engine import Engine
 
 class _Pending:
     __slots__ = ("prompt", "max_tokens", "event", "result", "stream", "stop",
-                 "chunks", "sent_text", "final_text", "finish_reason")
+                 "chunks", "sent_text", "final_text", "finish_reason",
+                 "sampling")
 
     def __init__(self, prompt: str, max_tokens: int,
-                 stream: bool = False, stop=None):
+                 stream: bool = False, stop=None, sampling=None):
         self.prompt = prompt
         self.max_tokens = max_tokens
+        # (temperature, top_k, top_p) — Nones mean engine defaults; only
+        # honored when the engine runs with per_request_sampling.
+        self.sampling = sampling or (None, None, None)
         self.event = threading.Event()
         self.result: Optional[dict] = None
         self.stream = stream
@@ -87,7 +91,9 @@ class InferenceServer:
                     p = self._incoming.get_nowait()
                 except queue.Empty:
                     break
-                rid = b.submit(p.prompt, max_new_tokens=p.max_tokens)
+                t, k, tp = p.sampling
+                rid = b.submit(p.prompt, max_new_tokens=p.max_tokens,
+                               temperature=t, top_k=k, top_p=tp)
                 self._inflight[rid] = p
                 drained = True
             if drained or b.scheduler.pending():
@@ -242,7 +248,16 @@ class InferenceServer:
                     stop = [stop]
                 stream = bool(body.get("stream", False))
                 chat = self.path == "/v1/chat/completions"
-                pend = _Pending(prompt, max_tokens, stream=stream, stop=stop)
+                sampling = None
+                if outer.engine.config.per_request_sampling:
+                    t = body.get("temperature")
+                    sampling = (
+                        None if t is None else float(t),
+                        None if body.get("top_k") is None else int(body["top_k"]),
+                        None if body.get("top_p") is None else float(body["top_p"]),
+                    )
+                pend = _Pending(prompt, max_tokens, stream=stream, stop=stop,
+                                sampling=sampling)
                 outer._incoming.put(pend)
                 if stream:
                     self._stream_response(pend, chat)

@@ -157,3 +157,16 @@ def test_group_by_length():
     assert flat == [0, 1, 2, 3, 4, 5]
     # Same-length sequences batch together first.
     assert [0, 1] in groups or [1, 0] in groups
+
+
+def test_batcher_per_request_sampling():
+    """Each slot decodes with its own temperature: a temp-0 request matches
+    the greedy engine while a sampled request shares the batch."""
+    greedy = make_engine(greedy=True).generate("mixed sampling")["generated_ids"]
+    eng = make_engine(greedy=False, temperature=1.0, per_request_sampling=True)
+    b = ContinuousBatcher(eng, n_slots=2)
+    r0 = b.submit("mixed sampling", temperature=0.0)
+    r1 = b.submit("mixed sampling", temperature=1.5, top_p=0.9)
+    out = {r["req_id"]: r for r in b.run()}
+    assert out[r0]["generated_ids"] == greedy
+    assert out[r1]["generated_tokens"] > 0

@@ -172,3 +172,36 @@ def test_profiler_enabled():
     s = eng.profiler.summary()
     assert s["step_ms"]["n"] >= 1
     assert s["prefill_ms"]["n"] == 1
+
+
+def test_per_request_sampling_greedy_rows_match_greedy_engine():
+    """per_request_sampling: rows with temperature 0 reproduce the static
+    greedy engine exactly; a sampled row (temp > 0) shares the same batch."""
+    from llm_inference_lab_tpu.config import EngineConfig
+    from llm_inference_lab_tpu.core.engine import Engine
+
+    kw = dict(implementation="fake", base_model="fake", draft_model="fake",
+              max_draft=2, max_new_tokens=10, max_seq_len=256)
+    eng_greedy = Engine(EngineConfig(greedy=True, **kw))
+    want = eng_greedy.generate("per request probe")["generated_ids"]
+
+    eng_pr = Engine(EngineConfig(greedy=False, temperature=1.0,
+                                 per_request_sampling=True, **kw))
+    outs = eng_pr.generate_batch(
+        ["per request probe", "per request probe"],
+        temperature=[0.0, 1.3],
+    )
+    assert outs[0]["generated_ids"] == want
+    # Sampled row generated the full budget too (different path, same step).
+    assert outs[1]["generated_tokens"] == 10
+
+
+def test_per_request_sampling_requires_flag():
+    from llm_inference_lab_tpu.config import EngineConfig
+    from llm_inference_lab_tpu.core.engine import Engine
+    import pytest as _pytest
+
+    eng = Engine(EngineConfig(implementation="fake", base_model="fake",
+                              draft_model="fake", max_new_tokens=4))
+    with _pytest.raises(ValueError):
+        eng.generate("x", temperature=0.5)

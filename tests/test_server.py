@@ -181,6 +181,36 @@ def test_finish_reason_length(server):
         assert out["choices"][0]["finish_reason"] == "stop"
 
 
+def test_per_request_temperature():
+    """A per-request-sampling server honors request temperature: temp-0
+    requests reproduce the greedy engine deterministically."""
+    from llm_inference_lab_tpu.server import InferenceServer
+
+    greedy_eng = Engine(EngineConfig(implementation="fake", base_model="fake",
+                                     draft_model="fake", max_draft=2,
+                                     greedy=True, max_new_tokens=8,
+                                     max_seq_len=256))
+    want = greedy_eng.generate("sampled server")["text"]
+    eng = Engine(EngineConfig(implementation="fake", base_model="fake",
+                              draft_model="fake", max_draft=2,
+                              greedy=False, temperature=1.0,
+                              per_request_sampling=True,
+                              max_new_tokens=8, max_seq_len=256))
+    srv = InferenceServer(eng, n_slots=2, port=0)
+    srv.start()
+    try:
+        out = _post(srv, "/v1/completions",
+                    {"prompt": "sampled server", "max_tokens": 8,
+                     "temperature": 0})
+        assert out["choices"][0]["text"] == want
+        out2 = _post(srv, "/v1/completions",
+                     {"prompt": "sampled server", "max_tokens": 8,
+                      "temperature": 1.4, "top_p": 0.9})
+        assert out2["usage"]["completion_tokens"] > 0
+    finally:
+        srv.stop()
+
+
 def test_echo(server):
     out = _post(server, "/v1/completions",
                 {"prompt": "echo this", "max_tokens": 4, "echo": True})
