@@ -362,13 +362,17 @@ class ContinuousBatcher:
         )
 
     def _fetch_tokens(self):
-        return np.asarray(self.state.tokens), np.asarray(self.state.lengths)
+        return (
+            np.asarray(self.state.tokens),
+            np.asarray(self.state.lengths),
+            np.asarray(self.state.token_logprobs),
+        )
 
     def poll_generated(self) -> Dict[int, List[int]]:
         """In-flight generated token ids per request (ONE device fetch) —
         the streaming observation point: callers diff successive polls to
         emit deltas (server/serving.py SSE path)."""
-        tokens, lengths = self._fetch_tokens()
+        tokens, lengths, _ = self._fetch_tokens()
         out: Dict[int, List[int]] = {}
         for slot, req in enumerate(self._slots):
             if req is None:
@@ -412,7 +416,7 @@ class ContinuousBatcher:
             if req is None or active[slot]:
                 continue
             if tokens is None:
-                tokens, lengths = self._fetch_tokens()
+                tokens, lengths, logprobs = self._fetch_tokens()
             plen = len(req.ids)
             gen = tokens[slot, plen : lengths[slot]].tolist()
             text_ids = [t for t in gen if t != self.engine.eos_token_id]
@@ -421,6 +425,10 @@ class ContinuousBatcher:
                 "req_id": req.req_id,
                 "text": self.engine.tokenizer.decode(text_ids),
                 "generated_ids": gen,
+                "token_logprobs": [
+                    round(float(x), 6)
+                    for x in logprobs[slot, plen : lengths[slot]]
+                ],
                 "generated_tokens": len(gen),
                 "proposed": prop,
                 "accepted": acc,

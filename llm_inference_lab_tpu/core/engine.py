@@ -543,6 +543,7 @@ class Engine:
             steps_run = int(np.asarray(state.steps))
         tokens = np.asarray(state.tokens)
         lengths = np.asarray(state.lengths)
+        logprobs = np.asarray(state.token_logprobs)
         proposed = np.asarray(state.proposed)
         accepted = np.asarray(state.accepted)
         bonus = np.asarray(state.bonus)
@@ -584,6 +585,12 @@ class Engine:
                     "text": self.tokenizer.decode(text_ids),
                     "generated_tokens": n_gen,
                     "generated_ids": gen_ids,
+                    # Target log-prob of each generated token (written by the
+                    # step at commit; tree mode does not record them yet).
+                    "token_logprobs": [
+                        round(float(x), 6)
+                        for x in logprobs[b, plens[b] : lengths[b]]
+                    ],
                     "latency_ms": total_s * 1e3,
                     "generation_time_ms": decode_s * 1e3,
                     "proposed": prop_b,

@@ -93,8 +93,10 @@ class MultiHostBatcher(ContinuousBatcher):
     def _fetch_tokens(self):
         if self.n_procs == 1:
             return super()._fetch_tokens()
-        vals = _allgather((self.state.tokens, self.state.lengths))
-        return np.asarray(vals[0]), np.asarray(vals[1])
+        vals = _allgather(
+            (self.state.tokens, self.state.lengths, self.state.token_logprobs)
+        )
+        return np.asarray(vals[0]), np.asarray(vals[1]), np.asarray(vals[2])
 
     def _current_k(self) -> int:
         # K is a compile-cache key: it must be identical on every host or

@@ -349,6 +349,19 @@ def make_spec_step(
         # state invariant, but keep the buffer bit-stable for determinism:
         new_tokens = jnp.where(state.active[:, None], new_tokens, state.tokens)
 
+        # Target log-prob of every committed token (the verify logits cover
+        # every slot: row i is the target distribution at write slot i —
+        # accepted drafts at their own rows, the bonus at row a). Free
+        # observability: powers the OpenAI logprobs field.
+        logz = jax.scipy.special.logsumexp(target_logits, axis=-1)  # [B, K+1]
+        tok_logit = jnp.take_along_axis(
+            target_logits, write_vals[..., None], axis=-1
+        )[..., 0]
+        new_lp = jax.vmap(write)(
+            state.token_logprobs, tok_logit - logz, state.lengths
+        )
+        new_lp = jnp.where(state.active[:, None], new_lp, state.token_logprobs)
+
         new_lengths = state.lengths + commit
         hit_eos = (
             jnp.any(
@@ -388,6 +401,7 @@ def make_spec_step(
             prev_hidden=new_prev_hidden,
             ctrl_k=new_ctrl_k,
             acc_ema=new_ema,
+            token_logprobs=new_lp,
         )
 
     if not jit:
@@ -466,6 +480,14 @@ def make_baseline_step(
             lambda t, v, s: jax.lax.dynamic_update_slice(t, v[None], (s,))
         )(state.tokens, nxt, state.lengths)
         new_tokens = jnp.where(state.active[:, None], new_tokens, state.tokens)
+        row = logits[:, 0]
+        lp = jnp.take_along_axis(row, nxt[:, None], axis=-1)[
+            :, 0
+        ] - jax.scipy.special.logsumexp(row, axis=-1)
+        new_lp = jax.vmap(
+            lambda t, v, s: jax.lax.dynamic_update_slice(t, v[None], (s,))
+        )(state.token_logprobs, lp, state.lengths)
+        new_lp = jnp.where(state.active[:, None], new_lp, state.token_logprobs)
         new_lengths = state.lengths + commit
         hit_eos = (
             (nxt == eos_token_id) & (commit > 0)
@@ -482,6 +504,7 @@ def make_baseline_step(
             rng=rng,
             bonus=state.bonus + commit,
             steps=state.steps + 1,
+            token_logprobs=new_lp,
         )
 
     if not jit:

@@ -58,6 +58,11 @@ class DecodeState:
     temperature: jax.Array  # [B] float32
     top_k: jax.Array  # [B] int32
     top_p: jax.Array  # [B] float32
+    # Target-model log-prob of each committed token (written alongside the
+    # token at commit; prompt positions stay 0). Powers the OpenAI
+    # `logprobs` response field and perplexity-style quality checks with no
+    # extra forward (the verify pass already has the logits).
+    token_logprobs: jax.Array  # [B, max_len] float32
 
 
 def init_state(
@@ -116,4 +121,5 @@ def init_state(
         ),
         top_k=jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (B,)),
         top_p=jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (B,)),
+        token_logprobs=jnp.zeros((B, max_seq_len), jnp.float32),
     )

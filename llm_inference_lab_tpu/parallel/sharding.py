@@ -154,4 +154,5 @@ def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
         temperature=jax.device_put(state.temperature, batch),
         top_k=jax.device_put(state.top_k, batch),
         top_p=jax.device_put(state.top_p, batch),
+        token_logprobs=jax.device_put(state.token_logprobs, batch2),
     )

@@ -215,6 +215,30 @@ class InferenceServer:
                         "id": outer.engine.config.base_model,
                         "object": "model",
                     }]})
+                elif self.path == "/metrics":
+                    b = outer.batcher
+                    occupied = sum(1 for s in b._slots if s is not None)
+                    lines = [
+                        "# TYPE specdx_requests_served_total counter",
+                        f"specdx_requests_served_total {outer._served}",
+                        "# TYPE specdx_uptime_seconds gauge",
+                        f"specdx_uptime_seconds "
+                        f"{time.time() - outer._started_at:.1f}",
+                        "# TYPE specdx_slots_occupied gauge",
+                        f"specdx_slots_occupied {occupied}",
+                        "# TYPE specdx_slots_total gauge",
+                        f"specdx_slots_total {b.n_slots}",
+                        "# TYPE specdx_queue_pending gauge",
+                        f"specdx_queue_pending {b.scheduler.pending()}",
+                        "# TYPE specdx_draft_k gauge",
+                        f"specdx_draft_k {b.scheduler.k}",
+                    ]
+                    data = ("\n".join(lines) + "\n").encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                 else:
                     self._json(404, {"error": "not found"})
 
@@ -275,6 +299,22 @@ class InferenceServer:
                     "total_tokens": 0,
                 }
                 usage["total_tokens"] = usage["prompt_tokens"] + usage["completion_tokens"]
+                lp_obj = None
+                if body.get("logprobs") and r.get("token_logprobs"):
+                    dec = outer.engine.tokenizer.decode
+                    toks = [dec([t]) for t in r["generated_ids"]]
+                    if chat:
+                        lp_obj = {"content": [
+                            {"token": t, "logprob": lp}
+                            for t, lp in zip(toks, r["token_logprobs"])
+                        ]}
+                    else:
+                        lp_obj = {
+                            "tokens": toks,
+                            "token_logprobs": r["token_logprobs"],
+                            "top_logprobs": None,
+                            "text_offset": [],
+                        }
                 if not chat:
                     self._json(200, {
                         "id": f"cmpl-{uuid.uuid4().hex[:12]}",
@@ -283,6 +323,7 @@ class InferenceServer:
                         "choices": [{
                             "index": 0, "text": text,
                             "finish_reason": pend.finish_reason,
+                            "logprobs": lp_obj,
                         }],
                         "usage": usage,
                         "specdx": {
@@ -299,6 +340,7 @@ class InferenceServer:
                             "index": 0,
                             "message": {"role": "assistant", "content": text},
                             "finish_reason": pend.finish_reason,
+                            "logprobs": lp_obj,
                         }],
                         "usage": usage,
                     })

@@ -205,3 +205,38 @@ def test_per_request_sampling_requires_flag():
                               draft_model="fake", max_new_tokens=4))
     with _pytest.raises(ValueError):
         eng.generate("x", temperature=0.5)
+
+
+def test_token_logprobs_match_full_forward():
+    """Committed-token logprobs written by the step must equal log-softmax
+    of an independent full-context forward at those positions."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from llm_inference_lab_tpu.config import EngineConfig
+    from llm_inference_lab_tpu.core.engine import Engine
+    from llm_inference_lab_tpu.models.llama import LlamaModel
+
+    m = LlamaModel.create("llama-tiny", rng=jax.random.PRNGKey(5),
+                          dtype=jnp.float32)
+    eng = Engine(EngineConfig(max_draft=3, max_new_tokens=8, greedy=True,
+                              max_seq_len=256), target_model=m,
+                 draft_model=LlamaModel.create(
+                     "llama-tiny", rng=jax.random.PRNGKey(5),
+                     dtype=jnp.float32))
+    r = eng.generate("logprob gold check")
+    ids = eng.tokenizer.encode("logprob gold check") + r["generated_ids"]
+    S = len(ids)
+    cache = m.init_cache(1, S + 8)
+    pos = jnp.arange(S, dtype=jnp.int32)[None]
+    logits, _ = m.apply(m.params, jnp.asarray([ids], jnp.int32), pos, cache,
+                        jnp.zeros((1,), jnp.int32))
+    lsm = np.asarray(jax.nn.log_softmax(logits[0], axis=-1))
+    plen = S - len(r["generated_ids"])
+    # logprob of generated token t comes from the row that predicted it.
+    want = [float(lsm[plen - 1 + i, tok])
+            for i, tok in enumerate(r["generated_ids"])]
+    np.testing.assert_allclose(r["token_logprobs"], want, atol=5e-3)
+    # All logprobs are valid (non-positive) numbers.
+    assert all(x <= 0.0 for x in r["token_logprobs"])

@@ -228,3 +228,27 @@ def test_bad_json(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_logprobs_field(server):
+    out = _post(server, "/v1/completions",
+                {"prompt": "logprob me", "max_tokens": 5, "logprobs": 1})
+    lp = out["choices"][0]["logprobs"]
+    assert lp is not None
+    assert len(lp["token_logprobs"]) == out["usage"]["completion_tokens"]
+    assert all(x <= 0.0 for x in lp["token_logprobs"])
+    # Not requested -> null.
+    out2 = _post(server, "/v1/completions",
+                 {"prompt": "logprob me", "max_tokens": 5})
+    assert out2["choices"][0]["logprobs"] is None
+
+
+def test_metrics_endpoint(server):
+    import urllib.request
+
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/metrics", timeout=10
+    ) as resp:
+        body = resp.read().decode()
+    assert "specdx_requests_served_total" in body
+    assert "specdx_slots_total 2" in body
