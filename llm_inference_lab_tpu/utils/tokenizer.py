@@ -78,11 +78,17 @@ class HFTokenizer:
 def get_tokenizer(name: str, implementation: str = "hf") -> Tokenizer:
     if implementation == "fake" or name == "fake":
         return ByteTokenizer()
-    try:
-        return HFTokenizer(name)
-    except Exception:
-        # Offline / no hub cache: degrade to bytes so everything still runs.
-        return ByteTokenizer()
+    # Framework model keys (e.g. "opt-125m", "llama-3.2-3b") map to hub repo
+    # ids via the loader's candidate table; plain names are tried as-is.
+    from llm_inference_lab_tpu.models.loader import HF_REPO_IDS
+
+    for repo in HF_REPO_IDS.get(name.lower(), []) + [name]:
+        try:
+            return HFTokenizer(repo)
+        except Exception:
+            continue
+    # Offline / no hub cache: degrade to bytes so everything still runs.
+    return ByteTokenizer()
 
 
 def check_tokenizer_compat(target: Tokenizer, draft: Tokenizer) -> bool:
