@@ -48,12 +48,21 @@ def main() -> None:
 
     real_ckpt = find_cached_checkpoint(base) is not None
     k = int(os.environ.get("SPECDX_BENCH_K", "4" if real_ckpt else "1"))
+    # SPECDX_BENCH_MODE=ngram benches draft-model-free prompt-lookup
+    # speculation (888 tok/s at K=12 on v5e with repetitive output —
+    # docs/RESULTS.md "n-gram speculation"); default stays the
+    # reference-comparable draft-model config.
+    mode = os.environ.get("SPECDX_BENCH_MODE", "vanilla")
+    if mode == "ngram":
+        draft = None
+        k = int(os.environ.get("SPECDX_BENCH_K", "12"))
 
     eng = Engine(
         EngineConfig(
             base_model=base,
             draft_model=draft,
             implementation="hf",
+            draft_mode=mode,
             max_draft=k,
             max_new_tokens=max_new,
             greedy=True,
@@ -82,6 +91,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"spec_decode_tok_s_{base}_bs1_k{k}"
+                + (f"_{mode}" if mode != "vanilla" else "")
                 + (f"_{quant}" if quant else "_bf16")
                 + ("_qembed" if qembed else ""),
                 "value": round(value, 2),

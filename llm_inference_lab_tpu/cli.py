@@ -30,7 +30,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--typical-p", type=float, default=None, help="typical p")
     p.add_argument("--controller", choices=["fixed", "adaptive"], default="fixed")
     p.add_argument("--target-acceptance", type=float, default=0.5)
-    p.add_argument("--draft-mode", choices=["vanilla", "medusa", "eagle", "tree"], default="vanilla")
+    p.add_argument("--draft-mode",
+                   choices=["vanilla", "medusa", "eagle", "tree", "ngram"],
+                   default="vanilla")
     p.add_argument("--max-tokens", type=int, default=64)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-p", type=float, default=1.0)

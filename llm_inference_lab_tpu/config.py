@@ -82,7 +82,7 @@ class EngineConfig:
     base_model: str = "gpt2"
     draft_model: Optional[str] = "distilgpt2"
     implementation: str = "fake"  # "fake" | "hf" (reference pipeline.py:466-472)
-    draft_mode: str = "vanilla"  # "vanilla" | "medusa" | "eagle" | "tree"
+    draft_mode: str = "vanilla"  # | "medusa" | "eagle" | "tree" | "ngram"
 
     # Speculation
     max_draft: int = 4  # K
@@ -148,6 +148,8 @@ class EngineConfig:
         }
     )
     eagle: dict = field(default_factory=lambda: {"alpha": 0.7, "max_draft": 2})
+    # n-gram (prompt-lookup) speculation: match length for the buffer search.
+    ngram: dict = field(default_factory=lambda: {"n": 2})
     # Tree speculation (reference Phase 4D "Planned"): per-depth branching.
     tree: dict = field(default_factory=lambda: {"branching": [3, 2]})
 

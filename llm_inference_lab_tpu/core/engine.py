@@ -213,10 +213,11 @@ class Engine:
             "backend": jax.default_backend(),
         }
 
-        # Medusa/EAGLE draft from the target's hidden states — no draft model
-        # (reference loads one anyway and ignores it; we don't).
+        # Medusa/EAGLE draft from the target's hidden states, ngram from the
+        # token buffer — no draft model (reference loads one anyway and
+        # ignores it; we don't).
         self.draft_mode = cfg.draft_mode
-        if self.draft_mode in ("medusa", "eagle", "tree"):
+        if self.draft_mode in ("medusa", "eagle", "tree", "ngram"):
             self.draft = None
         self.is_spec = self.draft is not None or self.draft_mode != "vanilla"
         # The largest K any controller setting can request — sizes Medusa
@@ -242,7 +243,7 @@ class Engine:
             else:  # "tie"/"copy": identity projection, shared lm_head
                 proj = jnp.broadcast_to(eye, (k, D, D))
             self._draft_params = {"medusa_proj": proj}
-        elif self.draft_mode == "eagle":
+        elif self.draft_mode in ("eagle", "ngram"):
             self._draft_params = {}
         else:
             self._draft_params = self.draft.params if self.draft is not None else None
@@ -329,6 +330,7 @@ class Engine:
             draft_mode=self.draft_mode,
             medusa_cfg=cfg.medusa,
             eagle_cfg=cfg.eagle,
+            ngram_cfg=cfg.ngram,
             adaptive_cfg=adaptive_cfg,
             per_request_sampling=cfg.per_request_sampling,
             jit=jit,

@@ -60,6 +60,7 @@ def make_spec_step(
     draft_mode: str = "vanilla",  # | "medusa" | "eagle"
     medusa_cfg: Optional[dict] = None,
     eagle_cfg: Optional[dict] = None,
+    ngram_cfg: Optional[dict] = None,
     adaptive_cfg: Optional[dict] = None,
     per_request_sampling: bool = False,
     donate: bool = True,
@@ -77,8 +78,15 @@ def make_spec_step(
       eagle   — EAGLE-lite: hidden-state linear extrapolation
                 h' = h + alpha*(h - h_prev), logits via the target lm_head
                 (reference modes/eagle.py:16 + pipeline.py:765-889).
-    Medusa/EAGLE read the hidden-state carry maintained in DecodeState, so
-    they need no separate draft model or draft cache.
+      ngram   — prompt-lookup speculation: propose the continuation of the
+                most recent earlier occurrence of the last n committed
+                tokens (vectorized match over the token buffer, fully
+                device-side). No draft model, no draft forwards — near-zero
+                draft cost; shines on repetitive text (summarization, code,
+                RAG contexts). Beyond the reference's mode set.
+    Medusa/EAGLE read the hidden-state carry maintained in DecodeState, and
+    ngram reads only the token buffer, so none of them needs a separate
+    draft model or draft cache.
 
     adaptive_cfg (device-side adaptive K; round-1 VERDICT #6): when set, k
     is the STATIC upper bound and the effective draft length comes from
@@ -231,10 +239,45 @@ def make_spec_step(
             h_prev, h_cur = h_cur, h_next
         return jnp.stack(ds, 1), jnp.stack(ls, 1), state.draft_cache
 
+    ngram_n = int((ngram_cfg or {}).get("n", 2))
+
+    def _draft_ngram(state, draft_params, last, base, rng_draft, eff_k):
+        tokens = state.tokens  # [B, T]
+        B, T = tokens.shape
+        N = ngram_n
+        # Query: the last N committed tokens.
+        qpos = state.lengths[:, None] - N + jnp.arange(N, dtype=jnp.int32)[None]
+        query = jnp.take_along_axis(tokens, jnp.clip(qpos, 0, T - 1), axis=1)
+        # Window at position p is tokens[p : p+N] (N rolled views stacked).
+        shifted = jnp.stack(
+            [jnp.roll(tokens, -i, axis=1) for i in range(N)], axis=-1
+        )  # [B, T, N]
+        match = jnp.all(shifted == query[:, None, :], axis=-1)  # [B, T]
+        pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+        # Candidates fully inside the committed prefix, strictly before the
+        # query's own occurrence at lengths-N.
+        hit = match & (pos < state.lengths[:, None] - N)
+        any_hit = jnp.any(hit, axis=1)
+        best = jnp.argmax(jnp.where(hit, pos, -1), axis=1).astype(jnp.int32)
+        # Propose the K tokens after the matched n-gram; where the
+        # continuation leaves the committed region (or no match), repeat
+        # the last token — wrong guesses just get rejected.
+        prop_pos = best[:, None] + N + jnp.arange(K, dtype=jnp.int32)[None]
+        cont = jnp.take_along_axis(tokens, jnp.clip(prop_pos, 0, T - 1), axis=1)
+        usable = any_hit[:, None] & (prop_pos < state.lengths[:, None])
+        d = jnp.where(usable, cont, last[:, None])
+        # Point-mass pseudo draft logits: the proposal is deterministic, so
+        # confidence-style policies (and rejection's p_d) see certainty 1.
+        V = target_model.config.vocab_size
+        onehot = jnp.arange(V, dtype=jnp.int32)[None, None, :] == d[..., None]
+        draft_logits = jnp.where(onehot, 0.0, -30.0).astype(jnp.float32)
+        return d, draft_logits, state.draft_cache
+
     draft_fn = {
         "vanilla": _draft_vanilla,
         "medusa": _draft_medusa,
         "eagle": _draft_eagle,
+        "ngram": _draft_ngram,
     }[draft_mode]
     # Medusa/EAGLE heads need the target params inside the draft closure;
     # threaded via this one-element ref set per call (keeps draft_fn

@@ -101,3 +101,47 @@ def test_hidden_carry_updates():
     state = step(t.params, {}, state)
     assert not jnp.allclose(state.last_hidden, h0)
     assert jnp.allclose(state.prev_hidden, h0)
+
+
+def test_ngram_mode_generates_and_matches_baseline():
+    """n-gram (prompt-lookup) speculation: no draft model, output equals the
+    target's own greedy sequence regardless of match quality."""
+    eng = make_engine(draft_mode="ngram", max_new_tokens=16)
+    assert eng.draft is None
+    base = Engine(
+        EngineConfig(implementation="fake", draft_model=None, max_new_tokens=16),
+        target_model=make_fake_model(),
+    )
+    r = eng.generate("ngram lookup prompt check")
+    assert r["generated_ids"] == base.generate(
+        "ngram lookup prompt check"
+    )["generated_ids"]
+    assert r["draft_mode"] == "ngram"
+
+
+def test_ngram_accepts_on_repetitive_output():
+    """A target whose greedy output repeats must see nonzero n-gram
+    acceptance: the buffer match predicts the repetition."""
+    from llm_inference_lab_tpu.models.llama import LlamaModel
+
+    m = LlamaModel.create("llama-tiny", rng=jax.random.PRNGKey(3),
+                          dtype=jnp.float32)
+    eng = Engine(
+        EngineConfig(draft_mode="ngram", max_draft=4, max_new_tokens=32,
+                     greedy=True, max_seq_len=256),
+        target_model=m,
+    )
+    base = Engine(
+        EngineConfig(draft_model=None, max_new_tokens=32, greedy=True,
+                     max_seq_len=256),
+        target_model=LlamaModel.create("llama-tiny", rng=jax.random.PRNGKey(3),
+                                       dtype=jnp.float32),
+    )
+    rb = base.generate("repeat after me: the cat sat. the cat sat.")
+    r = eng.generate("repeat after me: the cat sat. the cat sat.")
+    assert r["generated_ids"] == rb["generated_ids"]  # correctness invariant
+    ids = rb["generated_ids"]
+    # Random tiny models degenerate into repetition; only assert acceptance
+    # when the target output actually repeats (the mode's favorable regime).
+    if len(set(ids[-8:])) <= 2:
+        assert r["acceptance_rate"] > 0.2, r["acceptance_rate"]
