@@ -135,8 +135,13 @@ class EngineConfig:
     quantized_init: bool = False
 
     # Parallelism (green-field vs reference Phase 4C "Planned")
+    # mesh_shape axes: data (DP) / model (TP) / seq (ring-attention CP) /
+    # stage (pipeline parallelism, parallel/pipeline.py)
     mesh_shape: dict = field(default_factory=dict)  # e.g. {"data": 1, "model": 4}
     shard_draft: bool = False
+    # Pipeline parallelism: microbatches per step (None = local batch size,
+    # i.e. microbatch size 1 — smallest fill/drain bubble).
+    pp_microbatches: Optional[int] = None
 
     # Medusa / EAGLE (reference configs/specdec_hf.yaml:12-21)
     medusa: dict = field(

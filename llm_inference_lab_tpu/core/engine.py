@@ -149,6 +149,7 @@ class Engine:
                 data=cfg.mesh_shape.get("data", 1),
                 model=cfg.mesh_shape.get("model", 1),
                 seq=cfg.mesh_shape.get("seq", 1),
+                stage=cfg.mesh_shape.get("stage", 1),
             )
         # Context parallelism: a seq axis in the mesh routes single-shot
         # prefill through ring attention (sequence sharded, KV rotating over
@@ -179,6 +180,31 @@ class Engine:
                 )
                 if draft_mesh_ok:
                     self.draft.params = shard_params(self.draft.params, self.mesh)
+        # Pipeline parallelism: a stage axis in the mesh shards the LAYER
+        # axis of target params + KV cache; the forward becomes the GPipe
+        # microbatch schedule in parallel/pipeline.py (shard_map + ppermute).
+        if (
+            self.mesh is not None
+            and self.mesh.shape.get("stage", 1) > 1
+            and cfg.implementation != "fake"
+        ):
+            from functools import partial as _partial
+
+            from llm_inference_lab_tpu.parallel.pipeline import forward_pp
+
+            if cfg.kv_layout == "paged":
+                raise ValueError(
+                    "paged KV under pipeline parallelism is not supported"
+                )
+            if cfg.draft_mode == "tree":
+                raise ValueError(
+                    "tree speculation under pipeline parallelism is not "
+                    "supported"
+                )
+            self.target.apply_fn = _partial(
+                forward_pp, self.target.config, self.mesh,
+                microbatches=cfg.pp_microbatches,
+            )
 
         self.tokenizer = tokenizer or get_tokenizer(cfg.base_model, cfg.implementation)
         if self.draft is not None and cfg.implementation != "fake":

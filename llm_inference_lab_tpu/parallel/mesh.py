@@ -24,22 +24,30 @@ def make_mesh(
     data: int = 1,
     model: int = 1,
     seq: int = 1,
+    stage: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
     """Device mesh with ("data", "model") axes, plus a "seq" axis (between
     data and model) when seq > 1 — the context-parallel axis for ring-
-    attention prefill (parallel/context.py)."""
+    attention prefill (parallel/context.py) — and a "stage" axis when
+    stage > 1 — the pipeline-parallel layer axis (parallel/pipeline.py).
+    Stage sits right after data (coarser than model): stage hops are one
+    activation ppermute per microbatch tick, far less bandwidth-hungry
+    than TP's per-matmul collectives, so they tolerate slower links."""
     devices = list(devices if devices is not None else jax.devices())
-    need = data * seq * model
+    need = data * stage * seq * model
     if need > len(devices):
         raise ValueError(
-            f"mesh {data}x{seq}x{model} needs {need} devices, have {len(devices)}"
+            f"mesh {data}x{stage}x{seq}x{model} needs {need} devices, "
+            f"have {len(devices)}"
         )
-    if seq > 1:
-        arr = np.array(devices[:need]).reshape(data, seq, model)
-        return Mesh(arr, ("data", "seq", "model"))
-    arr = np.array(devices[:need]).reshape(data, model)
-    return Mesh(arr, ("data", "model"))
+    if stage > 1 and seq > 1:
+        raise ValueError("stage (pipeline) and seq (ring-attention) axes "
+                         "are mutually exclusive")
+    dims = [("data", data), ("stage", stage), ("seq", seq), ("model", model)]
+    dims = [(n, s) for n, s in dims if s > 1 or n in ("data", "model")]
+    arr = np.array(devices[:need]).reshape([s for _, s in dims])
+    return Mesh(arr, tuple(n for n, _ in dims))
 
 
 def auto_mesh(n_devices: Optional[int] = None) -> Mesh:

@@ -50,22 +50,30 @@ PARAM_RULES = {
 _LAST_KEY = re.compile(r"\['?([^'\[\]]+)'?\]$")
 
 
-def _spec_for(path: str, ndim: int) -> P:
-    """`path` is a jax.tree_util.keystr string like "['layers']['wq']"."""
+def _spec_for(path: str, ndim: int, stage: bool = False) -> P:
+    """`path` is a jax.tree_util.keystr string like "['layers']['wq']".
+    stage: shard the leading stacked-layer axis over the pipeline "stage"
+    mesh axis (parallel/pipeline.py) — applies to ['layers'] leaves only."""
     m = _LAST_KEY.search(path)
     spec = PARAM_RULES.get(m.group(1)) if m else None
+    is_layer_leaf = "['layers']" in path
     if spec is None:
+        if stage and is_layer_leaf and ndim >= 1:
+            return P("stage", *([None] * (ndim - 1)))
         return P()  # replicate (norms, scalars, unknown leaves)
     pad = ndim - len(spec)
     if pad < 0:  # scale vectors etc. — keep the trailing dims of the spec
         return P(*spec[-ndim:])
-    return P(*([None] * pad), *spec)
+    lead = ["stage"] if stage and is_layer_leaf and pad >= 1 else []
+    return P(*lead, *([None] * (pad - len(lead))), *spec)
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:
     """device_put every leaf with its rule-derived NamedSharding.
     QuantTensor leaves: data shards like the logical weight; per-out-channel
     scales shard on the output dim."""
+
+    stage = "stage" in mesh.axis_names
 
     def place(path, leaf):
         from llm_inference_lab_tpu.ops.quant import EmbedQuant
@@ -77,15 +85,19 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
                 jax.device_put(leaf.scale, NamedSharding(mesh, P("model"))),
             )
         if isinstance(leaf, QuantTensor):
-            dspec = _spec_for(name, leaf.data.ndim)
+            dspec = _spec_for(name, leaf.data.ndim, stage)
             out_axis = dspec[-1] if len(dspec) else None
-            sspec = P(*([None] * (leaf.scale.ndim - 1)), out_axis)
+            lead = ["stage"] if stage and dspec and dspec[0] == "stage" else []
+            sspec = P(*lead,
+                      *([None] * (leaf.scale.ndim - 1 - len(lead))), out_axis)
             return QuantTensor(
                 jax.device_put(leaf.data, NamedSharding(mesh, dspec)),
                 jax.device_put(leaf.scale, NamedSharding(mesh, sspec)),
                 bits=leaf.bits,
             )
-        return jax.device_put(leaf, NamedSharding(mesh, _spec_for(name, leaf.ndim)))
+        return jax.device_put(
+            leaf, NamedSharding(mesh, _spec_for(name, leaf.ndim, stage))
+        )
 
     from llm_inference_lab_tpu.ops.quant import EmbedQuant as _EQ
 
@@ -103,10 +115,11 @@ def _cache_sharding(mesh: Mesh, shape, paged: bool = False) -> NamedSharding:
     # [L, n_pages, KVH, page, d] share pages across all slots, so only the
     # head axis shards (on model); the page axis never maps to data.
     seq_ax = "seq" if "seq" in mesh.axis_names else None
+    stage_ax = "stage" if "stage" in mesh.axis_names else None
     if paged:
         axes = [None, None, "model", None, None][: len(shape)]
     else:
-        axes = [None, "data", "model", seq_ax, None][: len(shape)]
+        axes = [stage_ax, "data", "model", seq_ax, None][: len(shape)]
     axes = [
         a if a and shape[i] % mesh.shape[a] == 0 else None
         for i, a in enumerate(axes)
