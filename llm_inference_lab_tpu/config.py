@@ -124,6 +124,9 @@ class EngineConfig:
     kv_layout: str = "contiguous"
     kv_page_size: int = 64
     kv_pages: Optional[int] = None  # pool size; None = slots*max_seq/page
+    # Automatic prefix caching (paged layout only): requests sharing a
+    # prompt prefix reuse its KV pages — prefill computes the suffix only.
+    prefix_caching: bool = False
 
     # Numerics
     dtype: str = "bfloat16"  # compute/weights dtype on TPU

@@ -44,6 +44,7 @@ class _Request:
     slot: Optional[int] = None
     result: Optional[dict] = None
     pages: Optional[List[int]] = None  # paged KV: pages owned by this request
+    reuse_len: int = 0  # prompt tokens served from the prefix cache
     cancelled: bool = False  # early termination (stop sequence / client gone)
 
 
@@ -140,6 +141,81 @@ def make_admit(target_model, draft_model):
     return jax.jit(admit, donate_argnums=(2,))
 
 
+def make_admit_prefix(target_model, draft_model):
+    """Jitted single-slot admission for PAGED caches with prefix caching:
+    prefill the prompt SUFFIX directly into the slot's pages, attending to
+    the reused prefix pages through the slot's table row. No scratch cache,
+    no splice — the forward's paged write path scatters straight into the
+    pool, and the reused pages (full prompt chunks from earlier requests)
+    are never touched. Handles reuse_len == 0 (plain paged admission) too.
+    """
+    target_apply = target_model.apply_fn
+    draft_apply = draft_model.apply_fn if draft_model is not None else None
+
+    def admit(target_params, draft_params, state, full_row, suffix_row,
+              prompt_len, reuse_len, slot, max_new, table_row,
+              temperature, top_k, top_p):
+        from llm_inference_lab_tpu.models.paged import PagedKVCache
+
+        S = suffix_row.shape[1]
+        positions = reuse_len + jnp.arange(S, dtype=jnp.int32)[None]
+        cl = reuse_len[None] if reuse_len.ndim == 0 else reuse_len
+
+        def run(apply, params, cache, want_hidden):
+            table_full = cache.table.at[slot].set(table_row)
+            view = PagedKVCache(
+                cache.k, cache.v, cache.k_scale, cache.v_scale,
+                jax.lax.dynamic_slice_in_dim(table_full, slot, 1, 0),
+            )
+            if want_hidden:
+                _, new, hidden = apply(
+                    params, suffix_row, positions, view, cl, return_hidden=True
+                )
+            else:
+                _, new = apply(params, suffix_row, positions, view, cl)
+                hidden = None
+            return (
+                PagedKVCache(new.k, new.v, new.k_scale, new.v_scale, table_full),
+                hidden,
+            )
+
+        target_cache, hidden = run(
+            target_apply, target_params, state.target_cache, True
+        )
+        if draft_apply is not None:
+            draft_cache, _ = run(
+                draft_apply, draft_params, state.draft_cache, False
+            )
+        else:
+            draft_cache = state.draft_cache
+
+        row = jnp.zeros((state.tokens.shape[1],), jnp.int32)
+        row = jax.lax.dynamic_update_slice(row, full_row[0], (0,))
+        # Hidden-state carry for the Medusa/EAGLE heads: position plen-2,
+        # which is inside the suffix because match() caps reuse at plen-2.
+        h_idx = jnp.clip(prompt_len - 2 - reuse_len, 0, S - 1)
+        h_last = hidden[0, h_idx].astype(jnp.float32)
+        return state.replace(
+            tokens=state.tokens.at[slot].set(row),
+            lengths=state.lengths.at[slot].set(prompt_len),
+            prompt_lens=state.prompt_lens.at[slot].set(prompt_len),
+            max_new=state.max_new.at[slot].set(max_new),
+            active=state.active.at[slot].set(prompt_len > 0),
+            target_cache=target_cache,
+            draft_cache=draft_cache,
+            proposed=state.proposed.at[slot].set(0),
+            accepted=state.accepted.at[slot].set(0),
+            bonus=state.bonus.at[slot].set(0),
+            last_hidden=state.last_hidden.at[slot].set(h_last),
+            prev_hidden=state.prev_hidden.at[slot].set(h_last),
+            temperature=state.temperature.at[slot].set(temperature),
+            top_k=state.top_k.at[slot].set(top_k),
+            top_p=state.top_p.at[slot].set(top_p),
+        )
+
+    return jax.jit(admit, donate_argnums=(2,))
+
+
 class ContinuousBatcher:
     """Drives an Engine's jitted step over a fixed slot batch with rolling
     admission/retirement. Usage:
@@ -182,6 +258,11 @@ class ContinuousBatcher:
         self._done_prop = self._done_acc = 0
         self._prev_prop = self._prev_acc = 0
         self._admit = make_admit(engine.target, engine.draft)
+        self._admit_prefix = (
+            make_admit_prefix(engine.target, engine.draft)
+            if self.engine.config.kv_layout == "paged" and self.engine.config.prefix_caching
+            else None
+        )
         # Early termination (stop sequences, client disconnect): clearing a
         # slot's active flag retires it at the next poll; the freed slot is
         # immediately re-usable. One tiny jitted device write.
@@ -194,14 +275,21 @@ class ContinuousBatcher:
         # serving memory proportional to the LIVE token budget (admission
         # then becomes memory-aware: requests wait for free pages).
         self.paged = cfg.kv_layout == "paged"
+        if cfg.prefix_caching and not self.paged:
+            raise ValueError("prefix_caching requires kv_layout='paged'")
+        self.prefix_caching = self.paged and cfg.prefix_caching
         paged_kw = {}
         if self.paged:
-            from llm_inference_lab_tpu.models.paged import PageAllocator
+            from llm_inference_lab_tpu.models.paged import (
+                PageAllocator,
+                PrefixPageCache,
+            )
 
             P = cfg.kv_page_size
             self._pages_per_seq = (self.max_seq_len + P - 1) // P
             n_pages = cfg.kv_pages or (n_slots * self._pages_per_seq + 1)
-            self.allocator = PageAllocator(n_pages, P)
+            alloc_cls = PrefixPageCache if self.prefix_caching else PageAllocator
+            self.allocator = alloc_cls(n_pages, P)
             paged_kw = dict(
                 paged=True, page_size=P, n_pages=n_pages,
                 table=jnp.zeros((n_slots, self._pages_per_seq), jnp.int32),
@@ -271,6 +359,31 @@ class ContinuousBatcher:
         else:
             table_row = np.zeros((1,), np.int32)  # ignored
         dt, dk, dp = self._default_sampling
+        if self._admit_prefix is not None:
+            # Prefix-cached paged admission: forward the SUFFIX only.
+            suffix = req.ids[req.reuse_len :]
+            S = _round_up(max(len(suffix), 1), bucket)
+            suffix_row = np.zeros((1, S), np.int32)
+            suffix_row[0, : len(suffix)] = suffix
+            self.state = self._admit_prefix(
+                eng.target.params,
+                eng._draft_params,
+                self.state,
+                row,
+                suffix_row,
+                np.int32(len(req.ids)),
+                np.int32(req.reuse_len),
+                np.int32(slot),
+                np.int32(req.max_new_tokens),
+                table_row,
+                np.float32(dt if req.temperature is None else req.temperature),
+                np.int32(dk if req.top_k is None else req.top_k),
+                np.float32(dp if req.top_p is None else req.top_p),
+            )
+            self._slots[slot] = req
+            # Publish this request's own full prompt chunks for reuse.
+            self.allocator.register(req.ids, req.pages, req.reuse_len)
+            return
         self.state = self._admit(
             eng.target.params,
             eng._draft_params,
@@ -323,14 +436,26 @@ class ContinuousBatcher:
                     req = None
             if req is None:
                 break
+            # Prefix caching: serve the longest cached prefix (full pages
+            # only, capped at plen-2 so the suffix recomputes the hidden
+            # states the drafting modes carry), then allocate the rest.
+            shared: List[int] = []
+            reuse_len = 0
+            if self.prefix_caching:
+                shared, reuse_len = self.allocator.match(
+                    req.ids, len(req.ids) - 2
+                )
             need = self.allocator.pages_needed(
                 len(req.ids) + req.max_new_tokens + eng._max_k + 2
             )
-            pages = self.allocator.alloc(need)
+            pages = self.allocator.alloc(need - len(shared))
             if pages is None:
+                if shared:  # release the refcounts match() took
+                    self.allocator.free(shared)
                 self.scheduler.submit(rid, len(req.ids), req.max_new_tokens)
                 break
-            req.pages = pages
+            req.pages = shared + pages
+            req.reuse_len = reuse_len
             req.slot = slot
             self._requests.pop(rid)
             plans.append(req)
@@ -433,6 +558,7 @@ class ContinuousBatcher:
                 "proposed": prop,
                 "accepted": acc,
                 "acceptance_rate": acc / prop if prop else 0.0,
+                "prompt_tokens_reused": req.reuse_len,
                 "latency_ms": (time.perf_counter() - req.submitted_at) * 1e3,
                 "slot": slot,
                 # OpenAI semantics: "length" = ran to the token budget,

@@ -115,8 +115,8 @@ class MultiHostBatcher(ContinuousBatcher):
         from jax.experimental import multihost_utils
 
         B = self.n_slots
-        # header rows: (slot, plen, max_new, req_id, top_k)
-        header = np.zeros((B, 5), np.int32)
+        # header rows: (slot, plen, max_new, req_id, top_k, reuse_len)
+        header = np.zeros((B, 6), np.int32)
         rows = np.zeros((B, self._row_buf), np.int32)
         tables = np.zeros((B, self._tab_buf), np.int32)
         # Per-request sampling (resolved to engine defaults when unset) must
@@ -132,7 +132,7 @@ class MultiHostBatcher(ContinuousBatcher):
             for i, req in enumerate(plans):
                 header[i] = (
                     req.slot, len(req.ids), req.max_new_tokens, req.req_id,
-                    dk if req.top_k is None else req.top_k,
+                    dk if req.top_k is None else req.top_k, req.reuse_len,
                 )
                 samp[i] = (
                     dt if req.temperature is None else req.temperature,
@@ -153,7 +153,9 @@ class MultiHostBatcher(ContinuousBatcher):
         n_admit, pending, self._k_sync = int(meta[0]), int(meta[1]), int(meta[2])
 
         for i in range(n_admit):
-            slot, plen, max_new, rid, top_k = (int(x) for x in header[i])
+            slot, plen, max_new, rid, top_k, reuse_len = (
+                int(x) for x in header[i]
+            )
             if self.is_coordinator:
                 req = plans[i]
             else:
@@ -163,6 +165,7 @@ class MultiHostBatcher(ContinuousBatcher):
                                max_new, temperature=float(samp[i, 0]),
                                top_k=top_k, top_p=float(samp[i, 1]))
                 req.slot = slot
+                req.reuse_len = reuse_len
                 if self.paged:
                     req.pages = [int(t) for t in tables[i]]
             self._admit_one(slot, req)

@@ -190,3 +190,110 @@ class PageAllocator:
         for p in pages:
             if p != 0:
                 self._free.append(p)
+
+
+class PrefixPageCache(PageAllocator):
+    """PageAllocator + automatic prefix caching (vLLM-style, host-side).
+
+    Full page_size-token chunks of a prompt are content-addressed by a
+    CHAIN hash (chunk tokens + parent chunk's hash, so a page is only
+    reusable under the exact same prefix). Admission asks `match()` for the
+    longest cached prefix — those pages are shared (refcounted, never
+    re-written: decode writes land at positions >= prompt_len, which is
+    past every shared full chunk) and their prefill compute is skipped
+    entirely. After a request's own prefill, its fresh full prompt pages
+    are registered for future requests.
+
+    Pages whose refcount drops to zero stay cached (that is the feature:
+    a system prompt survives between requests) and move to an LRU pool
+    that `alloc` evicts from only when the free list runs dry.
+
+    Not a device object; shared pages reach the jitted steps only as
+    ordinary page ids inside table rows. No reference analogue (the
+    reference has no KV reuse across requests at all).
+    """
+
+    def __init__(self, n_pages: int, page_size: int):
+        super().__init__(n_pages, page_size)
+        self._by_hash: dict = {}  # chain_hash -> page_id
+        self._meta: dict = {}  # page_id -> [chain_hash, refcount, last_use]
+        self._clock = 0
+        self.hits = 0  # pages served from cache (stats)
+        self.misses = 0  # fresh pages registered
+
+    # -- hashing ---------------------------------------------------------
+    def chunk_hashes(self, ids: List[int]) -> List[Any]:
+        """Chain hash per FULL page_size chunk of the token list."""
+        out: List[Any] = []
+        parent: Any = None
+        P = self.page_size
+        for j in range(len(ids) // P):
+            parent = hash((parent, tuple(ids[j * P : (j + 1) * P])))
+            out.append(parent)
+        return out
+
+    # -- allocation with LRU eviction of unreferenced cached pages -------
+    def _evict(self, n: int) -> int:
+        """Evict up to n unreferenced cached pages (oldest first)."""
+        victims = sorted(
+            (m[2], pid) for pid, m in self._meta.items() if m[1] == 0
+        )[:n]
+        for _, pid in victims:
+            h = self._meta.pop(pid)[0]
+            self._by_hash.pop(h, None)
+            self._free.append(pid)
+        return len(victims)
+
+    def alloc(self, n: int) -> Optional[List[int]]:
+        if n > len(self._free):
+            self._evict(n - len(self._free))
+        return super().alloc(n)
+
+    @property
+    def reclaimable_pages(self) -> int:
+        return sum(1 for m in self._meta.values() if m[1] == 0)
+
+    # -- the admission-facing API ----------------------------------------
+    def match(self, ids: List[int], max_tokens: int) -> Tuple[List[int], int]:
+        """Longest cached prefix of `ids`, capped at `max_tokens` tokens
+        (callers cap at len(ids)-2 so the suffix always re-computes the
+        hidden states the drafting modes need). Returns (shared_pages,
+        reuse_len); takes a refcount on each returned page."""
+        pages: List[int] = []
+        self._clock += 1
+        for h in self.chunk_hashes(ids[: max(max_tokens, 0)]):
+            pid = self._by_hash.get(h)
+            if pid is None:
+                break
+            pages.append(pid)
+        for pid in pages:
+            self._meta[pid][1] += 1
+            self._meta[pid][2] = self._clock
+        self.hits += len(pages)
+        return pages, len(pages) * self.page_size
+
+    def register(self, ids: List[int], pages: List[int], reuse_len: int) -> None:
+        """After prefill: publish the request's own FULL prompt chunks
+        (beyond the reused prefix) for future sharing. `pages` is the
+        request's complete table prefix (shared + fresh, position order)."""
+        self._clock += 1
+        hashes = self.chunk_hashes(ids)
+        for j in range(reuse_len // self.page_size, len(hashes)):
+            pid = pages[j]
+            if hashes[j] in self._by_hash:  # raced duplicate: keep first
+                continue
+            self._by_hash[hashes[j]] = pid
+            self._meta[pid] = [hashes[j], 1, self._clock]
+        self.misses += len(hashes) - reuse_len // self.page_size
+
+    def free(self, pages: List[int]) -> None:
+        """Release a retired request's pages: cached (registered) pages
+        drop a refcount and stay resident for reuse; others free as usual."""
+        self._clock += 1
+        for p in pages:
+            m = self._meta.get(p)
+            if m is not None:
+                m[1] = max(m[1] - 1, 0)
+                m[2] = self._clock
+            elif p != 0:
+                self._free.append(p)

@@ -77,6 +77,11 @@ def attend_xla(
         ]  # [B, 1, 1, S_q, T]
     scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
+    # All-masked rows (softmax over only -inf = 0/0 = NaN) must yield 0, not
+    # NaN: they arise for EMPTY batch slots (position -1 under continuous
+    # batching), and a NaN written into a shared dummy page would poison
+    # OTHER slots' value sums (0-weight x NaN = NaN in probs @ v).
+    probs = jnp.where(mask.any(-1, keepdims=True), probs, 0.0)
     out = jnp.einsum(
         "bngst,bntd->bsngd",
         probs.astype(v_cache.dtype),

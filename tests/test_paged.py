@@ -98,6 +98,25 @@ def test_paged_memory_aware_admission():
     assert all(r["generated_tokens"] > 0 for r in out)
 
 
+def test_paged_empty_slot_does_not_poison_occupied():
+    """Regression: an EMPTY slot (position -1, all attention lanes masked)
+    used to produce NaN attention output, write NaN KV into the shared
+    dummy page 0, and poison every other slot's value sum (0-weight x NaN
+    = NaN). A single request in a 2-slot paged batcher must decode exactly
+    like in a 1-slot batcher."""
+    def run(n_slots):
+        eng = Engine(EngineConfig(
+            base_model="llama-tiny", draft_model=None, implementation="hf",
+            max_new_tokens=8, max_seq_len=256, dtype="float32",
+            kv_layout="paged", kv_page_size=64,
+        ))
+        b = ContinuousBatcher(eng, n_slots=n_slots)
+        b.submit("empty slot nan regression")
+        return b.run()[0]["generated_ids"]
+
+    assert run(2) == run(1)
+
+
 def test_paged_kv_verify_aligned():
     from llm_inference_lab_tpu.config import EnvFlags
 
