@@ -150,6 +150,7 @@ class Engine:
                 model=cfg.mesh_shape.get("model", 1),
                 seq=cfg.mesh_shape.get("seq", 1),
                 stage=cfg.mesh_shape.get("stage", 1),
+                expert=cfg.mesh_shape.get("expert", 1),
             )
         # Context parallelism: a seq axis in the mesh routes single-shot
         # prefill through ring attention (sequence sharded, KV rotating over
@@ -168,6 +169,25 @@ class Engine:
                     "cache prefix, which the ring pass does not cover"
                 )
             self._cp = (self.mesh, "seq")
+        # Expert parallelism: an expert axis shards the MoE expert stacks;
+        # the forward switches to the dispatch-einsum MoE implementation
+        # (ops/moe.py moe_dense) so GSPMD partitions the per-expert lanes
+        # (ragged_dot's grouped rows can't be auto-sharded on experts).
+        if (
+            self.mesh is not None
+            and self.mesh.shape.get("expert", 1) > 1
+            and cfg.implementation != "fake"
+            and getattr(self.target.config, "moe", False)
+        ):
+            import dataclasses
+            from functools import partial as _p
+
+            from llm_inference_lab_tpu.models import transformer as _tf
+
+            ep_cfg = dataclasses.replace(self.target.config, moe_impl="dense")
+            self.target.config = ep_cfg
+            self.target.apply_fn = _p(_tf.forward, ep_cfg)
+            self.target.head_fn = _p(_tf.lm_head_logits, ep_cfg)
         if self.mesh is not None:
             from llm_inference_lab_tpu.parallel.sharding import shard_params
 

@@ -73,6 +73,15 @@ class ModelConfig:
     # REGRESSED 3B decode 2.6x (39.9 -> 15.4 tok/s) — larger loop bodies
     # scheduled worse than the rolled scan. Keep 1 unless re-measured.
     scan_unroll: int = 1
+    # Mixture-of-experts (Mixtral): n_experts gated-MLP experts per layer
+    # with a top-k router. 0 = dense MLP.
+    n_experts: int = 0
+    experts_per_token: int = 2
+    # "ragged": lax.ragged_dot grouped matmul (single-device fast path).
+    # "dense": one-hot dispatch einsums — required under expert parallelism
+    # (the engine re-partials the forward with this when the mesh has an
+    # "expert" axis; GSPMD shards the [E, T, D] lanes, ragged_dot wouldn't).
+    moe_impl: str = "ragged"
 
     @property
     def head_dim(self) -> int:
@@ -87,6 +96,10 @@ class ModelConfig:
     def gated_mlp(self) -> bool:
         """Gated silu MLP (llama family) vs plain 2-layer MLP (gpt2/opt)."""
         return self.act == "silu"
+
+    @property
+    def moe(self) -> bool:
+        return self.n_experts > 0
 
 
 @jax.tree_util.register_pytree_node_class

@@ -115,6 +115,91 @@ def load_llama_checkpoint(path: str, cfg: ModelConfig) -> Any:
     return params
 
 
+def load_mixtral_checkpoint(path: str, cfg: ModelConfig) -> Any:
+    """HF Mixtral: llama-style attention + block_sparse_moe MLP. Expert
+    weights stack to [L, E, D, 2F] (w1=gate, w3=up fused on the out dim)
+    and [L, E, F, D] (w2=down); the router gate transposes to [L, D, E].
+    Key layout: model.layers.{i}.block_sparse_moe.gate.weight and
+    .experts.{e}.w{1,2,3}.weight (HF modeling_mixtral.py)."""
+    base = load_llama_like_attention(path, cfg)
+    w = _open_shards(path)
+    dt = cfg.dtype
+    L, E = cfg.n_layers, cfg.n_experts
+
+    def moe_stacks():
+        routers, gate_ups, downs = [], [], []
+        for i in range(L):
+            pre = f"model.layers.{i}.block_sparse_moe"
+            routers.append(w[f"{pre}.gate.weight"].T)  # [D, E]
+            gu, dn = [], []
+            for e in range(E):
+                w1 = w[f"{pre}.experts.{e}.w1.weight"].T  # [D, F] gate
+                w3 = w[f"{pre}.experts.{e}.w3.weight"].T  # [D, F] up
+                gu.append(np.concatenate([w1, w3], axis=-1))  # [D, 2F]
+                dn.append(w[f"{pre}.experts.{e}.w2.weight"].T)  # [F, D]
+            gate_ups.append(np.stack(gu))  # [E, D, 2F]
+            downs.append(np.stack(dn))  # [E, F, D]
+        return (
+            _to_jax(np.stack(routers), dt),
+            _to_jax(np.stack(gate_ups), dt),
+            _to_jax(np.stack(downs), dt),
+        )
+
+    router, gate_up, down = moe_stacks()
+    base["layers"]["w_router"] = router
+    base["layers"]["w_gate_up"] = gate_up
+    base["layers"]["w_down"] = down
+    return base
+
+
+def load_llama_like_attention(path: str, cfg: ModelConfig) -> Any:
+    """The attention/norm/embedding subset of load_llama_checkpoint —
+    shared by MoE archs whose MLP weights live elsewhere."""
+    w = _open_shards(path)
+    dt = cfg.dtype
+    L = cfg.n_layers
+
+    def layer_stack(fmt: str, transpose: bool = True):
+        ts = [w[fmt.format(i=i)] for i in range(L)]
+        if transpose:
+            ts = [t.T for t in ts]
+        return _to_jax(np.stack(ts), dt)
+
+    def fused_stack(fmts):
+        return _to_jax(
+            np.stack(
+                [
+                    np.concatenate([w[f.format(i=i)].T for f in fmts], axis=-1)
+                    for i in range(L)
+                ]
+            ),
+            dt,
+        )
+
+    layers = {
+        "attn_norm_scale": layer_stack(
+            "model.layers.{i}.input_layernorm.weight", transpose=False
+        ),
+        "mlp_norm_scale": layer_stack(
+            "model.layers.{i}.post_attention_layernorm.weight", transpose=False
+        ),
+        "w_qkv": fused_stack([
+            "model.layers.{i}.self_attn.q_proj.weight",
+            "model.layers.{i}.self_attn.k_proj.weight",
+            "model.layers.{i}.self_attn.v_proj.weight",
+        ]),
+        "wo": layer_stack("model.layers.{i}.self_attn.o_proj.weight"),
+    }
+    params = {
+        "embed": _to_jax(w["model.embed_tokens.weight"], dt),
+        "layers": layers,
+        "final_norm_scale": _to_jax(w["model.norm.weight"], dt),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _to_jax(w["lm_head.weight"].T, dt)
+    return params
+
+
 def load_gpt2_checkpoint(path: str, cfg: ModelConfig) -> Any:
     w = _open_shards(path)
     dt = cfg.dtype
@@ -329,7 +414,7 @@ def config_from_hf(hf: dict, name: str, dtype) -> ModelConfig:
             tie_word_embeddings=hf.get("tie_word_embeddings", True),
             dtype=dtype,
         )
-    if mt in ("llama", "qwen2", "mistral"):
+    if mt in ("llama", "qwen2", "mistral", "mixtral"):
         rs = hf.get("rope_scaling")
         rope_scaling = None
         if rs:
@@ -364,6 +449,10 @@ def config_from_hf(hf: dict, name: str, dtype) -> ModelConfig:
                 if (mt != "qwen2" or hf.get("use_sliding_window", False))
                 else None
             ),
+            # Mixtral: routed MoE MLP (num_local_experts gated experts,
+            # top num_experts_per_tok per token).
+            n_experts=hf.get("num_local_experts", 0) if mt == "mixtral" else 0,
+            experts_per_token=hf.get("num_experts_per_tok", 2),
             dtype=dtype,
         )
     raise ValueError(f"unsupported HF model_type {mt!r}")

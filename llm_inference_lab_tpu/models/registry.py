@@ -25,6 +25,7 @@ def get_model(
     from llm_inference_lab_tpu.models.gpt2 import GPT2_CONFIGS, GPT2Model
     from llm_inference_lab_tpu.models.llama import LLAMA_CONFIGS, LlamaModel
     from llm_inference_lab_tpu.models.mistral import MISTRAL_CONFIGS, MistralModel
+    from llm_inference_lab_tpu.models.mixtral import MIXTRAL_CONFIGS, MixtralModel
     from llm_inference_lab_tpu.models.opt import OPT_CONFIGS, OPTModel
     from llm_inference_lab_tpu.models.qwen2 import QWEN2_CONFIGS, Qwen2Model
 
@@ -47,6 +48,7 @@ def get_model(
         (OPT_CONFIGS, OPTModel),
         (QWEN2_CONFIGS, Qwen2Model),
         (MISTRAL_CONFIGS, MistralModel),
+        (MIXTRAL_CONFIGS, MixtralModel),
     )
     for configs, family in families:
         if key in configs:

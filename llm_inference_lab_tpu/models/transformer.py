@@ -160,6 +160,16 @@ def _attn_block(
 
 
 def _mlp_block(cfg: ModelConfig, p: Any, x: jax.Array) -> jax.Array:
+    if cfg.moe:  # Mixtral: top-k routed gated-MLP experts (ops/moe.py)
+        from llm_inference_lab_tpu.ops.moe import moe_dense
+
+        B, S, D = x.shape
+        fn = moe_dense if cfg.moe_impl == "dense" else get_op("moe_mlp")
+        y = fn(
+            x.reshape(B * S, D), p["w_router"], p["w_gate_up"], p["w_down"],
+            top_k=cfg.experts_per_token, act=cfg.act,
+        )
+        return y.reshape(B, S, D)
     if not cfg.gated_mlp:  # gpt2 gelu / opt relu: plain 2-layer mlp
         act = jax.nn.gelu if cfg.act == "gelu" else jax.nn.relu
         h = act(dense(x, p["w_fc"], p.get("b_fc")))
@@ -376,7 +386,14 @@ def init_params(cfg: ModelConfig, rng: jax.Array, skip_big: bool = False) -> Any
     elif cfg.qkv_bias:  # qwen2: bias on the fused qkv projection only
         layers["b_qkv"] = jnp.zeros((L, (H + 2 * KV) * Dh), dt)
     if not skip_big:
-        if cfg.gated_mlp:
+        if cfg.moe:  # Mixtral: router + expert-stacked gated MLPs
+            E = cfg.n_experts
+            layers.update(
+                w_router=init(next(keys), (L, D, E)),
+                w_gate_up=init(next(keys), (L, E, D, 2 * F)),
+                w_down=init(next(keys), (L, E, F, D)),
+            )
+        elif cfg.gated_mlp:
             layers.update(
                 w_gate_up=init(next(keys), (L, D, 2 * F)),
                 w_down=init(next(keys), (L, F, D)),

@@ -12,6 +12,7 @@ from llm_inference_lab_tpu.ops.registry import registry, get_op  # noqa: F401
 # Import op modules for their registration side effects (xla reference
 # implementations; pallas kernels self-register on TPU / in interpret mode).
 from llm_inference_lab_tpu.ops import attention as _attention  # noqa: F401,E402
+from llm_inference_lab_tpu.ops import moe as _moe  # noqa: F401,E402
 from llm_inference_lab_tpu.ops import paged_attention as _paged  # noqa: F401,E402
 from llm_inference_lab_tpu.ops import quant as _quant  # noqa: F401,E402
 from llm_inference_lab_tpu.ops import verify as _verify  # noqa: F401,E402

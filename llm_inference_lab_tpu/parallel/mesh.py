@@ -25,26 +25,33 @@ def make_mesh(
     model: int = 1,
     seq: int = 1,
     stage: int = 1,
+    expert: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Device mesh with ("data", "model") axes, plus a "seq" axis (between
-    data and model) when seq > 1 — the context-parallel axis for ring-
-    attention prefill (parallel/context.py) — and a "stage" axis when
-    stage > 1 — the pipeline-parallel layer axis (parallel/pipeline.py).
-    Stage sits right after data (coarser than model): stage hops are one
-    activation ppermute per microbatch tick, far less bandwidth-hungry
-    than TP's per-matmul collectives, so they tolerate slower links."""
+    """Device mesh with ("data", "model") axes, plus optional axes:
+
+    - "seq" (between data and model): context parallelism — ring-attention
+      prefill (parallel/context.py).
+    - "stage" (after data): pipeline parallelism — layer-axis sharding +
+      GPipe microbatch schedule (parallel/pipeline.py). Coarser than model
+      on purpose: stage hops are one activation ppermute per microbatch
+      tick, far less bandwidth-hungry than TP's per-matmul collectives.
+    - "expert" (after stage): expert parallelism — MoE expert stacks shard
+      on it and the dispatch/combine einsums all-to-all over it
+      (ops/moe.py moe_dense).
+    """
     devices = list(devices if devices is not None else jax.devices())
-    need = data * stage * seq * model
+    need = data * stage * expert * seq * model
     if need > len(devices):
         raise ValueError(
-            f"mesh {data}x{stage}x{seq}x{model} needs {need} devices, "
-            f"have {len(devices)}"
+            f"mesh {data}x{stage}x{expert}x{seq}x{model} needs {need} "
+            f"devices, have {len(devices)}"
         )
     if stage > 1 and seq > 1:
         raise ValueError("stage (pipeline) and seq (ring-attention) axes "
                          "are mutually exclusive")
-    dims = [("data", data), ("stage", stage), ("seq", seq), ("model", model)]
+    dims = [("data", data), ("stage", stage), ("expert", expert),
+            ("seq", seq), ("model", model)]
     dims = [(n, s) for n, s in dims if s > 1 or n in ("data", "model")]
     arr = np.array(devices[:need]).reshape([s for _, s in dims])
     return Mesh(arr, tuple(n for n, _ in dims))

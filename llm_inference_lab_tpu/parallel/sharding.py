@@ -50,10 +50,13 @@ PARAM_RULES = {
 _LAST_KEY = re.compile(r"\['?([^'\[\]]+)'?\]$")
 
 
-def _spec_for(path: str, ndim: int, stage: bool = False) -> P:
+def _spec_for(path: str, ndim: int, stage: bool = False,
+              expert: bool = False) -> P:
     """`path` is a jax.tree_util.keystr string like "['layers']['wq']".
     stage: shard the leading stacked-layer axis over the pipeline "stage"
-    mesh axis (parallel/pipeline.py) — applies to ['layers'] leaves only."""
+    mesh axis (parallel/pipeline.py) — applies to ['layers'] leaves only.
+    expert: shard the expert-stack axis (dim 1 of [L, E, ...] MoE leaves —
+    the only layer leaves padded by >= 2) over the "expert" mesh axis."""
     m = _LAST_KEY.search(path)
     spec = PARAM_RULES.get(m.group(1)) if m else None
     is_layer_leaf = "['layers']" in path
@@ -64,7 +67,10 @@ def _spec_for(path: str, ndim: int, stage: bool = False) -> P:
     pad = ndim - len(spec)
     if pad < 0:  # scale vectors etc. — keep the trailing dims of the spec
         return P(*spec[-ndim:])
-    lead = ["stage"] if stage and is_layer_leaf and pad >= 1 else []
+    lead = ["stage"] if stage and is_layer_leaf and pad >= 1 else [None]
+    if expert and is_layer_leaf and pad >= 2:
+        lead = lead[:1] + ["expert"]
+    lead = lead[:pad]
     return P(*lead, *([None] * (pad - len(lead))), *spec)
 
 
@@ -74,6 +80,7 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     scales shard on the output dim."""
 
     stage = "stage" in mesh.axis_names
+    expert = "expert" in mesh.axis_names
 
     def place(path, leaf):
         from llm_inference_lab_tpu.ops.quant import EmbedQuant
@@ -85,7 +92,7 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
                 jax.device_put(leaf.scale, NamedSharding(mesh, P("model"))),
             )
         if isinstance(leaf, QuantTensor):
-            dspec = _spec_for(name, leaf.data.ndim, stage)
+            dspec = _spec_for(name, leaf.data.ndim, stage, expert)
             out_axis = dspec[-1] if len(dspec) else None
             lead = ["stage"] if stage and dspec and dspec[0] == "stage" else []
             sspec = P(*lead,
@@ -96,7 +103,7 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
                 bits=leaf.bits,
             )
         return jax.device_put(
-            leaf, NamedSharding(mesh, _spec_for(name, leaf.ndim, stage))
+            leaf, NamedSharding(mesh, _spec_for(name, leaf.ndim, stage, expert))
         )
 
     from llm_inference_lab_tpu.ops.quant import EmbedQuant as _EQ

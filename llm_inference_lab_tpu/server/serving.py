@@ -233,6 +233,20 @@ class InferenceServer:
                         "# TYPE specdx_draft_k gauge",
                         f"specdx_draft_k {b.scheduler.k}",
                     ]
+                    if b.paged:
+                        lines += [
+                            "# TYPE specdx_kv_pages_free gauge",
+                            f"specdx_kv_pages_free {b.allocator.free_pages}",
+                        ]
+                    if getattr(b, "prefix_caching", False):
+                        lines += [
+                            "# TYPE specdx_prefix_cache_page_hits_total counter",
+                            f"specdx_prefix_cache_page_hits_total {b.allocator.hits}",
+                            "# TYPE specdx_prefix_cache_page_misses_total counter",
+                            f"specdx_prefix_cache_page_misses_total {b.allocator.misses}",
+                            "# TYPE specdx_prefix_cache_resident_pages gauge",
+                            f"specdx_prefix_cache_resident_pages {b.allocator.reclaimable_pages}",
+                        ]
                     data = ("\n".join(lines) + "\n").encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "text/plain; version=0.0.4")
