@@ -100,6 +100,15 @@ class EngineConfig:
     # temperature/1.5 while verification is greedy argmax at temp 1.0
     # (reference pipeline.py:2324-2328, speculative_scheduler.py:192-198).
     draft_temperature_scale: float = 1.5
+    # Penalties (disabled at the defaults): HF repetition penalty (seen
+    # tokens' logits divided/multiplied by r) and OpenAI presence/frequency
+    # penalties, over the whole committed text (prompt + generation). In
+    # spec decode the verify distributions are penalized with incremental
+    # in-window counts, so greedy output matches a penalized baseline
+    # exactly. Per-request values come via serving when per_request_sampling.
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     # Per-REQUEST sampling: temperature/top_k/top_p live in DecodeState [B]
     # arrays (serving: each OpenAI request carries its own; temperature <= 0
     # means greedy). Off = the scalars above are compiled into the step

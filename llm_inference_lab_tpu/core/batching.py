@@ -40,6 +40,9 @@ class _Request:
     temperature: Optional[float] = None
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    repetition_penalty: Optional[float] = None
+    presence_penalty: Optional[float] = None
+    frequency_penalty: Optional[float] = None
     submitted_at: float = field(default_factory=time.perf_counter)
     slot: Optional[int] = None
     result: Optional[dict] = None
@@ -58,7 +61,8 @@ def make_admit(target_model, draft_model):
     draft_apply = draft_model.apply_fn if draft_model is not None else None
 
     def admit(target_params, draft_params, state, prompt_row, prompt_len, slot,
-              max_new, table_row, temperature, top_k, top_p):
+              max_new, table_row, temperature, top_k, top_p,
+              rep_penalty, presence_penalty, freq_penalty):
         from llm_inference_lab_tpu.models.base import KVCache
         from llm_inference_lab_tpu.models.paged import PagedKVCache
 
@@ -136,6 +140,11 @@ def make_admit(target_model, draft_model):
             temperature=state.temperature.at[slot].set(temperature),
             top_k=state.top_k.at[slot].set(top_k),
             top_p=state.top_p.at[slot].set(top_p),
+            rep_penalty=state.rep_penalty.at[slot].set(rep_penalty),
+            presence_penalty=state.presence_penalty.at[slot].set(
+                presence_penalty
+            ),
+            freq_penalty=state.freq_penalty.at[slot].set(freq_penalty),
         )
 
     return jax.jit(admit, donate_argnums=(2,))
@@ -154,7 +163,8 @@ def make_admit_prefix(target_model, draft_model):
 
     def admit(target_params, draft_params, state, full_row, suffix_row,
               prompt_len, reuse_len, slot, max_new, table_row,
-              temperature, top_k, top_p):
+              temperature, top_k, top_p,
+              rep_penalty, presence_penalty, freq_penalty):
         from llm_inference_lab_tpu.models.paged import PagedKVCache
 
         S = suffix_row.shape[1]
@@ -211,6 +221,11 @@ def make_admit_prefix(target_model, draft_model):
             temperature=state.temperature.at[slot].set(temperature),
             top_k=state.top_k.at[slot].set(top_k),
             top_p=state.top_p.at[slot].set(top_p),
+            rep_penalty=state.rep_penalty.at[slot].set(rep_penalty),
+            presence_penalty=state.presence_penalty.at[slot].set(
+                presence_penalty
+            ),
+            freq_penalty=state.freq_penalty.at[slot].set(freq_penalty),
         )
 
     return jax.jit(admit, donate_argnums=(2,))
@@ -270,6 +285,10 @@ class ContinuousBatcher:
             lambda state, slot: state.replace(active=state.active.at[slot].set(False)),
             donate_argnums=(0,),
         )
+        # Pipelined poll snapshot (poll_flags_async): one [3, B] int32.
+        self._snap = jax.jit(
+            lambda a, p, c: jnp.stack([a.astype(jnp.int32), p, c])
+        )
         # Paged KV: page pool + host-side allocator. Pool defaults to the
         # contiguous-equivalent size; cap it with cfg.kv_pages to make
         # serving memory proportional to the LIVE token budget (admission
@@ -307,6 +326,9 @@ class ContinuousBatcher:
             temperature=self._default_sampling[0],
             top_k=self._default_sampling[1],
             top_p=self._default_sampling[2],
+            repetition_penalty=cfg.repetition_penalty,
+            presence_penalty=cfg.presence_penalty,
+            frequency_penalty=cfg.frequency_penalty,
             **paged_kw,
         )
         if engine.mesh is not None:
@@ -322,6 +344,9 @@ class ContinuousBatcher:
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
+        repetition_penalty: Optional[float] = None,
+        presence_penalty: Optional[float] = None,
+        frequency_penalty: Optional[float] = None,
     ) -> int:
         # Headroom uses engine._max_k (tree-aware: tree mode writes
         # num_nodes+1 cache rows per step, more than max_draft).
@@ -333,6 +358,9 @@ class ContinuousBatcher:
             self._next_id, prompt, ids,
             max_new_tokens or self.engine.config.max_new_tokens,
             temperature=temperature, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty,
+            presence_penalty=presence_penalty,
+            frequency_penalty=frequency_penalty,
         )
         self._next_id += 1
         self._requests[req.req_id] = req
@@ -359,6 +387,24 @@ class ContinuousBatcher:
         else:
             table_row = np.zeros((1,), np.int32)  # ignored
         dt, dk, dp = self._default_sampling
+        cfgp = eng.config
+        pen = (
+            np.float32(
+                cfgp.repetition_penalty
+                if req.repetition_penalty is None
+                else req.repetition_penalty
+            ),
+            np.float32(
+                cfgp.presence_penalty
+                if req.presence_penalty is None
+                else req.presence_penalty
+            ),
+            np.float32(
+                cfgp.frequency_penalty
+                if req.frequency_penalty is None
+                else req.frequency_penalty
+            ),
+        )
         if self._admit_prefix is not None:
             # Prefix-cached paged admission: forward the SUFFIX only.
             suffix = req.ids[req.reuse_len :]
@@ -379,6 +425,7 @@ class ContinuousBatcher:
                 np.float32(dt if req.temperature is None else req.temperature),
                 np.int32(dk if req.top_k is None else req.top_k),
                 np.float32(dp if req.top_p is None else req.top_p),
+                *pen,
             )
             self._slots[slot] = req
             # Publish this request's own full prompt chunks for reuse.
@@ -396,6 +443,7 @@ class ContinuousBatcher:
             np.float32(dt if req.temperature is None else req.temperature),
             np.int32(dk if req.top_k is None else req.top_k),
             np.float32(dp if req.top_p is None else req.top_p),
+            *pen,
         )
         self._slots[slot] = req
 
@@ -486,6 +534,19 @@ class ContinuousBatcher:
             )
         )
 
+    def poll_flags_async(self):
+        """Snapshot the poll flags as ONE tiny [3, B] device array from the
+        CURRENT state — call BEFORE dispatching the next chunk, materialize
+        (np.asarray) after: the device->host transfer then overlaps the
+        chunk's compute instead of costing a serial round trip after it
+        (~27 ms through the tunneled runtime — the dominant serving-loop
+        cost once chunks are batched). Retirement decisions lag one chunk;
+        a slot that finishes mid-chunk idles through the next chunk, which
+        its inactive lane no-ops through anyway."""
+        return self._snap(
+            self.state.active, self.state.proposed, self.state.accepted
+        )
+
     def _fetch_tokens(self):
         return (
             np.asarray(self.state.tokens),
@@ -521,12 +582,18 @@ class ContinuousBatcher:
                 return True
         return False
 
-    def _retire_finished(self) -> None:
+    def _retire_finished(self, flags=None) -> None:
         # ONE combined host fetch per poll: active flags + acceptance
         # counters. The counters feed the native scheduler's adaptive-K EMA
         # (native/scheduler.cc sched_record_step; round-1 VERDICT weak #2 —
         # the serving path previously never fed acceptance back).
-        active, proposed, accepted = self._fetch_flags()
+        # `flags`: a poll_flags_async() handle or its [3, B] numpy value
+        # (pipelined polling — the fetch overlapped the last chunk).
+        if flags is not None:
+            f = np.asarray(flags)
+            active, proposed, accepted = f[0].astype(bool), f[1], f[2]
+        else:
+            active, proposed, accepted = self._fetch_flags()
         occupied = [s for s, r in enumerate(self._slots) if r is not None]
         prop_total = self._done_prop + int(proposed[occupied].sum())
         acc_total = self._done_acc + int(accepted[occupied].sum())
@@ -628,9 +695,12 @@ class ContinuousBatcher:
         while steps < limit:
             if not any(s is not None for s in self._slots) and not self.scheduler.pending():
                 break
+            # Pipelined poll: snapshot flags BEFORE the chunk, materialize
+            # after — the device->host transfer overlaps the chunk compute.
+            flags = self.poll_flags_async()
             self.step_chunk(self.poll_every)
             steps += self.poll_every
-            self._retire_finished()
+            self._retire_finished(flags)
             self._admit_pending()
         self._retire_finished()
         return [

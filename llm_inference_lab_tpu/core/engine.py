@@ -331,6 +331,15 @@ class Engine:
                 raise ValueError(
                     "per_request_sampling is not supported in tree mode"
                 )
+            if (
+                cfg.repetition_penalty != 1.0
+                or cfg.presence_penalty != 0.0
+                or cfg.frequency_penalty != 0.0
+            ):
+                raise ValueError(
+                    "repetition/presence/frequency penalties are not "
+                    "supported in tree mode"
+                )
             return make_tree_spec_step(
                 self.target,
                 TreeConfig(tuple(cfg.tree.get("branching", [3, 2]))),
@@ -348,6 +357,9 @@ class Engine:
                 temperature=cfg.temperature,
                 top_k=cfg.top_k,
                 top_p=cfg.top_p,
+                repetition_penalty=cfg.repetition_penalty,
+                presence_penalty=cfg.presence_penalty,
+                frequency_penalty=cfg.frequency_penalty,
                 eos_token_id=self.eos_token_id,
                 per_request_sampling=cfg.per_request_sampling,
                 jit=jit,
@@ -371,6 +383,9 @@ class Engine:
             top_k=cfg.top_k,
             top_p=cfg.top_p,
             draft_temperature_scale=cfg.draft_temperature_scale,
+            repetition_penalty=cfg.repetition_penalty,
+            presence_penalty=cfg.presence_penalty,
+            frequency_penalty=cfg.frequency_penalty,
             eos_token_id=self.eos_token_id,
             use_rejection_bonus=(cfg.policy == "rejection"),
             draft_mode=self.draft_mode,
@@ -493,6 +508,9 @@ class Engine:
             temperature=dflt_t if temperature is None else temperature,
             top_k=cfg.top_k if top_k is None else top_k,
             top_p=cfg.top_p if top_p is None else top_p,
+            repetition_penalty=cfg.repetition_penalty,
+            presence_penalty=cfg.presence_penalty,
+            frequency_penalty=cfg.frequency_penalty,
         )
         if self.mesh is not None:
             from llm_inference_lab_tpu.parallel.sharding import shard_state

@@ -122,10 +122,12 @@ class MultiHostBatcher(ContinuousBatcher):
         # Per-request sampling (resolved to engine defaults when unset) must
         # ride the broadcast too: admission writes these into device state,
         # and hosts executing different values would desync sampling.
-        samp = np.zeros((B, 2), np.float32)  # (temperature, top_p)
+        # (temperature, top_p, repetition/presence/frequency penalty)
+        samp = np.zeros((B, 5), np.float32)
         meta = np.zeros((3,), np.int32)  # (n_admit, pending, k)
 
         dt, dk, dp = self._default_sampling
+        cfgp = self.engine.config
         plans: List[_Request] = []
         if self.is_coordinator:
             plans = self._plan_admissions()
@@ -137,6 +139,15 @@ class MultiHostBatcher(ContinuousBatcher):
                 samp[i] = (
                     dt if req.temperature is None else req.temperature,
                     dp if req.top_p is None else req.top_p,
+                    cfgp.repetition_penalty
+                    if req.repetition_penalty is None
+                    else req.repetition_penalty,
+                    cfgp.presence_penalty
+                    if req.presence_penalty is None
+                    else req.presence_penalty,
+                    cfgp.frequency_penalty
+                    if req.frequency_penalty is None
+                    else req.frequency_penalty,
                 )
                 rows[i, : len(req.ids)] = req.ids
                 if self.paged:
@@ -163,7 +174,10 @@ class MultiHostBatcher(ContinuousBatcher):
                 # collective admission + retirement bookkeeping.
                 req = _Request(rid, "", [int(t) for t in rows[i, :plen]],
                                max_new, temperature=float(samp[i, 0]),
-                               top_k=top_k, top_p=float(samp[i, 1]))
+                               top_k=top_k, top_p=float(samp[i, 1]),
+                               repetition_penalty=float(samp[i, 2]),
+                               presence_penalty=float(samp[i, 3]),
+                               frequency_penalty=float(samp[i, 4]))
                 req.slot = slot
                 req.reuse_len = reuse_len
                 if self.paged:

@@ -34,7 +34,11 @@ import jax.numpy as jnp
 
 from llm_inference_lab_tpu.core.policies import rejection_bonus_logits
 from llm_inference_lab_tpu.core.state import DecodeState
-from llm_inference_lab_tpu.ops.sampling import sample_tokens
+from llm_inference_lab_tpu.ops.sampling import (
+    apply_penalties,
+    sample_tokens,
+    token_counts,
+)
 
 
 def _gather_last(tokens: jax.Array, lengths: jax.Array) -> jax.Array:
@@ -55,6 +59,9 @@ def make_spec_step(
     top_k: int = 0,
     top_p: float = 1.0,
     draft_temperature_scale: float = 1.5,
+    repetition_penalty: float = 1.0,
+    presence_penalty: float = 0.0,
+    frequency_penalty: float = 0.0,
     eos_token_id: Optional[int] = None,
     use_rejection_bonus: bool = False,
     draft_mode: str = "vanilla",  # | "medusa" | "eagle"
@@ -137,6 +144,36 @@ def make_spec_step(
     eagle_alpha = float((eagle_cfg or {}).get("alpha", 0.7))
     compute_dtype = target_model.config.dtype
     adaptive = adaptive_cfg is not None
+    # Penalties (HF repetition + OpenAI presence/frequency): static scalars
+    # compile in; per_request_sampling reads per-row values from the state.
+    # Exactness inside a spec step: the verify row for write-slot i is
+    # penalized with counts of (committed prefix + drafts d_0..d_{i-1}) —
+    # the same incremental counts the draft loop used when proposing d_i —
+    # so greedy spec output == greedy penalized baseline output, and the
+    # rejection policy's p_t/p_d both refer to the penalized distributions.
+    use_pen = per_request_sampling or (
+        repetition_penalty != 1.0
+        or presence_penalty != 0.0
+        or frequency_penalty != 0.0
+    )
+
+    def _pen_params(state):
+        if per_request_sampling:
+            return (state.rep_penalty, state.presence_penalty,
+                    state.freq_penalty)
+        return (repetition_penalty, presence_penalty, frequency_penalty)
+
+    if (
+        use_pen
+        and draft_mode == "vanilla"
+        and draft_model is not None
+        and draft_model.config.vocab_size != target_model.config.vocab_size
+    ):
+        raise ValueError(
+            "penalties need draft and target to share a vocabulary "
+            f"(draft {draft_model.config.vocab_size} != "
+            f"target {target_model.config.vocab_size})"
+        )
 
     def _draft_samp(state):
         """Draft-sampling kwargs: per-sequence arrays or compiled scalars."""
@@ -153,22 +190,36 @@ def make_spec_step(
     a_alpha = 2.0 / (float((adaptive_cfg or {}).get("window", 32)) + 1.0)
     a_step = int((adaptive_cfg or {}).get("step_size", 1))
 
-    def _draft_vanilla(state, draft_params, last, base, rng_draft, eff_k):
+    def _draft_vanilla(state, draft_params, last, base, rng_draft, eff_k,
+                       counts):
+        B = last.shape[0]
+        cnt0 = counts if use_pen else jnp.zeros((B, 1), jnp.int32)
+
+        def _penalize(logits, cnt):
+            if use_pen:
+                return apply_penalties(logits, cnt, *_pen_params(state))
+            return logits
+
+        def _bump(cnt, nxt):
+            if use_pen:
+                return cnt.at[jnp.arange(B), nxt].add(1)
+            return cnt
+
         if not adaptive:
             def draft_body(carry, inp):
-                x, cache = carry
+                x, cache, cnt = carry
                 i, rng_i = inp
                 pos = base + i  # [B]
                 logits, cache = draft_apply(
                     draft_params, x[:, None], pos[:, None], cache, pos
                 )
-                logits = logits[:, 0]
+                logits = _penalize(logits[:, 0], cnt)
                 nxt = sample_tokens(rng_i, logits, **_draft_samp(state))
-                return (nxt, cache), (nxt, logits)
+                return (nxt, cache, _bump(cnt, nxt)), (nxt, logits)
 
-            (_, draft_cache), (d, draft_logits) = jax.lax.scan(
+            (_, draft_cache, _), (d, draft_logits) = jax.lax.scan(
                 draft_body,
-                (last, state.draft_cache),
+                (last, state.draft_cache, cnt0),
                 (jnp.arange(K, dtype=jnp.int32), jax.random.split(rng_draft, K)),
             )
             return (
@@ -178,7 +229,6 @@ def make_spec_step(
             )
 
         # Adaptive: dynamic trip count — only eff_k draft forwards run.
-        B = last.shape[0]
         Vd = draft_model.config.vocab_size
         d_buf = jnp.zeros((B, K), jnp.int32)
         l_buf = jnp.zeros((B, K, Vd), jnp.float32)
@@ -187,61 +237,78 @@ def make_spec_step(
             return c[0] < eff_k
 
         def body(c):
-            i, x, cache, db, lb = c
+            i, x, cache, db, lb, cnt = c
             pos = base + i
             logits, cache = draft_apply(
                 draft_params, x[:, None], pos[:, None], cache, pos
             )
-            logits = logits[:, 0]
+            logits = _penalize(logits[:, 0], cnt)
             nxt = sample_tokens(
                 jax.random.fold_in(rng_draft, i), logits, **_draft_samp(state)
             )
             db = jax.lax.dynamic_update_index_in_dim(db, nxt, i, 1)
             lb = jax.lax.dynamic_update_index_in_dim(lb, logits, i, 1)
-            return (i + 1, nxt, cache, db, lb)
+            return (i + 1, nxt, cache, db, lb, _bump(cnt, nxt))
 
-        _, _, draft_cache, d_buf, l_buf = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), last, state.draft_cache, d_buf, l_buf)
+        _, _, draft_cache, d_buf, l_buf, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), last, state.draft_cache, d_buf, l_buf, cnt0),
         )
         return d_buf, l_buf, draft_cache
 
-    def _draft_medusa(state, draft_params, last, base, rng_draft, eff_k):
+    def _draft_medusa(state, draft_params, last, base, rng_draft, eff_k,
+                      counts):
         proj = draft_params["medusa_proj"]  # [K, D, D]
         h = state.last_hidden.astype(compute_dtype)  # [B, D]
         m_temp = float(medusa_cfg.get("temperature", 0.7))
         m_top_p = float(medusa_cfg.get("top_p", 0.9))
+        B = last.shape[0]
         ds, ls = [], []
         for i in range(K):
             logits_i = head_fn(
                 target_params_ref[0], jnp.dot(h, proj[i].astype(h.dtype))
             )  # [B, V]
+            if use_pen:
+                logits_i = apply_penalties(logits_i, counts, *_pen_params(state))
             d_i = sample_tokens(
                 jax.random.fold_in(rng_draft, i), logits_i,
                 temperature=m_temp, top_p=m_top_p, greedy=greedy,
             )
+            if use_pen:
+                counts = counts.at[jnp.arange(B), d_i].add(1)
             ds.append(d_i)
             ls.append(logits_i)
         return jnp.stack(ds, 1), jnp.stack(ls, 1), state.draft_cache
 
-    def _draft_eagle(state, draft_params, last, base, rng_draft, eff_k):
+    def _draft_eagle(state, draft_params, last, base, rng_draft, eff_k,
+                     counts):
         # Head drafting is one [B, D] matmul per level — drafting all K and
         # clipping acceptance to eff_k is cheaper than a dynamic loop.
         h_cur = state.last_hidden
         h_prev = state.prev_hidden
+        B = last.shape[0]
         ds, ls = [], []
         for i in range(K):
             h_next = h_cur + eagle_alpha * (h_cur - h_prev)
             logits_i = head_fn(
                 target_params_ref[0], h_next.astype(compute_dtype)
             )  # [B, V]; greedy argmax (reference eagle.py:149-150)
-            ds.append(jnp.argmax(logits_i, axis=-1).astype(jnp.int32))
+            if use_pen:
+                logits_i = apply_penalties(logits_i, counts, *_pen_params(state))
+            d_i = jnp.argmax(logits_i, axis=-1).astype(jnp.int32)
+            if use_pen:
+                counts = counts.at[jnp.arange(B), d_i].add(1)
+            ds.append(d_i)
             ls.append(logits_i)
             h_prev, h_cur = h_cur, h_next
         return jnp.stack(ds, 1), jnp.stack(ls, 1), state.draft_cache
 
     ngram_n = int((ngram_cfg or {}).get("n", 2))
 
-    def _draft_ngram(state, draft_params, last, base, rng_draft, eff_k):
+    def _draft_ngram(state, draft_params, last, base, rng_draft, eff_k,
+                     counts):
+        # Proposals are deterministic buffer lookups — penalties act on the
+        # verify side only (wrong proposals just fail verification).
         tokens = state.tokens  # [B, T]
         B, T = tokens.shape
         N = ngram_n
@@ -294,8 +361,15 @@ def make_spec_step(
 
         # ---- 1. Draft K tokens ----
         target_params_ref[0] = target_params
+        base_counts = (
+            token_counts(
+                state.tokens, state.lengths, target_model.config.vocab_size
+            )
+            if use_pen
+            else None
+        )
         d, draft_logits, draft_cache = draft_fn(
-            state, draft_params, last, base, rng_draft, eff_k
+            state, draft_params, last, base, rng_draft, eff_k, base_counts
         )
 
         # ---- 2. Verify: ONE forward over K+1 positions ----
@@ -305,6 +379,21 @@ def make_spec_step(
             target_params, verify_in, positions, state.target_cache, base,
             return_hidden=True,
         )  # [B, K+1, V], cache, [B, K+1, D]
+        if use_pen:
+            # Verify row i predicts write-slot i having seen prefix +
+            # d_0..d_{i-1}: penalize with exactly those incremental counts
+            # (matches what the draft loop saw when it proposed d_i, so
+            # greedy spec == greedy penalized baseline, token for token).
+            Vt = target_logits.shape[-1]
+            inc = jnp.cumsum(
+                jax.nn.one_hot(d, Vt, dtype=jnp.int32), axis=1
+            )  # [B, K, Vt]
+            window_counts = base_counts[:, None, :] + jnp.concatenate(
+                [jnp.zeros_like(inc[:, :1]), inc], axis=1
+            )  # [B, K+1, Vt]
+            target_logits = apply_penalties(
+                target_logits, window_counts, *_pen_params(state)
+            )
 
         # ---- 3. Acceptance ----
         a = policy_fn(rng_policy, d, draft_logits, target_logits, **policy_params)
@@ -488,6 +577,9 @@ def make_baseline_step(
     temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    repetition_penalty: float = 1.0,
+    presence_penalty: float = 0.0,
+    frequency_penalty: float = 0.0,
     eos_token_id: Optional[int] = None,
     per_request_sampling: bool = False,
     donate: bool = True,
@@ -497,6 +589,11 @@ def make_baseline_step(
     (reference `_generate_batch_baseline`, pipeline.py:1415-1603).
     Ignores the draft cache in the state."""
     target_apply = target_model.apply_fn
+    use_pen = per_request_sampling or (
+        repetition_penalty != 1.0
+        or presence_penalty != 0.0
+        or frequency_penalty != 0.0
+    )
 
     def step(target_params, state: DecodeState) -> DecodeState:
         max_len = state.tokens.shape[1]
@@ -506,14 +603,25 @@ def make_baseline_step(
         logits, target_cache = target_apply(
             target_params, last[:, None], base[:, None], state.target_cache, base
         )
+        row = logits[:, 0]
+        if use_pen:
+            counts = token_counts(
+                state.tokens, state.lengths, target_model.config.vocab_size
+            )
+            pen = (
+                (state.rep_penalty, state.presence_penalty, state.freq_penalty)
+                if per_request_sampling
+                else (repetition_penalty, presence_penalty, frequency_penalty)
+            )
+            row = apply_penalties(row, counts, *pen)
         if per_request_sampling:
             nxt = sample_tokens(
-                rng_s, logits[:, 0], temperature=state.temperature,
+                rng_s, row, temperature=state.temperature,
                 top_k=state.top_k, top_p=state.top_p, greedy=False,
             )
         else:
             nxt = sample_tokens(
-                rng_s, logits[:, 0], temperature=temperature, top_k=top_k,
+                rng_s, row, temperature=temperature, top_k=top_k,
                 top_p=top_p, greedy=greedy,
             )
         commit = jnp.where(state.active, 1, 0)
@@ -523,7 +631,8 @@ def make_baseline_step(
             lambda t, v, s: jax.lax.dynamic_update_slice(t, v[None], (s,))
         )(state.tokens, nxt, state.lengths)
         new_tokens = jnp.where(state.active[:, None], new_tokens, state.tokens)
-        row = logits[:, 0]
+        # `row` is the (possibly penalty-adjusted) sampling distribution —
+        # reported logprobs describe what was actually sampled from.
         lp = jnp.take_along_axis(row, nxt[:, None], axis=-1)[
             :, 0
         ] - jax.scipy.special.logsumexp(row, axis=-1)

@@ -58,6 +58,14 @@ class DecodeState:
     temperature: jax.Array  # [B] float32
     top_k: jax.Array  # [B] int32
     top_p: jax.Array  # [B] float32
+    # Per-sequence penalty parameters (OpenAI presence/frequency, HF
+    # repetition). Disabled values (1.0 / 0.0 / 0.0) are the defaults; only
+    # steps built with per_request_sampling=True (or static engine-config
+    # penalties) read them. Counts come from the token buffer at step time —
+    # no extra state to maintain.
+    rep_penalty: jax.Array  # [B] float32 — 1.0 = off
+    presence_penalty: jax.Array  # [B] float32 — 0.0 = off
+    freq_penalty: jax.Array  # [B] float32 — 0.0 = off
     # Target-model log-prob of each committed token (written alongside the
     # token at commit; prompt positions stay 0). Powers the OpenAI
     # `logprobs` response field and perplexity-style quality checks with no
@@ -81,6 +89,9 @@ def init_state(
     temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    repetition_penalty: float = 1.0,
+    presence_penalty: float = 0.0,
+    frequency_penalty: float = 0.0,
 ) -> DecodeState:
     B = batch_size
     kv_kw = dict(quantized=kv_quantized)
@@ -121,5 +132,14 @@ def init_state(
         ),
         top_k=jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (B,)),
         top_p=jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (B,)),
+        rep_penalty=jnp.broadcast_to(
+            jnp.asarray(repetition_penalty, jnp.float32), (B,)
+        ),
+        presence_penalty=jnp.broadcast_to(
+            jnp.asarray(presence_penalty, jnp.float32), (B,)
+        ),
+        freq_penalty=jnp.broadcast_to(
+            jnp.asarray(frequency_penalty, jnp.float32), (B,)
+        ),
         token_logprobs=jnp.zeros((B, max_seq_len), jnp.float32),
     )

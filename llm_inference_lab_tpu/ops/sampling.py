@@ -35,6 +35,49 @@ def _bcast(p, logits: jax.Array, dtype=jnp.float32) -> jax.Array:
     return p.reshape(p.shape + (1,) * (logits.ndim - p.ndim))
 
 
+def token_counts(
+    tokens: jax.Array,  # [B, T] int32 token buffer
+    lengths: jax.Array,  # [B] int32 committed lengths
+    vocab_size: int,
+) -> jax.Array:
+    """Per-sequence occurrence counts of every vocab token in the committed
+    prefix: counts[b, v] = |{t < lengths[b] : tokens[b, t] == v}|. One
+    scatter-add over the token buffer — O(B*T) work, [B, V] output."""
+    B, T = tokens.shape
+    valid = jnp.arange(T, dtype=jnp.int32)[None, :] < lengths[:, None]
+    return (
+        jnp.zeros((B, vocab_size), jnp.int32)
+        .at[jnp.arange(B)[:, None], jnp.clip(tokens, 0, vocab_size - 1)]
+        .add(valid.astype(jnp.int32))
+    )
+
+
+def apply_penalties(
+    logits: jax.Array,  # [B, ..., V]
+    counts: jax.Array,  # [B, V] or [B, ..., V] occurrence counts
+    repetition=1.0,  # float or [B]; 1.0 = disabled (HF convention)
+    presence=0.0,  # float or [B]; OpenAI presence_penalty
+    frequency=0.0,  # float or [B]; OpenAI frequency_penalty
+) -> jax.Array:
+    """Penalize logits of already-seen tokens, BEFORE temperature/filters
+    (HF processor order). Repetition penalty (Keskar et al. 2019 / HF
+    RepetitionPenaltyLogitsProcessor): seen & logit > 0 -> logit/r, seen &
+    logit < 0 -> logit*r. Presence/frequency (OpenAI API semantics):
+    logit -= presence*1[count>0] + frequency*count. Applies over the whole
+    committed text (prompt + generation), the HF/vLLM repetition
+    convention; EOS is not special-cased."""
+    x = logits.astype(jnp.float32)
+    c = counts.astype(jnp.float32)
+    if c.ndim < x.ndim:  # [B, V] counts against [B, K, V] logits
+        c = c.reshape(c.shape[:1] + (1,) * (x.ndim - c.ndim) + c.shape[1:])
+    rep = _bcast(repetition, x)
+    pres = _bcast(presence, x)
+    freq = _bcast(frequency, x)
+    seen = c > 0
+    x = jnp.where(seen & (x > 0), x / rep, jnp.where(seen, x * rep, x))
+    return x - pres * seen.astype(jnp.float32) - freq * c
+
+
 def filtered_logits(
     logits: jax.Array,  # [..., V]
     temperature=1.0,  # float or [B] array (per-request)
@@ -138,20 +181,37 @@ def sample_tokens(
     if not dynamic and (greedy or temperature <= 0.0):
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    scaled = filtered_logits(logits, temperature, top_k, top_p)
-    sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
-    # NaN/all-inf fallback to plain argmax (reference pipeline.py:124-137).
-    bad = ~jnp.all(jnp.isfinite(jnp.max(scaled, axis=-1, keepdims=False))[..., None], axis=-1)
     fallback = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    out = jnp.where(bad, fallback, sampled)
-    if dynamic:
-        t = jnp.asarray(temperature, jnp.float32)
-        row_greedy = (
-            jnp.reshape(t, t.shape + (1,) * (logits.ndim - 1 - t.ndim)) <= 0.0
-            if t.ndim
-            else t <= 0.0
+
+    def _sample(logits):
+        scaled = filtered_logits(logits, temperature, top_k, top_p)
+        sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+        # NaN/all-inf fallback to plain argmax (reference pipeline.py:124-137).
+        bad = ~jnp.all(
+            jnp.isfinite(jnp.max(scaled, axis=-1, keepdims=False))[..., None],
+            axis=-1,
         )
-        if greedy:  # static greedy engines stay greedy regardless of rows
-            row_greedy = True
-        out = jnp.where(row_greedy, fallback, out)
+        return jnp.where(bad, fallback, sampled)
+
+    if not dynamic:
+        return jnp.clip(_sample(logits), 0, V - 1)
+
+    t = jnp.asarray(temperature, jnp.float32)
+    row_greedy = (
+        jnp.reshape(t, t.shape + (1,) * (logits.ndim - 1 - t.ndim)) <= 0.0
+        if t.ndim
+        else t <= 0.0
+    )
+    if greedy:  # static greedy engines stay greedy regardless of rows
+        return jnp.clip(fallback, 0, V - 1)
+    # The dynamic path's per-row filters need a full-vocab sort — expensive
+    # at serving batch x 128k vocab. Greedy rows (OpenAI temperature=0, the
+    # default traffic) don't: skip the whole sampling branch when every row
+    # is greedy this step. lax.cond executes only one branch at runtime.
+    out = jax.lax.cond(
+        jnp.all(row_greedy),
+        lambda l: fallback,
+        lambda l: jnp.where(row_greedy, fallback, _sample(l)),
+        logits,
+    )
     return jnp.clip(out, 0, V - 1)

@@ -174,5 +174,8 @@ def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
         temperature=jax.device_put(state.temperature, batch),
         top_k=jax.device_put(state.top_k, batch),
         top_p=jax.device_put(state.top_p, batch),
+        rep_penalty=jax.device_put(state.rep_penalty, batch),
+        presence_penalty=jax.device_put(state.presence_penalty, batch),
+        freq_penalty=jax.device_put(state.freq_penalty, batch),
         token_logprobs=jax.device_put(state.token_logprobs, batch2),
     )

@@ -9,8 +9,14 @@ Endpoints:
 Request features: max_tokens, stop (string or list — host-side match,
 truncates the text AND cancels the slot early so it frees for the next
 request), stream (SSE "data:" chunks + [DONE], OpenAI chunk schema), echo
-(completions). finish_reason is "stop" (EOS / stop sequence) or "length"
-(token budget). Client disconnects mid-stream cancel the generation.
+(completions), and per-request sampling (temperature/top_k/top_p plus
+repetition_penalty/presence_penalty/frequency_penalty — device-side,
+exact under speculative verification) when the engine runs with
+per_request_sampling. `n` (up to 16) returns independent completions as
+indexed choices — each rides its own batcher slot, sharing prompt KV pages
+under prefix caching. finish_reason is "stop" (EOS / stop sequence) or
+"length" (token budget). Client disconnects mid-stream cancel the
+generation.
 
 Architecture: HTTP handler threads enqueue requests into a thread-safe
 queue and wait on per-request events; ONE engine thread owns the device —
@@ -43,9 +49,10 @@ class _Pending:
                  stream: bool = False, stop=None, sampling=None):
         self.prompt = prompt
         self.max_tokens = max_tokens
-        # (temperature, top_k, top_p) — Nones mean engine defaults; only
-        # honored when the engine runs with per_request_sampling.
-        self.sampling = sampling or (None, None, None)
+        # (temperature, top_k, top_p, repetition_penalty, presence_penalty,
+        # frequency_penalty) — Nones mean engine defaults; only honored when
+        # the engine runs with per_request_sampling.
+        self.sampling = sampling or (None,) * 6
         self.event = threading.Event()
         self.result: Optional[dict] = None
         self.stream = stream
@@ -63,7 +70,7 @@ class InferenceServer:
         n_slots: int = 8,
         host: str = "127.0.0.1",
         port: int = 8000,
-        poll_every: int = 4,
+        poll_every: int = 8,
     ):
         self.engine = engine
         self.batcher = ContinuousBatcher(engine, n_slots=n_slots, poll_every=poll_every)
@@ -91,9 +98,11 @@ class InferenceServer:
                     p = self._incoming.get_nowait()
                 except queue.Empty:
                     break
-                t, k, tp = p.sampling
+                t, k, tp, rp, pp, fp = p.sampling
                 rid = b.submit(p.prompt, max_new_tokens=p.max_tokens,
-                               temperature=t, top_k=k, top_p=tp)
+                               temperature=t, top_k=k, top_p=tp,
+                               repetition_penalty=rp, presence_penalty=pp,
+                               frequency_penalty=fp)
                 self._inflight[rid] = p
                 drained = True
             if drained or b.scheduler.pending():
@@ -108,8 +117,10 @@ class InferenceServer:
                     pass
                 continue
 
+            # Pipelined poll: flags snapshot transfers while the chunk runs.
+            flags = b.poll_flags_async()
             b.step_chunk(b.poll_every)
-            b._retire_finished()
+            b._retire_finished(flags)
             b._admit_pending()
             while True:  # client-disconnect cancels from handler threads
                 try:
@@ -293,52 +304,85 @@ class InferenceServer:
                         None if t is None else float(t),
                         None if body.get("top_k") is None else int(body["top_k"]),
                         None if body.get("top_p") is None else float(body["top_p"]),
+                        None if body.get("repetition_penalty") is None
+                        else float(body["repetition_penalty"]),
+                        None if body.get("presence_penalty") is None
+                        else float(body["presence_penalty"]),
+                        None if body.get("frequency_penalty") is None
+                        else float(body["frequency_penalty"]),
                     )
+                n = max(1, min(int(body.get("n") or 1), 16))
+                if n > 1 and stream:
+                    self._json(400, {"error": "n > 1 with stream is not supported"})
+                    return
                 pend = _Pending(prompt, max_tokens, stream=stream, stop=stop,
                                 sampling=sampling)
+                # OpenAI `n`: independent completions of the same prompt —
+                # each rides its own batcher slot (they share the prompt's
+                # KV pages under prefix caching).
+                extra = [
+                    _Pending(prompt, max_tokens, stop=stop, sampling=sampling)
+                    for _ in range(n - 1)
+                ]
                 outer._incoming.put(pend)
+                for p in extra:
+                    outer._incoming.put(p)
                 if stream:
                     self._stream_response(pend, chat)
                     return
-                if not pend.event.wait(timeout=600):
-                    self._json(504, {"error": "generation timed out"})
-                    return
+                for p in [pend] + extra:
+                    if not p.event.wait(timeout=600):
+                        self._json(504, {"error": "generation timed out"})
+                        return
                 r = pend.result
                 text = pend.final_text if pend.final_text is not None else r["text"]
                 if body.get("echo") and not chat:
                     text = prompt + text
                 usage = {
                     "prompt_tokens": len(outer.engine.tokenizer.encode(prompt)),
-                    "completion_tokens": r["generated_tokens"],
+                    "completion_tokens": sum(
+                        p.result["generated_tokens"] for p in [pend] + extra
+                    ),
                     "total_tokens": 0,
                 }
                 usage["total_tokens"] = usage["prompt_tokens"] + usage["completion_tokens"]
-                lp_obj = None
-                if body.get("logprobs") and r.get("token_logprobs"):
+
+                def lp_of(res):
+                    if not (body.get("logprobs") and res.get("token_logprobs")):
+                        return None
                     dec = outer.engine.tokenizer.decode
-                    toks = [dec([t]) for t in r["generated_ids"]]
+                    toks = [dec([t]) for t in res["generated_ids"]]
                     if chat:
-                        lp_obj = {"content": [
+                        return {"content": [
                             {"token": t, "logprob": lp}
-                            for t, lp in zip(toks, r["token_logprobs"])
+                            for t, lp in zip(toks, res["token_logprobs"])
                         ]}
-                    else:
-                        lp_obj = {
-                            "tokens": toks,
-                            "token_logprobs": r["token_logprobs"],
-                            "top_logprobs": None,
-                            "text_offset": [],
-                        }
+                    return {
+                        "tokens": toks,
+                        "token_logprobs": res["token_logprobs"],
+                        "top_logprobs": None,
+                        "text_offset": [],
+                    }
+
+                def text_of(p, i):
+                    if i == 0:
+                        return text  # echo-adjusted above
+                    return (
+                        p.final_text
+                        if p.final_text is not None
+                        else p.result["text"]
+                    )
+
                 if not chat:
                     self._json(200, {
                         "id": f"cmpl-{uuid.uuid4().hex[:12]}",
                         "object": "text_completion",
                         "model": outer.engine.config.base_model,
                         "choices": [{
-                            "index": 0, "text": text,
-                            "finish_reason": pend.finish_reason,
-                            "logprobs": lp_obj,
-                        }],
+                            "index": i, "text": text_of(p, i),
+                            "finish_reason": p.finish_reason,
+                            "logprobs": lp_of(p.result),
+                        } for i, p in enumerate([pend] + extra)],
                         "usage": usage,
                         "specdx": {
                             "acceptance_rate": r["acceptance_rate"],
@@ -351,11 +395,14 @@ class InferenceServer:
                         "object": "chat.completion",
                         "model": outer.engine.config.base_model,
                         "choices": [{
-                            "index": 0,
-                            "message": {"role": "assistant", "content": text},
-                            "finish_reason": pend.finish_reason,
-                            "logprobs": lp_obj,
-                        }],
+                            "index": i,
+                            "message": {
+                                "role": "assistant",
+                                "content": text_of(p, i),
+                            },
+                            "finish_reason": p.finish_reason,
+                            "logprobs": lp_of(p.result),
+                        } for i, p in enumerate([pend] + extra)],
                         "usage": usage,
                     })
 

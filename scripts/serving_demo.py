@@ -26,6 +26,13 @@ def main() -> int:
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--max-tokens", type=int, default=32)
     ap.add_argument("--quant", default="int8")
+    ap.add_argument("--k", type=int, default=2, help="max_draft (spec depth)")
+    ap.add_argument("--no-draft", action="store_true",
+                    help="non-speculative serving (throughput-optimal at "
+                    "worst-case acceptance)")
+    ap.add_argument("--base", default=None, help="override base model")
+    ap.add_argument("--poll-every", type=int, default=8,
+                    help="decode steps per device dispatch between host polls")
     args = ap.parse_args()
 
     import jax
@@ -36,16 +43,18 @@ def main() -> int:
 
     small = args.small or jax.default_backend() == "cpu"
     cfg = EngineConfig(
-        base_model="llama-tiny" if small else "llama-3.2-3b",
-        draft_model="llama-tiny" if small else "llama-3.2-1b",
+        base_model=args.base or ("llama-tiny" if small else "llama-3.2-3b"),
+        draft_model=None if args.no_draft
+        else ("llama-tiny" if small else "llama-3.2-1b"),
         implementation="hf",
-        max_draft=2,
+        max_draft=args.k,
         max_new_tokens=args.max_tokens,
         quantization=None if small else args.quant,
         quantize_embed=not small,
         max_seq_len=256,
     )
-    server = InferenceServer(Engine(cfg), n_slots=args.slots, port=0)
+    server = InferenceServer(Engine(cfg), n_slots=args.slots, port=0,
+                             poll_every=args.poll_every)
     server.start()
     url = f"http://127.0.0.1:{server.port}/v1/completions"
 
@@ -71,6 +80,7 @@ def main() -> int:
     print(json.dumps({
         "requests": args.requests,
         "slots": args.slots,
+        "mode": "baseline" if args.no_draft else f"spec_k{args.k}",
         "wall_s": round(wall, 2),
         "aggregate_tok_s": round(toks / wall, 1),
         "latency_p50_s": round(lats[len(lats) // 2], 2),

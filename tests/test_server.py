@@ -252,3 +252,24 @@ def test_metrics_endpoint(server):
         body = resp.read().decode()
     assert "specdx_requests_served_total" in body
     assert "specdx_slots_total 2" in body
+
+
+def test_n_choices(server):
+    """OpenAI `n`: independent completions, indexed choices, summed usage.
+    Greedy fake model -> all n choices identical text."""
+    out = _post(server, "/v1/completions",
+                {"prompt": "n test", "max_tokens": 6, "n": 3})
+    assert len(out["choices"]) == 3
+    assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+    texts = [c["text"] for c in out["choices"]]
+    assert texts[0] == texts[1] == texts[2]
+    assert out["usage"]["completion_tokens"] == 3 * 6
+
+
+def test_n_with_stream_rejected(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/completions",
+              {"prompt": "x", "max_tokens": 4, "n": 2, "stream": True})
+    assert e.value.code == 400
