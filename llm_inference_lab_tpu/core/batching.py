@@ -43,6 +43,7 @@ class _Request:
     repetition_penalty: Optional[float] = None
     presence_penalty: Optional[float] = None
     frequency_penalty: Optional[float] = None
+    logit_bias: Optional[Dict[int, float]] = None  # token id -> bias
     submitted_at: float = field(default_factory=time.perf_counter)
     slot: Optional[int] = None
     result: Optional[dict] = None
@@ -62,7 +63,8 @@ def make_admit(target_model, draft_model):
 
     def admit(target_params, draft_params, state, prompt_row, prompt_len, slot,
               max_new, table_row, temperature, top_k, top_p,
-              rep_penalty, presence_penalty, freq_penalty):
+              rep_penalty, presence_penalty, freq_penalty,
+              bias_ids, bias_vals):
         from llm_inference_lab_tpu.models.base import KVCache
         from llm_inference_lab_tpu.models.paged import PagedKVCache
 
@@ -145,6 +147,8 @@ def make_admit(target_model, draft_model):
                 presence_penalty
             ),
             freq_penalty=state.freq_penalty.at[slot].set(freq_penalty),
+            bias_ids=state.bias_ids.at[slot].set(bias_ids),
+            bias_vals=state.bias_vals.at[slot].set(bias_vals),
         )
 
     return jax.jit(admit, donate_argnums=(2,))
@@ -164,7 +168,8 @@ def make_admit_prefix(target_model, draft_model):
     def admit(target_params, draft_params, state, full_row, suffix_row,
               prompt_len, reuse_len, slot, max_new, table_row,
               temperature, top_k, top_p,
-              rep_penalty, presence_penalty, freq_penalty):
+              rep_penalty, presence_penalty, freq_penalty,
+              bias_ids, bias_vals):
         from llm_inference_lab_tpu.models.paged import PagedKVCache
 
         S = suffix_row.shape[1]
@@ -226,6 +231,8 @@ def make_admit_prefix(target_model, draft_model):
                 presence_penalty
             ),
             freq_penalty=state.freq_penalty.at[slot].set(freq_penalty),
+            bias_ids=state.bias_ids.at[slot].set(bias_ids),
+            bias_vals=state.bias_vals.at[slot].set(bias_vals),
         )
 
     return jax.jit(admit, donate_argnums=(2,))
@@ -347,6 +354,7 @@ class ContinuousBatcher:
         repetition_penalty: Optional[float] = None,
         presence_penalty: Optional[float] = None,
         frequency_penalty: Optional[float] = None,
+        logit_bias: Optional[Dict[int, float]] = None,
     ) -> int:
         # Headroom uses engine._max_k (tree-aware: tree mode writes
         # num_nodes+1 cache rows per step, more than max_draft).
@@ -361,6 +369,7 @@ class ContinuousBatcher:
             repetition_penalty=repetition_penalty,
             presence_penalty=presence_penalty,
             frequency_penalty=frequency_penalty,
+            logit_bias=logit_bias,
         )
         self._next_id += 1
         self._requests[req.req_id] = req
@@ -405,6 +414,14 @@ class ContinuousBatcher:
                 else req.frequency_penalty
             ),
         )
+        nb = self.state.bias_ids.shape[1]
+        b_ids = np.full((nb,), -1, np.int32)
+        b_vals = np.zeros((nb,), np.float32)
+        if req.logit_bias:
+            for j, (tid, bv) in enumerate(list(req.logit_bias.items())[:nb]):
+                b_ids[j] = int(tid)
+                b_vals[j] = float(bv)
+        pen = pen + (b_ids, b_vals)
         if self._admit_prefix is not None:
             # Prefix-cached paged admission: forward the SUFFIX only.
             suffix = req.ids[req.reuse_len :]

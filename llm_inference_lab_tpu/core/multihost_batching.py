@@ -124,6 +124,9 @@ class MultiHostBatcher(ContinuousBatcher):
         # and hosts executing different values would desync sampling.
         # (temperature, top_p, repetition/presence/frequency penalty)
         samp = np.zeros((B, 5), np.float32)
+        nb = self.state.bias_ids.shape[1]
+        bias_ids = np.full((B, nb), -1, np.int32)
+        bias_vals = np.zeros((B, nb), np.float32)
         meta = np.zeros((3,), np.int32)  # (n_admit, pending, k)
 
         dt, dk, dp = self._default_sampling
@@ -150,6 +153,12 @@ class MultiHostBatcher(ContinuousBatcher):
                     else req.frequency_penalty,
                 )
                 rows[i, : len(req.ids)] = req.ids
+                if req.logit_bias:
+                    for j, (tid, bv) in enumerate(
+                        list(req.logit_bias.items())[:nb]
+                    ):
+                        bias_ids[i, j] = int(tid)
+                        bias_vals[i, j] = float(bv)
                 if self.paged:
                     tables[i, : len(req.pages)] = req.pages
             meta[:] = (len(plans), self.scheduler.pending(),

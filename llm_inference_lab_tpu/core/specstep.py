@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from llm_inference_lab_tpu.core.policies import rejection_bonus_logits
 from llm_inference_lab_tpu.core.state import DecodeState
 from llm_inference_lab_tpu.ops.sampling import (
+    apply_logit_bias,
     apply_penalties,
     sample_tokens,
     token_counts,
@@ -156,6 +157,9 @@ def make_spec_step(
         or presence_penalty != 0.0
         or frequency_penalty != 0.0
     )
+    # OpenAI logit_bias is per-request-only (serving); applied after
+    # penalties, identically on draft and verify sides.
+    use_bias = per_request_sampling
 
     def _pen_params(state):
         if per_request_sampling:
@@ -197,7 +201,11 @@ def make_spec_step(
 
         def _penalize(logits, cnt):
             if use_pen:
-                return apply_penalties(logits, cnt, *_pen_params(state))
+                logits = apply_penalties(logits, cnt, *_pen_params(state))
+            if use_bias:
+                logits = apply_logit_bias(
+                    logits, state.bias_ids, state.bias_vals
+                )
             return logits
 
         def _bump(cnt, nxt):
@@ -270,6 +278,10 @@ def make_spec_step(
             )  # [B, V]
             if use_pen:
                 logits_i = apply_penalties(logits_i, counts, *_pen_params(state))
+            if use_bias:
+                logits_i = apply_logit_bias(
+                    logits_i, state.bias_ids, state.bias_vals
+                )
             d_i = sample_tokens(
                 jax.random.fold_in(rng_draft, i), logits_i,
                 temperature=m_temp, top_p=m_top_p, greedy=greedy,
@@ -295,6 +307,10 @@ def make_spec_step(
             )  # [B, V]; greedy argmax (reference eagle.py:149-150)
             if use_pen:
                 logits_i = apply_penalties(logits_i, counts, *_pen_params(state))
+            if use_bias:
+                logits_i = apply_logit_bias(
+                    logits_i, state.bias_ids, state.bias_vals
+                )
             d_i = jnp.argmax(logits_i, axis=-1).astype(jnp.int32)
             if use_pen:
                 counts = counts.at[jnp.arange(B), d_i].add(1)
@@ -393,6 +409,10 @@ def make_spec_step(
             )  # [B, K+1, Vt]
             target_logits = apply_penalties(
                 target_logits, window_counts, *_pen_params(state)
+            )
+        if use_bias:
+            target_logits = apply_logit_bias(
+                target_logits, state.bias_ids, state.bias_vals
             )
 
         # ---- 3. Acceptance ----
@@ -615,6 +635,7 @@ def make_baseline_step(
             )
             row = apply_penalties(row, counts, *pen)
         if per_request_sampling:
+            row = apply_logit_bias(row, state.bias_ids, state.bias_vals)
             nxt = sample_tokens(
                 rng_s, row, temperature=state.temperature,
                 top_k=state.top_k, top_p=state.top_p, greedy=False,

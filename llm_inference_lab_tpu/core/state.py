@@ -66,6 +66,10 @@ class DecodeState:
     rep_penalty: jax.Array  # [B] float32 — 1.0 = off
     presence_penalty: jax.Array  # [B] float32 — 0.0 = off
     freq_penalty: jax.Array  # [B] float32 — 0.0 = off
+    # OpenAI logit_bias: fixed-width per-slot (token id, additive bias)
+    # pairs; id -1 = empty. Shape-static so serving steps stay compiled.
+    bias_ids: jax.Array  # [B, N_BIAS] int32
+    bias_vals: jax.Array  # [B, N_BIAS] float32
     # Target-model log-prob of each committed token (written alongside the
     # token at commit; prompt positions stay 0). Powers the OpenAI
     # `logprobs` response field and perplexity-style quality checks with no
@@ -92,6 +96,7 @@ def init_state(
     repetition_penalty: float = 1.0,
     presence_penalty: float = 0.0,
     frequency_penalty: float = 0.0,
+    n_bias: int = 32,
 ) -> DecodeState:
     B = batch_size
     kv_kw = dict(quantized=kv_quantized)
@@ -141,5 +146,7 @@ def init_state(
         freq_penalty=jnp.broadcast_to(
             jnp.asarray(frequency_penalty, jnp.float32), (B,)
         ),
+        bias_ids=jnp.full((B, n_bias), -1, jnp.int32),
+        bias_vals=jnp.zeros((B, n_bias), jnp.float32),
         token_logprobs=jnp.zeros((B, max_seq_len), jnp.float32),
     )

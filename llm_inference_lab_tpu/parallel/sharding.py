@@ -177,5 +177,7 @@ def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
         rep_penalty=jax.device_put(state.rep_penalty, batch),
         presence_penalty=jax.device_put(state.presence_penalty, batch),
         freq_penalty=jax.device_put(state.freq_penalty, batch),
+        bias_ids=jax.device_put(state.bias_ids, batch2),
+        bias_vals=jax.device_put(state.bias_vals, batch2),
         token_logprobs=jax.device_put(state.token_logprobs, batch2),
     )

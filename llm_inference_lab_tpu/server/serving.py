@@ -10,9 +10,9 @@ Request features: max_tokens, stop (string or list — host-side match,
 truncates the text AND cancels the slot early so it frees for the next
 request), stream (SSE "data:" chunks + [DONE], OpenAI chunk schema), echo
 (completions), and per-request sampling (temperature/top_k/top_p plus
-repetition_penalty/presence_penalty/frequency_penalty — device-side,
-exact under speculative verification) when the engine runs with
-per_request_sampling. `n` (up to 16) returns independent completions as
+repetition_penalty/presence_penalty/frequency_penalty and logit_bias —
+device-side, exact under speculative verification) when the engine runs
+with per_request_sampling. `n` (up to 16) returns independent completions as
 indexed choices — each rides its own batcher slot, sharing prompt KV pages
 under prefix caching. finish_reason is "stop" (EOS / stop sequence) or
 "length" (token budget). Client disconnects mid-stream cancel the
@@ -50,9 +50,9 @@ class _Pending:
         self.prompt = prompt
         self.max_tokens = max_tokens
         # (temperature, top_k, top_p, repetition_penalty, presence_penalty,
-        # frequency_penalty) — Nones mean engine defaults; only honored when
-        # the engine runs with per_request_sampling.
-        self.sampling = sampling or (None,) * 6
+        # frequency_penalty, logit_bias dict) — Nones mean engine defaults;
+        # only honored when the engine runs with per_request_sampling.
+        self.sampling = sampling or (None,) * 7
         self.event = threading.Event()
         self.result: Optional[dict] = None
         self.stream = stream
@@ -98,11 +98,11 @@ class InferenceServer:
                     p = self._incoming.get_nowait()
                 except queue.Empty:
                     break
-                t, k, tp, rp, pp, fp = p.sampling
+                t, k, tp, rp, pp, fp, lb = p.sampling
                 rid = b.submit(p.prompt, max_new_tokens=p.max_tokens,
                                temperature=t, top_k=k, top_p=tp,
                                repetition_penalty=rp, presence_penalty=pp,
-                               frequency_penalty=fp)
+                               frequency_penalty=fp, logit_bias=lb)
                 self._inflight[rid] = p
                 drained = True
             if drained or b.scheduler.pending():
@@ -310,6 +310,9 @@ class InferenceServer:
                         else float(body["presence_penalty"]),
                         None if body.get("frequency_penalty") is None
                         else float(body["frequency_penalty"]),
+                        None if body.get("logit_bias") is None
+                        else {int(k): float(v)
+                              for k, v in body["logit_bias"].items()},
                     )
                 n = max(1, min(int(body.get("n") or 1), 16))
                 if n > 1 and stream:

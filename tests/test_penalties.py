@@ -140,3 +140,64 @@ def test_batcher_per_request_penalties():
 def test_tree_mode_rejects_penalties():
     with pytest.raises(ValueError):
         _engine(draft_mode="tree", repetition_penalty=1.5).generate("x")
+
+
+# ---------------------------------------------------------------- logit_bias
+def test_apply_logit_bias_values():
+    from llm_inference_lab_tpu.ops.sampling import apply_logit_bias
+
+    logits = jnp.zeros((2, 5), jnp.float32)
+    ids = jnp.asarray([[1, 3, -1], [-1, -1, -1]], jnp.int32)
+    vals = jnp.asarray([[2.0, -4.0, 9.0], [9.0, 9.0, 9.0]], jnp.float32)
+    out = apply_logit_bias(logits, ids, vals)
+    np.testing.assert_allclose(np.asarray(out[0]), [0, 2.0, 0, -4.0, 0])
+    np.testing.assert_allclose(np.asarray(out[1]), [0.0] * 5)  # all empty
+
+
+def test_apply_logit_bias_window_broadcast():
+    from llm_inference_lab_tpu.ops.sampling import apply_logit_bias
+
+    logits = jnp.zeros((1, 3, 4), jnp.float32)  # [B, K+1, V]
+    out = apply_logit_bias(
+        logits, jnp.asarray([[2]], jnp.int32), jnp.asarray([[5.0]], jnp.float32)
+    )
+    assert out.shape == (1, 3, 4)
+    assert float(out[0, 1, 2]) == 5.0 and float(out[0, 1, 0]) == 0.0
+
+
+def test_batcher_logit_bias_forces_and_bans():
+    """+100 bias forces a token every step; the spec path (draft + verify
+    both biased) still commits it — OpenAI logit_bias semantics."""
+    eng = _engine(per_request_sampling=True)
+    b = ContinuousBatcher(eng, n_slots=2)
+    forced = b.submit("bias f", logit_bias={42: 100.0})
+    plain = b.submit("bias f")
+    out = {r["req_id"]: r for r in b.run()}
+    assert all(t == 42 for t in out[forced]["generated_ids"]), out[forced]
+    assert out[plain]["generated_ids"] == _engine().generate(
+        "bias f")["generated_ids"]
+
+
+def test_server_logit_bias():
+    import urllib.request, json as _json
+    from llm_inference_lab_tpu.server import InferenceServer
+
+    eng = _engine(per_request_sampling=True, max_new_tokens=6)
+    srv = InferenceServer(eng, n_slots=2, port=0)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/completions",
+            data=_json.dumps({
+                "prompt": "srv bias", "max_tokens": 6,
+                "logit_bias": {"7": 100.0},
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = _json.loads(resp.read())
+        # Token 7 forced at every position.
+        assert out["usage"]["completion_tokens"] == 6
+        assert out["choices"][0]["text"] == eng.tokenizer.decode([7] * 6)
+    finally:
+        srv.stop()
