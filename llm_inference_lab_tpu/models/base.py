@@ -69,6 +69,23 @@ class ModelConfig:
     # Mistral: local attention window (token at position p attends to
     # (p - window, p]); None = full causal attention
     sliding_window: Optional[int] = None
+    # Gemma: head_dim decoupled from d_model/n_heads (gemma-2b: 2048/8 but
+    # head_dim 256), sqrt(d_model) input-embedding scale, RMSNorm computed
+    # as x_hat * (1 + w) (HF GemmaRMSNorm), GeGLU (gated mlp with tanh-gelu
+    # activation — act="gelu_tanh").
+    head_dim_override: Optional[int] = None
+    embed_scale: bool = False
+    rms_one_offset: bool = False
+    # Gemma-2: logit softcaps (x -> cap * tanh(x / cap)) on attention scores
+    # and final lm_head logits; sandwich ("post") norms around both blocks;
+    # attention scale from query_pre_attn_scalar instead of head_dim
+    # (gemma2-27b: 144 vs head_dim 128); sliding window on every OTHER
+    # layer (even layers local, odd layers global).
+    attn_logit_softcap: Optional[float] = None
+    final_logit_softcap: Optional[float] = None
+    query_pre_attn_scalar: Optional[float] = None
+    post_norms: bool = False
+    alt_window: bool = False
     # lax.scan unroll factor for the layer stack. Measured on v5e: unroll=4
     # REGRESSED 3B decode 2.6x (39.9 -> 15.4 tok/s) — larger loop bodies
     # scheduled worse than the rolled scan. Keep 1 unless re-measured.
@@ -85,6 +102,8 @@ class ModelConfig:
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.d_model // self.n_heads
 
     @property
@@ -94,8 +113,9 @@ class ModelConfig:
 
     @property
     def gated_mlp(self) -> bool:
-        """Gated silu MLP (llama family) vs plain 2-layer MLP (gpt2/opt)."""
-        return self.act == "silu"
+        """Gated MLP (llama: silu gate; gemma: tanh-gelu gate) vs plain
+        2-layer MLP (gpt2 gelu / opt relu)."""
+        return self.act in ("silu", "gelu_tanh")
 
     @property
     def moe(self) -> bool:

@@ -80,13 +80,19 @@ def load_llama_checkpoint(path: str, cfg: ModelConfig) -> Any:
             ts.append(np.concatenate([w[f.format(i=i)].T for f in fmts], axis=-1))
         return _to_jax(np.stack(ts), dt)
 
+    # Gemma2 "sandwich" norms remap the names: the pre-mlp norm is
+    # pre_feedforward_layernorm (post_attention_layernorm becomes the
+    # post-ATTENTION output norm). Everyone else: post_attention = pre-mlp.
+    mlp_norm_key = (
+        "model.layers.{i}.pre_feedforward_layernorm.weight"
+        if cfg.post_norms
+        else "model.layers.{i}.post_attention_layernorm.weight"
+    )
     layers = {
         "attn_norm_scale": layer_stack(
             "model.layers.{i}.input_layernorm.weight", transpose=False
         ),
-        "mlp_norm_scale": layer_stack(
-            "model.layers.{i}.post_attention_layernorm.weight", transpose=False
-        ),
+        "mlp_norm_scale": layer_stack(mlp_norm_key, transpose=False),
         "w_qkv": fused_stack([
             "model.layers.{i}.self_attn.q_proj.weight",
             "model.layers.{i}.self_attn.k_proj.weight",
@@ -99,6 +105,14 @@ def load_llama_checkpoint(path: str, cfg: ModelConfig) -> Any:
         ]),
         "w_down": layer_stack("model.layers.{i}.mlp.down_proj.weight"),
     }
+    if cfg.post_norms:
+        layers["post_attn_norm_scale"] = layer_stack(
+            "model.layers.{i}.post_attention_layernorm.weight", transpose=False
+        )
+        layers["post_mlp_norm_scale"] = layer_stack(
+            "model.layers.{i}.post_feedforward_layernorm.weight",
+            transpose=False,
+        )
     if cfg.qkv_bias:  # qwen2: q/k/v biases, concatenated to match fused qkv
         layers["b_qkv"] = fused_stack([
             "model.layers.{i}.self_attn.q_proj.bias",
@@ -340,6 +354,10 @@ HF_REPO_IDS = {
     "qwen2.5-0.5b": ["Qwen/Qwen2.5-0.5B", "Qwen/Qwen2.5-0.5B-Instruct"],
     "qwen2.5-1.5b": ["Qwen/Qwen2.5-1.5B", "Qwen/Qwen2.5-1.5B-Instruct"],
     "qwen2.5-7b": ["Qwen/Qwen2.5-7B", "Qwen/Qwen2.5-7B-Instruct"],
+    "gemma-2b": ["google/gemma-2b", "google/gemma-1.1-2b-it"],
+    "gemma-7b": ["google/gemma-7b", "google/gemma-1.1-7b-it"],
+    "gemma-2-2b": ["google/gemma-2-2b", "google/gemma-2-2b-it"],
+    "gemma-2-9b": ["google/gemma-2-9b", "google/gemma-2-9b-it"],
     "mistral-7b": [
         "mistralai/Mistral-7B-v0.1",
         "mistralai/Mistral-7B-v0.3",
@@ -453,6 +471,60 @@ def config_from_hf(hf: dict, name: str, dtype) -> ModelConfig:
             # top num_experts_per_tok per token).
             n_experts=hf.get("num_local_experts", 0) if mt == "mixtral" else 0,
             experts_per_token=hf.get("num_experts_per_tok", 2),
+            dtype=dtype,
+        )
+    if mt == "gemma2":
+        # Gemma-2 = Gemma conventions + logit softcaps + sandwich norms +
+        # query_pre_attn_scalar scale + alternating local/global attention
+        # (HF modeling_gemma2).
+        return ModelConfig(
+            name=name,
+            arch="llama",
+            vocab_size=hf["vocab_size"],
+            n_layers=hf["num_hidden_layers"],
+            n_heads=hf["num_attention_heads"],
+            n_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+            d_model=hf["hidden_size"],
+            d_ff=hf["intermediate_size"],
+            max_position_embeddings=hf.get("max_position_embeddings", 8192),
+            rope_theta=float(hf.get("rope_theta", 10000.0)),
+            rms_norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+            tie_word_embeddings=hf.get("tie_word_embeddings", True),
+            head_dim_override=hf.get("head_dim", 256),
+            embed_scale=True,
+            rms_one_offset=True,
+            act="gelu_tanh",
+            attn_logit_softcap=hf.get("attn_logit_softcapping", 50.0),
+            final_logit_softcap=hf.get("final_logit_softcapping", 30.0),
+            query_pre_attn_scalar=float(
+                hf.get("query_pre_attn_scalar", hf.get("head_dim", 256))
+            ),
+            post_norms=True,
+            alt_window=True,
+            sliding_window=hf.get("sliding_window", 4096),
+            dtype=dtype,
+        )
+    if mt == "gemma":
+        # Gemma-1: decoupled head_dim, sqrt(d) embedding scale, RMSNorm
+        # weights stored as (w - 1), GeGLU (tanh-gelu gated mlp), tied
+        # embeddings (HF modeling_gemma).
+        return ModelConfig(
+            name=name,
+            arch="llama",
+            vocab_size=hf["vocab_size"],
+            n_layers=hf["num_hidden_layers"],
+            n_heads=hf["num_attention_heads"],
+            n_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+            d_model=hf["hidden_size"],
+            d_ff=hf["intermediate_size"],
+            max_position_embeddings=hf.get("max_position_embeddings", 8192),
+            rope_theta=float(hf.get("rope_theta", 10000.0)),
+            rms_norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+            tie_word_embeddings=hf.get("tie_word_embeddings", True),
+            head_dim_override=hf.get("head_dim", 256),
+            embed_scale=True,
+            rms_one_offset=True,
+            act="gelu_tanh",
             dtype=dtype,
         )
     raise ValueError(f"unsupported HF model_type {mt!r}")

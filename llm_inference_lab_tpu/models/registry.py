@@ -22,6 +22,7 @@ def get_model(
     """implementation="fake" returns the deterministic test model regardless of
     name (reference implementation="fake", pipeline.py:466-472)."""
     from llm_inference_lab_tpu.models.fake import make_fake_model
+    from llm_inference_lab_tpu.models.gemma import GEMMA_CONFIGS, GemmaModel
     from llm_inference_lab_tpu.models.gpt2 import GPT2_CONFIGS, GPT2Model
     from llm_inference_lab_tpu.models.llama import LLAMA_CONFIGS, LlamaModel
     from llm_inference_lab_tpu.models.mistral import MISTRAL_CONFIGS, MistralModel
@@ -39,6 +40,7 @@ def get_model(
         .replace("facebook/", "")
         .replace("qwen/", "")
         .replace("mistralai/", "")
+        .replace("google/", "")
     )
     kw = dict(rng=rng, dtype=dtype, checkpoint_path=checkpoint_path,
               quantized_init=quantized_init, quantize_embed=quantize_embed)
@@ -49,6 +51,7 @@ def get_model(
         (QWEN2_CONFIGS, Qwen2Model),
         (MISTRAL_CONFIGS, MistralModel),
         (MIXTRAL_CONFIGS, MixtralModel),
+        (GEMMA_CONFIGS, GemmaModel),
     )
     for configs, family in families:
         if key in configs:

@@ -26,11 +26,16 @@ from llm_inference_lab_tpu.ops.quant import dense
 from llm_inference_lab_tpu.ops.registry import get_op
 
 
-def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+def rms_norm(
+    x: jax.Array, scale: jax.Array, eps: float, one_offset: bool = False
+) -> jax.Array:
     x32 = x.astype(jnp.float32)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
     y = x32 * jax.lax.rsqrt(var + eps)
-    return (y * scale.astype(jnp.float32)).astype(x.dtype)
+    s = scale.astype(jnp.float32)
+    if one_offset:  # gemma convention: weights stored as (w - 1)
+        s = 1.0 + s
+    return (y * s).astype(x.dtype)
 
 
 def layer_norm(
@@ -98,7 +103,7 @@ def rope(
 def _norm(cfg: ModelConfig, x, p, prefix):
     if cfg.use_layernorm:
         return layer_norm(x, p[f"{prefix}_scale"], p[f"{prefix}_bias"], cfg.layer_norm_eps)
-    return rms_norm(x, p[f"{prefix}_scale"], cfg.rms_norm_eps)
+    return rms_norm(x, p[f"{prefix}_scale"], cfg.rms_norm_eps, cfg.rms_one_offset)
 
 
 def _attn_block(
@@ -111,6 +116,7 @@ def _attn_block(
     tree_mask: Optional[jax.Array] = None,
     page_table: Optional[jax.Array] = None,  # [B, max_pages] (paged caches)
     cp: Optional[tuple] = None,  # (Mesh, seq-axis name): ring-attention prefill
+    win_on: Optional[jax.Array] = None,  # [] bool per-layer window gate (gemma2)
 ):
     B, S, _ = x.shape
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -150,10 +156,17 @@ def _attn_block(
         )
     else:
         kv_layer = update_cache_layer(*kv_layer, k, v, cache_lens)
+        g2 = {}
+        if cfg.query_pre_attn_scalar is not None:
+            g2["scale"] = cfg.query_pre_attn_scalar**-0.5
+        if cfg.attn_logit_softcap is not None:
+            g2["softcap"] = cfg.attn_logit_softcap
+        if win_on is not None:
+            g2["window_on"] = win_on
         attn = get_op("decode_attention")(
             q, kv_layer[0], kv_layer[1], positions, kv_layer[2], kv_layer[3],
             tree_mask, cache_lens if tree_mask is not None else None,
-            window=cfg.sliding_window,
+            window=cfg.sliding_window, **g2,
         )
     out = dense(attn.reshape(B, S, H * Dh), p["wo"], p.get("bo"))
     return out, kv_layer
@@ -174,10 +187,15 @@ def _mlp_block(cfg: ModelConfig, p: Any, x: jax.Array) -> jax.Array:
         act = jax.nn.gelu if cfg.act == "gelu" else jax.nn.relu
         h = act(dense(x, p["w_fc"], p.get("b_fc")))
         return dense(h, p["w_proj"], p.get("b_proj"))
-    # llama gated silu; gate and up fused into one matmul
+    # llama gated silu / gemma GeGLU; gate and up fused into one matmul
     gu = dense(x, p["w_gate_up"])
     F = gu.shape[-1] // 2
-    return dense(jax.nn.silu(gu[..., :F]) * gu[..., F:], p["w_down"])
+    gate_act = (
+        (lambda v: jax.nn.gelu(v, approximate=True))
+        if cfg.act == "gelu_tanh"
+        else jax.nn.silu
+    )
+    return dense(gate_act(gu[..., :F]) * gu[..., F:], p["w_down"])
 
 
 def forward(
@@ -207,6 +225,15 @@ def forward(
             "tree speculation requires a contiguous KV cache (compaction "
             "gathers across page boundaries are future work)"
         )
+    if (
+        cfg.attn_logit_softcap is not None
+        or cfg.query_pre_attn_scalar is not None
+    ) and (page_table is not None or cp is not None):
+        raise NotImplementedError(
+            "gemma2 attention (softcap / query_pre_attn_scalar) is "
+            "implemented on the contiguous chain-decode path only (paged "
+            "and ring-prefill variants are future work)"
+        )
     if cfg.sliding_window is not None and (
         page_table is not None or cp is not None or tree_mask is not None
     ):
@@ -225,29 +252,49 @@ def forward(
         x = embed.lookup(tokens, cfg.dtype)
     else:
         x = jnp.take(embed, tokens, axis=0).astype(cfg.dtype)
+    if cfg.embed_scale:
+        # Gemma input normalizer: sqrt(d_model) CAST TO THE COMPUTE DTYPE
+        # before multiplying (HF casts the scalar to hidden dtype; matching
+        # the rounding matters for byte-parity).
+        x = x * jnp.asarray(cfg.d_model**0.5, cfg.dtype)
     if cfg.use_learned_pos:
         pos = positions + cfg.pos_offset if cfg.pos_offset else positions
         x = x + jnp.take(params["pos_embed"], pos, axis=0).astype(cfg.dtype)
 
+    # Gemma2 alternating attention: even layers use the sliding window,
+    # odd layers are global. The per-layer gate rides the scan's xs.
+    win_flags = (
+        jnp.arange(cfg.n_layers) % 2 == 0 if cfg.alt_window else None
+    )
+
     def layer(x, xs):
-        p, kv_layer = xs
+        if win_flags is not None:
+            p, kv_layer, win_on = xs
+        else:
+            (p, kv_layer), win_on = xs, None
         a, kv_layer = _attn_block(
             cfg, p, _norm(cfg, x, p, "attn_norm"), positions, kv_layer,
-            cache_lens, tree_mask, page_table, cp,
+            cache_lens, tree_mask, page_table, cp, win_on,
         )
+        if cfg.post_norms:  # gemma2 sandwich norms (modeling_gemma2)
+            a = _norm(cfg, a, p, "post_attn_norm")
         x = x + a
-        x = x + _mlp_block(cfg, p, _norm(cfg, x, p, "mlp_norm"))
+        h = _mlp_block(cfg, p, _norm(cfg, x, p, "mlp_norm"))
+        if cfg.post_norms:
+            h = _norm(cfg, h, p, "post_mlp_norm")
+        x = x + h
         return x, kv_layer
 
     unroll = max(1, min(cfg.scan_unroll, cfg.n_layers))
     if cfg.n_layers % unroll:
         unroll = 1
-    x, kv_new = jax.lax.scan(
-        layer,
-        x,
-        (params["layers"], (cache.k, cache.v, cache.k_scale, cache.v_scale)),
-        unroll=unroll,
+    kv_stack = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+    xs = (
+        (params["layers"], kv_stack, win_flags)
+        if win_flags is not None
+        else (params["layers"], kv_stack)
     )
+    x, kv_new = jax.lax.scan(layer, x, xs, unroll=unroll)
     if page_table is not None:
         new_cache = PagedKVCache(*kv_new, table=page_table)
     else:
@@ -258,7 +305,9 @@ def forward(
             x, params["final_norm_scale"], params["final_norm_bias"], cfg.layer_norm_eps
         )
     else:
-        x = rms_norm(x, params["final_norm_scale"], cfg.rms_norm_eps)
+        x = rms_norm(
+            x, params["final_norm_scale"], cfg.rms_norm_eps, cfg.rms_one_offset
+        )
 
     logits = lm_head_logits(cfg, params, x)
     if return_hidden:
@@ -271,18 +320,27 @@ def lm_head_logits(cfg: ModelConfig, params: Any, x: jax.Array) -> jax.Array:
     Medusa/EAGLE heads)."""
     from llm_inference_lab_tpu.ops.quant import EmbedQuant
 
+    head = None
     if cfg.tie_word_embeddings:
         embed = params["embed"]
         if isinstance(embed, EmbedQuant):
-            return embed.head_logits(x)
-        head = embed.T
+            logits = embed.head_logits(x)
+        else:
+            head = embed.T
     else:
         head = params["lm_head"]
-    if isinstance(head, jax.Array):
-        logits = jnp.dot(x, head.astype(x.dtype), preferred_element_type=jnp.float32)
-    else:  # QuantTensor lm_head
-        logits = dense(x, head).astype(jnp.float32)
-    return logits.astype(jnp.float32)
+    if head is not None:
+        if isinstance(head, jax.Array):
+            logits = jnp.dot(
+                x, head.astype(x.dtype), preferred_element_type=jnp.float32
+            )
+        else:  # QuantTensor lm_head
+            logits = dense(x, head)
+    logits = logits.astype(jnp.float32)
+    if cfg.final_logit_softcap is not None:  # gemma2
+        cap = cfg.final_logit_softcap
+        logits = jnp.tanh(logits / cap) * cap
+    return logits
 
 
 def init_params_quantized(cfg: ModelConfig, rng: jax.Array, mode: str = "int8",
@@ -365,10 +423,15 @@ def init_params(cfg: ModelConfig, rng: jax.Array, skip_big: bool = False) -> Any
     # multi-GB model would double peak HBM during init.
     init = lambda k, shape, s=0.02: jax.random.normal(k, shape, dt) * jnp.asarray(s, dt)
 
+    # Gemma stores RMSNorm weights as (w - 1): identity init is zeros.
+    norm_one = jnp.zeros if cfg.rms_one_offset else jnp.ones
     layers = {
-        "attn_norm_scale": jnp.ones((L, D), dt),
-        "mlp_norm_scale": jnp.ones((L, D), dt),
+        "attn_norm_scale": norm_one((L, D), dt),
+        "mlp_norm_scale": norm_one((L, D), dt),
     }
+    if cfg.post_norms:  # gemma2 sandwich norms
+        layers["post_attn_norm_scale"] = norm_one((L, D), dt)
+        layers["post_mlp_norm_scale"] = norm_one((L, D), dt)
     if not skip_big:
         layers.update(
             w_qkv=init(next(keys), (L, D, (H + 2 * KV) * Dh)),
@@ -407,7 +470,7 @@ def init_params(cfg: ModelConfig, rng: jax.Array, skip_big: bool = False) -> Any
     params = {
         "embed": init(next(keys), (cfg.vocab_size, D)),
         "layers": layers,
-        "final_norm_scale": jnp.ones((D,), dt),
+        "final_norm_scale": norm_one((D,), dt),
     }
     if cfg.use_learned_pos:
         params["pos_embed"] = init(

@@ -36,6 +36,11 @@ def attend_xla(
     tree_mask: jax.Array = None,  # [S, S] intra-chunk ancestry (tree spec)
     chunk_start: jax.Array = None,  # [B] chunk base slot (required w/ tree_mask)
     window: int = None,  # sliding window (Mistral): attend to (p-window, p]
+    window_on: jax.Array = None,  # [] bool: per-layer window gate (gemma2
+    #   alternating local/global layers; rides the layer scan's xs)
+    scale: float = None,  # score scale; default head_dim**-0.5 (gemma2
+    #   uses query_pre_attn_scalar**-0.5 instead)
+    softcap: float = None,  # attention logit softcap: cap * tanh(s / cap)
 ) -> jax.Array:
     if k_cache.dtype == jnp.int8:
         # Reference path for the quantized cache: dequantize then attend.
@@ -47,21 +52,27 @@ def attend_xla(
     group = H // n_kv
 
     qg = q.reshape(B, S, n_kv, group, D)
-    scale = 1.0 / (D**0.5)
+    if scale is None:
+        scale = 1.0 / (D**0.5)
     # scores: [B, n_kv, group, S, T]
     scores = jnp.einsum(
         "bsngd,bntd->bngst", qg, k_cache, preferred_element_type=jnp.float32
     )
     scores = scores * scale
+    if softcap is not None:
+        scores = jnp.tanh(scores / softcap) * softcap
     kv_pos = jnp.arange(T, dtype=positions.dtype)
     if tree_mask is None:
         # Chain decode: slot index == position; causal by position compare.
         mask = kv_pos[None, None, None, None, :] <= positions[:, None, None, :, None]
         if window is not None:
-            mask &= (
+            wmask = (
                 kv_pos[None, None, None, None, :]
                 > positions[:, None, None, :, None] - window
             )
+            if window_on is not None:  # gemma2: odd layers are global
+                wmask = wmask | ~window_on
+            mask &= wmask
     else:
         # Tree speculation: slots [chunk_start, chunk_start+S) hold tree
         # nodes whose intra-chunk visibility is the ancestry mask; slots

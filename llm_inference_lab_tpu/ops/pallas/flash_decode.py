@@ -182,10 +182,19 @@ def flash_decode_attention(
 
 
 def _kernel_wrapper(q, k_cache, v_cache, positions, k_scale=None, v_scale=None,
-                    tree_mask=None, chunk_start=None, window=None):
+                    tree_mask=None, chunk_start=None, window=None,
+                    window_on=None, scale=None, softcap=None):
     from llm_inference_lab_tpu.ops.pallas import interpret_mode, use_pallas
 
     T = k_cache.shape[2]
+    if softcap is not None or scale is not None or window_on is not None:
+        # Gemma2 attention (softcap / custom scale / alternating window):
+        # XLA path only — a softcapped flash variant is future work.
+        from llm_inference_lab_tpu.ops.attention import attend_xla
+
+        return attend_xla(q, k_cache, v_cache, positions, k_scale, v_scale,
+                          tree_mask, chunk_start, window=window,
+                          window_on=window_on, scale=scale, softcap=softcap)
     if window is not None and T > window:
         # Sliding window binds: only the XLA path implements the window mask.
         from llm_inference_lab_tpu.ops.attention import attend_xla

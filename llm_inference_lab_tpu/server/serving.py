@@ -280,10 +280,21 @@ class InferenceServer:
                         prompt = prompt[0] if prompt else ""
                 elif self.path == "/v1/chat/completions":
                     msgs = body.get("messages", [])
-                    prompt = "\n".join(
-                        f"{m.get('role', 'user')}: {m.get('content', '')}"
-                        for m in msgs
-                    ) + "\nassistant:"
+                    # Prefer the model's own chat template when the loaded
+                    # tokenizer ships one (HF apply_chat_template); fall
+                    # back to a plain role-prefix transcript otherwise
+                    # (ByteTokenizer / templateless models).
+                    tok = outer.engine.tokenizer
+                    tmpl = getattr(tok, "apply_chat_template", None)
+                    if tmpl is not None and getattr(tok, "chat_template", None):
+                        prompt = tmpl(
+                            msgs, tokenize=False, add_generation_prompt=True
+                        )
+                    else:
+                        prompt = "\n".join(
+                            f"{m.get('role', 'user')}: {m.get('content', '')}"
+                            for m in msgs
+                        ) + "\nassistant:"
                 else:
                     self._json(404, {"error": "not found"})
                     return

@@ -74,6 +74,16 @@ class HFTokenizer:
     def decode(self, ids: List[int]) -> str:
         return self._tok.decode(ids, skip_special_tokens=True)
 
+    @property
+    def chat_template(self):
+        """The checkpoint's own chat template, if it ships one (served
+        /v1/chat/completions prefers this over the plain-transcript
+        fallback)."""
+        return getattr(self._tok, "chat_template", None)
+
+    def apply_chat_template(self, messages, **kw):
+        return self._tok.apply_chat_template(messages, **kw)
+
 
 def get_tokenizer(name: str, implementation: str = "hf") -> Tokenizer:
     if implementation == "fake" or name == "fake":

@@ -30,6 +30,9 @@ def main() -> int:
     ap.add_argument("--no-draft", action="store_true",
                     help="non-speculative serving (throughput-optimal at "
                     "worst-case acceptance)")
+    ap.add_argument("--mode", default="vanilla",
+                    help="draft mode (vanilla|ngram|medusa|eagle); ngram "
+                    "needs no draft model")
     ap.add_argument("--base", default=None, help="override base model")
     ap.add_argument("--poll-every", type=int, default=8,
                     help="decode steps per device dispatch between host polls")
@@ -42,11 +45,13 @@ def main() -> int:
     from llm_inference_lab_tpu.server import InferenceServer
 
     small = args.small or jax.default_backend() == "cpu"
+    no_draft = args.no_draft or args.mode in ("ngram", "medusa", "eagle")
     cfg = EngineConfig(
         base_model=args.base or ("llama-tiny" if small else "llama-3.2-3b"),
-        draft_model=None if args.no_draft
+        draft_model=None if no_draft
         else ("llama-tiny" if small else "llama-3.2-1b"),
         implementation="hf",
+        draft_mode=args.mode,
         max_draft=args.k,
         max_new_tokens=args.max_tokens,
         quantization=None if small else args.quant,
@@ -80,7 +85,7 @@ def main() -> int:
     print(json.dumps({
         "requests": args.requests,
         "slots": args.slots,
-        "mode": "baseline" if args.no_draft else f"spec_k{args.k}",
+        "mode": "baseline" if args.no_draft else f"{args.mode}_k{args.k}",
         "wall_s": round(wall, 2),
         "aggregate_tok_s": round(toks / wall, 1),
         "latency_p50_s": round(lats[len(lats) // 2], 2),

@@ -205,3 +205,46 @@ def test_engine_prefers_cached_checkpoint(tmp_path, monkeypatch):
     assert model.config.d_model == 16 and model.config.n_layers == 2
     ids = np.array([[1, 2, 3, 4]], np.int32)
     _compare(model.config, model.params, m, 64, atol=3e-4)
+
+
+def test_gemma_roundtrip(tmp_path):
+    """Decoupled head_dim + sqrt(d) embed normalizer + (1+w) RMSNorm +
+    GeGLU + MQA + tied embeddings, against transformers.GemmaForCausalLM."""
+    hf_cfg = transformers.GemmaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=64,
+        hidden_activation="gelu_pytorch_tanh",
+    )
+    m = transformers.GemmaForCausalLM(hf_cfg).eval()
+    m.save_pretrained(tmp_path, safe_serialization=True)
+
+    cfg = config_from_hf(load_hf_config(str(tmp_path)), "gemma-test", jnp.float32)
+    assert cfg.head_dim == 16 and cfg.embed_scale and cfg.rms_one_offset
+    assert cfg.act == "gelu_tanh" and cfg.tie_word_embeddings
+    params = load_llama_checkpoint(str(tmp_path), cfg)
+    _compare(cfg, params, m, 128)
+
+
+def test_gemma2_roundtrip(tmp_path):
+    """Gemma-2: sandwich norms (4 per layer), attention + final logit
+    softcaps, query_pre_attn_scalar != head_dim, ALTERNATING local/global
+    attention with a window small enough to bind, against
+    transformers.Gemma2ForCausalLM."""
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64,
+        query_pre_attn_scalar=24, sliding_window=8,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        hidden_activation="gelu_pytorch_tanh",
+    )
+    m = transformers.Gemma2ForCausalLM(hf_cfg).eval()
+    m.save_pretrained(tmp_path, safe_serialization=True)
+
+    cfg = config_from_hf(load_hf_config(str(tmp_path)), "gemma2-test", jnp.float32)
+    assert cfg.post_norms and cfg.alt_window and cfg.sliding_window == 8
+    assert cfg.attn_logit_softcap == 50.0 and cfg.final_logit_softcap == 30.0
+    assert cfg.query_pre_attn_scalar == 24.0
+    params = load_llama_checkpoint(str(tmp_path), cfg)
+    _compare(cfg, params, m, 128)

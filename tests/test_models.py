@@ -217,3 +217,35 @@ def test_gpt2_factory_smoke():
     m = GPT2Model.create("distilgpt2", rng=jax.random.PRNGKey(0), dtype=jnp.float32)
     assert m.config.n_layers == 6
     assert m.params["embed"].shape == (50257, 768)
+
+
+def test_gemma_tiny_generates():
+    """Gemma wrinkles live end-to-end: decoupled head_dim, embed scale,
+    (1+w) norms, GeGLU, MQA."""
+    from llm_inference_lab_tpu.config import EngineConfig
+    from llm_inference_lab_tpu.core.engine import Engine
+
+    eng = Engine(EngineConfig(base_model="gemma-tiny", draft_model=None,
+                              implementation="hf", max_new_tokens=8,
+                              max_seq_len=128))
+    r = eng.generate("gemma")
+    assert r["generated_tokens"] > 0
+    r2 = eng.generate("gemma")
+    assert r["generated_ids"] == r2["generated_ids"]
+
+
+def test_gemma2_tiny_generates_spec():
+    """Gemma-2 wrinkles through the FULL spec-decode engine: softcaps,
+    sandwich norms, alternating binding window (16 < max_seq), decoupled
+    attention scale. Lossless: spec output == baseline output."""
+    from llm_inference_lab_tpu.config import EngineConfig
+    from llm_inference_lab_tpu.core.engine import Engine
+
+    kw = dict(implementation="hf", max_new_tokens=8, max_seq_len=128)
+    base = Engine(EngineConfig(base_model="gemma2-tiny", draft_model=None,
+                               **kw)).generate("g2")
+    spec = Engine(EngineConfig(base_model="gemma2-tiny",
+                               draft_model="gemma2-tiny", max_draft=3,
+                               **kw)).generate("g2")
+    assert base["generated_tokens"] > 0
+    assert spec["generated_ids"] == base["generated_ids"]
