@@ -95,6 +95,8 @@ class EngineConfig:
     temperature: float = 1.0
     top_k: int = 0
     top_p: float = 1.0
+    # vLLM-style min-p: drop tokens with prob < min_p * max_prob (0 = off).
+    min_p: float = 0.0
     greedy: bool = True
     # Reference subtlety required for acceptance parity: draft samples at
     # temperature/1.5 while verification is greedy argmax at temp 1.0
@@ -169,6 +171,10 @@ class EngineConfig:
     ngram: dict = field(default_factory=lambda: {"n": 2})
     # Tree speculation (reference Phase 4D "Planned"): per-depth branching.
     tree: dict = field(default_factory=lambda: {"branching": [3, 2]})
+
+    # Top-N alternative logprobs per generated token (OpenAI `logprobs: N`).
+    # 0 = off (no capture buffers, no per-step top_k).
+    logprobs_topk: int = 0
 
     # Runtime
     seed: int = 0

@@ -40,6 +40,7 @@ class _Request:
     temperature: Optional[float] = None
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    min_p: Optional[float] = None
     repetition_penalty: Optional[float] = None
     presence_penalty: Optional[float] = None
     frequency_penalty: Optional[float] = None
@@ -62,7 +63,7 @@ def make_admit(target_model, draft_model):
     draft_apply = draft_model.apply_fn if draft_model is not None else None
 
     def admit(target_params, draft_params, state, prompt_row, prompt_len, slot,
-              max_new, table_row, temperature, top_k, top_p,
+              max_new, table_row, temperature, top_k, top_p, min_p,
               rep_penalty, presence_penalty, freq_penalty,
               bias_ids, bias_vals):
         from llm_inference_lab_tpu.models.base import KVCache
@@ -142,6 +143,7 @@ def make_admit(target_model, draft_model):
             temperature=state.temperature.at[slot].set(temperature),
             top_k=state.top_k.at[slot].set(top_k),
             top_p=state.top_p.at[slot].set(top_p),
+            min_p=state.min_p.at[slot].set(min_p),
             rep_penalty=state.rep_penalty.at[slot].set(rep_penalty),
             presence_penalty=state.presence_penalty.at[slot].set(
                 presence_penalty
@@ -167,7 +169,7 @@ def make_admit_prefix(target_model, draft_model):
 
     def admit(target_params, draft_params, state, full_row, suffix_row,
               prompt_len, reuse_len, slot, max_new, table_row,
-              temperature, top_k, top_p,
+              temperature, top_k, top_p, min_p,
               rep_penalty, presence_penalty, freq_penalty,
               bias_ids, bias_vals):
         from llm_inference_lab_tpu.models.paged import PagedKVCache
@@ -226,6 +228,7 @@ def make_admit_prefix(target_model, draft_model):
             temperature=state.temperature.at[slot].set(temperature),
             top_k=state.top_k.at[slot].set(top_k),
             top_p=state.top_p.at[slot].set(top_p),
+            min_p=state.min_p.at[slot].set(min_p),
             rep_penalty=state.rep_penalty.at[slot].set(rep_penalty),
             presence_penalty=state.presence_penalty.at[slot].set(
                 presence_penalty
@@ -324,6 +327,7 @@ class ContinuousBatcher:
             self.allocator = None
         self._default_sampling = (
             0.0 if cfg.greedy else cfg.temperature, cfg.top_k, cfg.top_p,
+            cfg.min_p,
         )
         self.state = init_state(
             engine.target, engine.draft, n_slots, self.max_seq_len, seed=cfg.seed,
@@ -333,9 +337,11 @@ class ContinuousBatcher:
             temperature=self._default_sampling[0],
             top_k=self._default_sampling[1],
             top_p=self._default_sampling[2],
+            min_p=self._default_sampling[3],
             repetition_penalty=cfg.repetition_penalty,
             presence_penalty=cfg.presence_penalty,
             frequency_penalty=cfg.frequency_penalty,
+            logprobs_topk=cfg.logprobs_topk,
             **paged_kw,
         )
         if engine.mesh is not None:
@@ -351,6 +357,7 @@ class ContinuousBatcher:
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
+        min_p: Optional[float] = None,
         repetition_penalty: Optional[float] = None,
         presence_penalty: Optional[float] = None,
         frequency_penalty: Optional[float] = None,
@@ -366,6 +373,7 @@ class ContinuousBatcher:
             self._next_id, prompt, ids,
             max_new_tokens or self.engine.config.max_new_tokens,
             temperature=temperature, top_k=top_k, top_p=top_p,
+            min_p=min_p,
             repetition_penalty=repetition_penalty,
             presence_penalty=presence_penalty,
             frequency_penalty=frequency_penalty,
@@ -395,7 +403,7 @@ class ContinuousBatcher:
             table_row[: len(req.pages)] = req.pages
         else:
             table_row = np.zeros((1,), np.int32)  # ignored
-        dt, dk, dp = self._default_sampling
+        dt, dk, dp, dmp = self._default_sampling
         cfgp = eng.config
         pen = (
             np.float32(
@@ -442,6 +450,7 @@ class ContinuousBatcher:
                 np.float32(dt if req.temperature is None else req.temperature),
                 np.int32(dk if req.top_k is None else req.top_k),
                 np.float32(dp if req.top_p is None else req.top_p),
+                np.float32(dmp if req.min_p is None else req.min_p),
                 *pen,
             )
             self._slots[slot] = req
@@ -460,6 +469,7 @@ class ContinuousBatcher:
             np.float32(dt if req.temperature is None else req.temperature),
             np.int32(dk if req.top_k is None else req.top_k),
             np.float32(dp if req.top_p is None else req.top_p),
+            np.float32(dmp if req.min_p is None else req.min_p),
             *pen,
         )
         self._slots[slot] = req
@@ -571,6 +581,11 @@ class ContinuousBatcher:
             np.asarray(self.state.token_logprobs),
         )
 
+    def _fetch_tops(self):
+        """Top-N alternative buffers (only fetched at retirement, and only
+        when the engine captures them — EngineConfig(logprobs_topk=N))."""
+        return np.asarray(self.state.top_ids), np.asarray(self.state.top_lps)
+
     def poll_generated(self) -> Dict[int, List[int]]:
         """In-flight generated token ids per request (ONE device fetch) —
         the streaming observation point: callers diff successive polls to
@@ -626,6 +641,11 @@ class ContinuousBatcher:
                 continue
             if tokens is None:
                 tokens, lengths, logprobs = self._fetch_tokens()
+                tops = (
+                    self._fetch_tops()
+                    if self.engine.config.logprobs_topk
+                    else None
+                )
             plen = len(req.ids)
             gen = tokens[slot, plen : lengths[slot]].tolist()
             text_ids = [t for t in gen if t != self.engine.eos_token_id]
@@ -638,6 +658,17 @@ class ContinuousBatcher:
                     round(float(x), 6)
                     for x in logprobs[slot, plen : lengths[slot]]
                 ],
+                "top_logprobs": (
+                    [
+                        [
+                            {"id": int(i), "logprob": round(float(l), 6)}
+                            for i, l in zip(tops[0][slot, p], tops[1][slot, p])
+                        ]
+                        for p in range(plen, lengths[slot])
+                    ]
+                    if tops is not None
+                    else None
+                ),
                 "generated_tokens": len(gen),
                 "proposed": prop,
                 "accepted": acc,

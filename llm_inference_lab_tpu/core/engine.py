@@ -347,6 +347,7 @@ class Engine:
                 temperature=cfg.temperature,
                 top_k=cfg.top_k,
                 top_p=cfg.top_p,
+                min_p=cfg.min_p,
                 eos_token_id=self.eos_token_id,
                 jit=jit,
             )
@@ -357,11 +358,13 @@ class Engine:
                 temperature=cfg.temperature,
                 top_k=cfg.top_k,
                 top_p=cfg.top_p,
+                min_p=cfg.min_p,
                 repetition_penalty=cfg.repetition_penalty,
                 presence_penalty=cfg.presence_penalty,
                 frequency_penalty=cfg.frequency_penalty,
                 eos_token_id=self.eos_token_id,
                 per_request_sampling=cfg.per_request_sampling,
+                logprobs_topk=cfg.logprobs_topk,
                 jit=jit,
             )
         from llm_inference_lab_tpu.core.controllers import AdaptiveDeviceKController
@@ -382,6 +385,7 @@ class Engine:
             temperature=cfg.temperature,
             top_k=cfg.top_k,
             top_p=cfg.top_p,
+            min_p=cfg.min_p,
             draft_temperature_scale=cfg.draft_temperature_scale,
             repetition_penalty=cfg.repetition_penalty,
             presence_penalty=cfg.presence_penalty,
@@ -394,6 +398,7 @@ class Engine:
             ngram_cfg=cfg.ngram,
             adaptive_cfg=adaptive_cfg,
             per_request_sampling=cfg.per_request_sampling,
+            logprobs_topk=cfg.logprobs_topk,
             jit=jit,
         )
 
@@ -508,9 +513,11 @@ class Engine:
             temperature=dflt_t if temperature is None else temperature,
             top_k=cfg.top_k if top_k is None else top_k,
             top_p=cfg.top_p if top_p is None else top_p,
+            min_p=cfg.min_p,
             repetition_penalty=cfg.repetition_penalty,
             presence_penalty=cfg.presence_penalty,
             frequency_penalty=cfg.frequency_penalty,
+            logprobs_topk=cfg.logprobs_topk,
         )
         if self.mesh is not None:
             from llm_inference_lab_tpu.parallel.sharding import shard_state
@@ -610,6 +617,12 @@ class Engine:
         tokens = np.asarray(state.tokens)
         lengths = np.asarray(state.lengths)
         logprobs = np.asarray(state.token_logprobs)
+        top_ids = (
+            np.asarray(state.top_ids) if cfg.logprobs_topk else None
+        )
+        top_lps = (
+            np.asarray(state.top_lps) if cfg.logprobs_topk else None
+        )
         proposed = np.asarray(state.proposed)
         accepted = np.asarray(state.accepted)
         bonus = np.asarray(state.bonus)
@@ -657,6 +670,19 @@ class Engine:
                         round(float(x), 6)
                         for x in logprobs[b, plens[b] : lengths[b]]
                     ],
+                    # Top-N alternatives per position ([{id, logprob}] * N)
+                    # when EngineConfig(logprobs_topk=N).
+                    "top_logprobs": (
+                        [
+                            [
+                                {"id": int(i), "logprob": round(float(l), 6)}
+                                for i, l in zip(top_ids[b, p], top_lps[b, p])
+                            ]
+                            for p in range(plens[b], lengths[b])
+                        ]
+                        if top_ids is not None
+                        else None
+                    ),
                     "latency_ms": total_s * 1e3,
                     "generation_time_ms": decode_s * 1e3,
                     "proposed": prop_b,

@@ -98,6 +98,12 @@ class MultiHostBatcher(ContinuousBatcher):
         )
         return np.asarray(vals[0]), np.asarray(vals[1]), np.asarray(vals[2])
 
+    def _fetch_tops(self):
+        if self.n_procs == 1:
+            return super()._fetch_tops()
+        vals = _allgather((self.state.top_ids, self.state.top_lps))
+        return np.asarray(vals[0]), np.asarray(vals[1])
+
     def _current_k(self) -> int:
         # K is a compile-cache key: it must be identical on every host or
         # they'd dispatch different programs. The coordinator's scheduler
@@ -122,14 +128,14 @@ class MultiHostBatcher(ContinuousBatcher):
         # Per-request sampling (resolved to engine defaults when unset) must
         # ride the broadcast too: admission writes these into device state,
         # and hosts executing different values would desync sampling.
-        # (temperature, top_p, repetition/presence/frequency penalty)
-        samp = np.zeros((B, 5), np.float32)
+        # (temperature, top_p, min_p, repetition/presence/frequency penalty)
+        samp = np.zeros((B, 6), np.float32)
         nb = self.state.bias_ids.shape[1]
         bias_ids = np.full((B, nb), -1, np.int32)
         bias_vals = np.zeros((B, nb), np.float32)
         meta = np.zeros((3,), np.int32)  # (n_admit, pending, k)
 
-        dt, dk, dp = self._default_sampling
+        dt, dk, dp, dmp = self._default_sampling
         cfgp = self.engine.config
         plans: List[_Request] = []
         if self.is_coordinator:
@@ -142,6 +148,7 @@ class MultiHostBatcher(ContinuousBatcher):
                 samp[i] = (
                     dt if req.temperature is None else req.temperature,
                     dp if req.top_p is None else req.top_p,
+                    dmp if req.min_p is None else req.min_p,
                     cfgp.repetition_penalty
                     if req.repetition_penalty is None
                     else req.repetition_penalty,
@@ -165,9 +172,9 @@ class MultiHostBatcher(ContinuousBatcher):
                        super()._current_k())
 
         if self.n_procs > 1:
-            header, rows, tables, samp, meta = (
+            header, rows, tables, samp, bias_ids, bias_vals, meta = (
                 multihost_utils.broadcast_one_to_all(
-                    (header, rows, tables, samp, meta)
+                    (header, rows, tables, samp, bias_ids, bias_vals, meta)
                 )
             )
         n_admit, pending, self._k_sync = int(meta[0]), int(meta[1]), int(meta[2])
@@ -184,9 +191,15 @@ class MultiHostBatcher(ContinuousBatcher):
                 req = _Request(rid, "", [int(t) for t in rows[i, :plen]],
                                max_new, temperature=float(samp[i, 0]),
                                top_k=top_k, top_p=float(samp[i, 1]),
-                               repetition_penalty=float(samp[i, 2]),
-                               presence_penalty=float(samp[i, 3]),
-                               frequency_penalty=float(samp[i, 4]))
+                               min_p=float(samp[i, 2]),
+                               repetition_penalty=float(samp[i, 3]),
+                               presence_penalty=float(samp[i, 4]),
+                               frequency_penalty=float(samp[i, 5]),
+                               logit_bias={
+                                   int(t): float(v)
+                                   for t, v in zip(bias_ids[i], bias_vals[i])
+                                   if t >= 0
+                               } or None)
                 req.slot = slot
                 req.reuse_len = reuse_len
                 if self.paged:

@@ -59,6 +59,7 @@ def make_spec_step(
     temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
     draft_temperature_scale: float = 1.5,
     repetition_penalty: float = 1.0,
     presence_penalty: float = 0.0,
@@ -71,6 +72,7 @@ def make_spec_step(
     ngram_cfg: Optional[dict] = None,
     adaptive_cfg: Optional[dict] = None,
     per_request_sampling: bool = False,
+    logprobs_topk: int = 0,
     donate: bool = True,
     jit: bool = True,
 ):
@@ -184,10 +186,11 @@ def make_spec_step(
         if per_request_sampling:
             return dict(
                 temperature=state.temperature / draft_temperature_scale,
-                top_k=state.top_k, top_p=state.top_p, greedy=False,
+                top_k=state.top_k, top_p=state.top_p, min_p=state.min_p,
+                greedy=False,
             )
         return dict(temperature=draft_temp, top_k=top_k, top_p=top_p,
-                    greedy=greedy)
+                    min_p=min_p, greedy=greedy)
 
     a_min_k = int((adaptive_cfg or {}).get("min_k", 1))
     a_target = float((adaptive_cfg or {}).get("target_acceptance", 0.5))
@@ -464,12 +467,13 @@ def make_spec_step(
             if per_request_sampling:
                 bonus = sample_tokens(
                     rng_bonus, bonus_logits, temperature=state.temperature,
-                    top_k=state.top_k, top_p=state.top_p, greedy=False,
+                    top_k=state.top_k, top_p=state.top_p, min_p=state.min_p,
+                    greedy=False,
                 )
             else:
                 bonus = sample_tokens(
                     rng_bonus, bonus_logits, temperature=temperature,
-                    top_k=top_k, top_p=top_p, greedy=greedy,
+                    top_k=top_k, top_p=top_p, min_p=min_p, greedy=greedy,
                 )
 
         # ---- 5. Commit ----
@@ -513,6 +517,22 @@ def make_spec_step(
             state.token_logprobs, tok_logit - logz, state.lengths
         )
         new_lp = jnp.where(state.active[:, None], new_lp, state.token_logprobs)
+        if logprobs_topk:
+            # Top-N alternatives at every write slot — free observability
+            # from the verify logits (OpenAI `logprobs: N`).
+            tvals, tids = jax.lax.top_k(target_logits, logprobs_topk)
+            tlps = tvals - logz[..., None]  # [B, K+1, N]
+
+            def write2(buf_b, vals_b, start):
+                return jax.lax.dynamic_update_slice(buf_b, vals_b, (start, 0))
+
+            new_tids = jax.vmap(write2)(state.top_ids, tids, state.lengths)
+            new_tlps = jax.vmap(write2)(state.top_lps, tlps, state.lengths)
+            act2 = state.active[:, None, None]
+            new_tids = jnp.where(act2, new_tids, state.top_ids)
+            new_tlps = jnp.where(act2, new_tlps, state.top_lps)
+        else:
+            new_tids, new_tlps = state.top_ids, state.top_lps
 
         new_lengths = state.lengths + commit
         hit_eos = (
@@ -554,6 +574,8 @@ def make_spec_step(
             ctrl_k=new_ctrl_k,
             acc_ema=new_ema,
             token_logprobs=new_lp,
+            top_ids=new_tids,
+            top_lps=new_tlps,
         )
 
     if not jit:
@@ -597,11 +619,13 @@ def make_baseline_step(
     temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
     repetition_penalty: float = 1.0,
     presence_penalty: float = 0.0,
     frequency_penalty: float = 0.0,
     eos_token_id: Optional[int] = None,
     per_request_sampling: bool = False,
+    logprobs_topk: int = 0,
     donate: bool = True,
     jit: bool = True,
 ):
@@ -638,12 +662,13 @@ def make_baseline_step(
             row = apply_logit_bias(row, state.bias_ids, state.bias_vals)
             nxt = sample_tokens(
                 rng_s, row, temperature=state.temperature,
-                top_k=state.top_k, top_p=state.top_p, greedy=False,
+                top_k=state.top_k, top_p=state.top_p, min_p=state.min_p,
+                greedy=False,
             )
         else:
             nxt = sample_tokens(
                 rng_s, row, temperature=temperature, top_k=top_k,
-                top_p=top_p, greedy=greedy,
+                top_p=top_p, min_p=min_p, greedy=greedy,
             )
         commit = jnp.where(state.active, 1, 0)
         remaining = state.prompt_lens + state.max_new - state.lengths
@@ -661,6 +686,19 @@ def make_baseline_step(
             lambda t, v, s: jax.lax.dynamic_update_slice(t, v[None], (s,))
         )(state.token_logprobs, lp, state.lengths)
         new_lp = jnp.where(state.active[:, None], new_lp, state.token_logprobs)
+        if logprobs_topk:
+            tvals, tids = jax.lax.top_k(row, logprobs_topk)  # [B, N]
+            tlps = tvals - jax.scipy.special.logsumexp(row, axis=-1)[:, None]
+            w2 = jax.vmap(
+                lambda t, v, s: jax.lax.dynamic_update_slice(t, v[None], (s, 0))
+            )
+            new_tids = w2(state.top_ids, tids, state.lengths)
+            new_tlps = w2(state.top_lps, tlps, state.lengths)
+            act2 = state.active[:, None, None]
+            new_tids = jnp.where(act2, new_tids, state.top_ids)
+            new_tlps = jnp.where(act2, new_tlps, state.top_lps)
+        else:
+            new_tids, new_tlps = state.top_ids, state.top_lps
         new_lengths = state.lengths + commit
         hit_eos = (
             (nxt == eos_token_id) & (commit > 0)
@@ -678,6 +716,8 @@ def make_baseline_step(
             bonus=state.bonus + commit,
             steps=state.steps + 1,
             token_logprobs=new_lp,
+            top_ids=new_tids,
+            top_lps=new_tlps,
         )
 
     if not jit:

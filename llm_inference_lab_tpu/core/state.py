@@ -58,6 +58,7 @@ class DecodeState:
     temperature: jax.Array  # [B] float32
     top_k: jax.Array  # [B] int32
     top_p: jax.Array  # [B] float32
+    min_p: jax.Array  # [B] float32 — vLLM min-p filter; 0.0 = off
     # Per-sequence penalty parameters (OpenAI presence/frequency, HF
     # repetition). Disabled values (1.0 / 0.0 / 0.0) are the defaults; only
     # steps built with per_request_sampling=True (or static engine-config
@@ -75,6 +76,13 @@ class DecodeState:
     # `logprobs` response field and perplexity-style quality checks with no
     # extra forward (the verify pass already has the logits).
     token_logprobs: jax.Array  # [B, max_len] float32
+    # Top-N alternative tokens + log-probs per committed position (OpenAI
+    # `logprobs: N` / chat `top_logprobs`). Sized [B, max_len, N] when the
+    # engine is built with logprobs_topk=N; [B, 1, 1] placeholders when off
+    # (pytree stays uniform). Captured from the verify logits at commit —
+    # no extra forward.
+    top_ids: jax.Array  # [B, max_len|1, N|1] int32
+    top_lps: jax.Array  # [B, max_len|1, N|1] float32
 
 
 def init_state(
@@ -93,10 +101,12 @@ def init_state(
     temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
     repetition_penalty: float = 1.0,
     presence_penalty: float = 0.0,
     frequency_penalty: float = 0.0,
     n_bias: int = 32,
+    logprobs_topk: int = 0,
 ) -> DecodeState:
     B = batch_size
     kv_kw = dict(quantized=kv_quantized)
@@ -137,6 +147,7 @@ def init_state(
         ),
         top_k=jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (B,)),
         top_p=jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (B,)),
+        min_p=jnp.broadcast_to(jnp.asarray(min_p, jnp.float32), (B,)),
         rep_penalty=jnp.broadcast_to(
             jnp.asarray(repetition_penalty, jnp.float32), (B,)
         ),
@@ -149,4 +160,12 @@ def init_state(
         bias_ids=jnp.full((B, n_bias), -1, jnp.int32),
         bias_vals=jnp.zeros((B, n_bias), jnp.float32),
         token_logprobs=jnp.zeros((B, max_seq_len), jnp.float32),
+        top_ids=jnp.zeros(
+            (B, max_seq_len, logprobs_topk) if logprobs_topk else (B, 1, 1),
+            jnp.int32,
+        ),
+        top_lps=jnp.zeros(
+            (B, max_seq_len, logprobs_topk) if logprobs_topk else (B, 1, 1),
+            jnp.float32,
+        ),
     )

@@ -103,6 +103,7 @@ def make_tree_spec_step(
     *,
     greedy: bool = True,
     temperature: float = 1.0,
+    min_p: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
     eos_token_id: Optional[int] = None,
@@ -198,7 +199,7 @@ def make_tree_spec_step(
         )[:, 0]
         bonus = sample_tokens(
             rng_bonus, bonus_logits, temperature=temperature, top_k=top_k,
-            top_p=top_p, greedy=greedy,
+            top_p=top_p, min_p=min_p, greedy=greedy,
         )
 
         # ---- 5. Commit: tokens + KV compaction ----

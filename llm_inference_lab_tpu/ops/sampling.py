@@ -104,17 +104,28 @@ def filtered_logits(
     temperature=1.0,  # float or [B] array (per-request)
     top_k=0,  # int or [B] array; 0 = disabled
     top_p=1.0,  # float or [B] array; 1.0 = disabled
+    min_p=0.0,  # float or [B] array; 0.0 = disabled
 ) -> jax.Array:
-    """Temperature-scale then mask (-inf) everything outside the top-k /
-    top-p nucleus — the pre-softmax form of the sampling distribution.
+    """Temperature-scale then mask (-inf) everything outside the min-p /
+    top-k / top-p filters — the pre-softmax form of the sampling
+    distribution. min_p (vLLM semantics) drops tokens whose probability is
+    below min_p * max_prob; on logits that is the SORT-FREE test
+    l_i < l_max + log(min_p). Order: temperature -> min_p -> top_k ->
+    top_p.
 
     Static (python-scalar) parameters compile to the minimal op sequence
     (disabled filters cost nothing); array parameters take a one-sort path
-    that evaluates both filters with per-sequence values — the serving
-    engine's per-request temperature/top_k/top_p."""
+    that evaluates all filters with per-sequence values — the serving
+    engine's per-request sampling."""
     V = logits.shape[-1]
-    if not _dynamic(temperature, top_k, top_p):
+    if not _dynamic(temperature, top_k, top_p, min_p):
         scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+
+        if min_p and min_p > 0.0:
+            mx = jnp.max(scaled, axis=-1, keepdims=True)
+            scaled = jnp.where(
+                scaled < mx + jnp.log(min_p), -jnp.inf, scaled
+            )
 
         if top_k and top_k > 0:
             kth = jax.lax.top_k(scaled, min(top_k, V))[0][..., -1:]
@@ -136,6 +147,13 @@ def filtered_logits(
 
     t = _bcast(temperature, logits)
     scaled = logits.astype(jnp.float32) / jnp.maximum(t, 1e-6)
+    mp = _bcast(min_p, logits)
+    mx = jnp.max(scaled, axis=-1, keepdims=True)
+    scaled = jnp.where(
+        (mp > 0.0) & (scaled < mx + jnp.log(jnp.maximum(mp, 1e-9))),
+        -jnp.inf,
+        scaled,
+    )
     sorted_desc = jnp.sort(scaled, axis=-1)[..., ::-1]
     # Dynamic top-k: the k-th largest value per row is the threshold
     # (gathered at a per-row index — lax.top_k needs a static k).
@@ -173,6 +191,7 @@ def proposal_log_probs(
     temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
     greedy: bool = False,
 ) -> jax.Array:
     """Log-probs of the distribution `sample_tokens` actually samples from
@@ -181,7 +200,9 @@ def proposal_log_probs(
         best = jnp.argmax(logits, axis=-1, keepdims=True)
         onehot = jnp.arange(logits.shape[-1]) == best
         return jnp.where(onehot, 0.0, -jnp.inf)
-    return jax.nn.log_softmax(filtered_logits(logits, temperature, top_k, top_p), axis=-1)
+    return jax.nn.log_softmax(
+        filtered_logits(logits, temperature, top_k, top_p, min_p), axis=-1
+    )
 
 
 def sample_tokens(
@@ -190,6 +211,7 @@ def sample_tokens(
     temperature=1.0,  # float or [B] array (per-request)
     top_k=0,  # int or [B] array; 0 = disabled
     top_p=1.0,  # float or [B] array; 1.0 = disabled
+    min_p=0.0,  # float or [B] array; 0.0 = disabled
     greedy: bool = False,
 ) -> jax.Array:
     """Returns [B] int32 sampled token ids, always clamped to [0, V).
@@ -198,14 +220,14 @@ def sample_tokens(
     (the OpenAI temperature=0 convention) — mixed greedy/sampled batches
     work inside one compiled step."""
     V = logits.shape[-1]
-    dynamic = _dynamic(temperature, top_k, top_p)
+    dynamic = _dynamic(temperature, top_k, top_p, min_p)
     if not dynamic and (greedy or temperature <= 0.0):
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     fallback = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def _sample(logits):
-        scaled = filtered_logits(logits, temperature, top_k, top_p)
+        scaled = filtered_logits(logits, temperature, top_k, top_p, min_p)
         sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
         # NaN/all-inf fallback to plain argmax (reference pipeline.py:124-137).
         bad = ~jnp.all(

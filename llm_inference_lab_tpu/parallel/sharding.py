@@ -174,10 +174,17 @@ def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
         temperature=jax.device_put(state.temperature, batch),
         top_k=jax.device_put(state.top_k, batch),
         top_p=jax.device_put(state.top_p, batch),
+        min_p=jax.device_put(state.min_p, batch),
         rep_penalty=jax.device_put(state.rep_penalty, batch),
         presence_penalty=jax.device_put(state.presence_penalty, batch),
         freq_penalty=jax.device_put(state.freq_penalty, batch),
         bias_ids=jax.device_put(state.bias_ids, batch2),
         bias_vals=jax.device_put(state.bias_vals, batch2),
         token_logprobs=jax.device_put(state.token_logprobs, batch2),
+        top_ids=jax.device_put(
+            state.top_ids, NamedSharding(mesh, P("data", None, None))
+        ),
+        top_lps=jax.device_put(
+            state.top_lps, NamedSharding(mesh, P("data", None, None))
+        ),
     )

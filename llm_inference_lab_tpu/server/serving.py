@@ -9,7 +9,7 @@ Endpoints:
 Request features: max_tokens, stop (string or list — host-side match,
 truncates the text AND cancels the slot early so it frees for the next
 request), stream (SSE "data:" chunks + [DONE], OpenAI chunk schema), echo
-(completions), and per-request sampling (temperature/top_k/top_p plus
+(completions), and per-request sampling (temperature/top_k/top_p/min_p plus
 repetition_penalty/presence_penalty/frequency_penalty and logit_bias —
 device-side, exact under speculative verification) when the engine runs
 with per_request_sampling. `n` (up to 16) returns independent completions as
@@ -43,16 +43,16 @@ from llm_inference_lab_tpu.core.engine import Engine
 class _Pending:
     __slots__ = ("prompt", "max_tokens", "event", "result", "stream", "stop",
                  "chunks", "sent_text", "final_text", "finish_reason",
-                 "sampling")
+                 "sampling", "created")
 
     def __init__(self, prompt: str, max_tokens: int,
                  stream: bool = False, stop=None, sampling=None):
         self.prompt = prompt
         self.max_tokens = max_tokens
-        # (temperature, top_k, top_p, repetition_penalty, presence_penalty,
-        # frequency_penalty, logit_bias dict) — Nones mean engine defaults;
-        # only honored when the engine runs with per_request_sampling.
-        self.sampling = sampling or (None,) * 7
+        # (temperature, top_k, top_p, min_p, repetition_penalty,
+        # presence_penalty, frequency_penalty, logit_bias dict) — Nones mean
+        # engine defaults; only honored under per_request_sampling.
+        self.sampling = sampling or (None,) * 8
         self.event = threading.Event()
         self.result: Optional[dict] = None
         self.stream = stream
@@ -61,6 +61,7 @@ class _Pending:
         self.sent_text = ""  # decoded text already emitted / observed
         self.final_text: Optional[str] = None  # stop-truncated final text
         self.finish_reason: Optional[str] = None
+        self.created = time.time()
 
 
 class InferenceServer:
@@ -71,7 +72,11 @@ class InferenceServer:
         host: str = "127.0.0.1",
         port: int = 8000,
         poll_every: int = 8,
+        request_timeout: Optional[float] = None,
     ):
+        # request_timeout: server-side wall-clock bound per request
+        # (seconds); exceeded requests are cancelled and their slot freed
+        # immediately (finish_reason "cancelled"). None = unbounded.
         self.engine = engine
         self.batcher = ContinuousBatcher(engine, n_slots=n_slots, poll_every=poll_every)
         self.host, self.port = host, port
@@ -86,6 +91,7 @@ class InferenceServer:
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._started_at = time.time()
         self._served = 0
+        self.request_timeout = request_timeout
 
     # ------------------------------------------------------------- engine
     def _engine_loop(self) -> None:
@@ -98,9 +104,9 @@ class InferenceServer:
                     p = self._incoming.get_nowait()
                 except queue.Empty:
                     break
-                t, k, tp, rp, pp, fp, lb = p.sampling
+                t, k, tp, mp, rp, pp, fp, lb = p.sampling
                 rid = b.submit(p.prompt, max_new_tokens=p.max_tokens,
-                               temperature=t, top_k=k, top_p=tp,
+                               temperature=t, top_k=k, top_p=tp, min_p=mp,
                                repetition_penalty=rp, presence_penalty=pp,
                                frequency_penalty=fp, logit_bias=lb)
                 self._inflight[rid] = p
@@ -131,6 +137,11 @@ class InferenceServer:
                     if p is gone:
                         b.cancel(rid)
                         break
+            if self.request_timeout is not None:
+                now = time.time()
+                for rid, p in list(self._inflight.items()):
+                    if p.result is None and now - p.created > self.request_timeout:
+                        b.cancel(rid)
             self._observe_streams()
             for rid, req in list(b._done.items()):
                 pend = self._inflight.pop(rid, None)
@@ -315,6 +326,7 @@ class InferenceServer:
                         None if t is None else float(t),
                         None if body.get("top_k") is None else int(body["top_k"]),
                         None if body.get("top_p") is None else float(body["top_p"]),
+                        None if body.get("min_p") is None else float(body["min_p"]),
                         None if body.get("repetition_penalty") is None
                         else float(body["repetition_penalty"]),
                         None if body.get("presence_penalty") is None
@@ -366,15 +378,40 @@ class InferenceServer:
                         return None
                     dec = outer.engine.tokenizer.decode
                     toks = [dec([t]) for t in res["generated_ids"]]
+                    # Top-N alternatives ride along when the engine captures
+                    # them (EngineConfig(logprobs_topk=N)).
+                    tops = res.get("top_logprobs")
+                    top_fmt = (
+                        [
+                            {dec([alt["id"]]): alt["logprob"] for alt in pos}
+                            for pos in tops
+                        ]
+                        if tops
+                        else None
+                    )
                     if chat:
                         return {"content": [
-                            {"token": t, "logprob": lp}
-                            for t, lp in zip(toks, res["token_logprobs"])
+                            {
+                                "token": t,
+                                "logprob": lp,
+                                **(
+                                    {"top_logprobs": [
+                                        {"token": dec([alt["id"]]),
+                                         "logprob": alt["logprob"]}
+                                        for alt in tops[i]
+                                    ]}
+                                    if tops
+                                    else {}
+                                ),
+                            }
+                            for i, (t, lp) in enumerate(
+                                zip(toks, res["token_logprobs"])
+                            )
                         ]}
                     return {
                         "tokens": toks,
                         "token_logprobs": res["token_logprobs"],
-                        "top_logprobs": None,
+                        "top_logprobs": top_fmt,
                         "text_offset": [],
                     }
 

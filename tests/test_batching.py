@@ -170,3 +170,19 @@ def test_batcher_per_request_sampling():
     out = {r["req_id"]: r for r in b.run()}
     assert out[r0]["generated_ids"] == greedy
     assert out[r1]["generated_tokens"] > 0
+
+
+def test_batcher_per_request_min_p():
+    """A huge per-request min_p forces near-greedy decode for that slot
+    (only tokens at ~p_max survive) while the default slot is unaffected."""
+    plain = make_engine(greedy=True).generate("min p mix")["generated_ids"]
+    eng = make_engine(greedy=False, temperature=1.5,
+                      per_request_sampling=True)
+    b = ContinuousBatcher(eng, n_slots=2)
+    r0 = b.submit("min p mix", temperature=0.0)
+    r1 = b.submit("min p mix", min_p=0.999)
+    out = {r["req_id"]: r for r in b.run()}
+    assert out[r0]["generated_ids"] == plain
+    # min_p ~1 leaves only argmax-tied tokens: deterministic fake model
+    # means the output equals the greedy one.
+    assert out[r1]["generated_ids"] == plain

@@ -201,3 +201,54 @@ def test_server_logit_bias():
         assert out["choices"][0]["text"] == eng.tokenizer.decode([7] * 6)
     finally:
         srv.stop()
+
+
+# ------------------------------------------------------------- top_logprobs
+def test_top_logprobs_spec_engine():
+    """logprobs_topk=N captures the top-N alternatives per generated token,
+    and the committed token's logprob appears among them (greedy decode:
+    the argmax IS the committed token, so entry 0 matches token_logprobs)."""
+    eng = _engine(logprobs_topk=3, max_new_tokens=6)
+    r = eng.generate("tops")
+    tops = r["top_logprobs"]
+    assert tops is not None and len(tops) == r["generated_tokens"]
+    for pos, (tok, lp) in enumerate(zip(r["generated_ids"],
+                                        r["token_logprobs"])):
+        alts = tops[pos]
+        assert len(alts) == 3
+        assert alts[0]["id"] == tok  # greedy: committed == top-1
+        assert abs(alts[0]["logprob"] - lp) < 1e-4
+        # descending order
+        assert alts[0]["logprob"] >= alts[1]["logprob"] >= alts[2]["logprob"]
+
+
+def test_top_logprobs_baseline_and_off():
+    eng = _engine(draft_model=None, logprobs_topk=2, max_new_tokens=5)
+    r = eng.generate("tops b")
+    assert len(r["top_logprobs"]) == r["generated_tokens"]
+    assert all(len(p) == 2 for p in r["top_logprobs"])
+    off = _engine(draft_model=None).generate("tops b")
+    assert off["top_logprobs"] is None
+
+
+def test_top_logprobs_serving():
+    import urllib.request, json as _json
+    from llm_inference_lab_tpu.server import InferenceServer
+
+    eng = _engine(logprobs_topk=2, max_new_tokens=4)
+    srv = InferenceServer(eng, n_slots=2, port=0)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/completions",
+            data=_json.dumps({"prompt": "srv tops", "max_tokens": 4,
+                              "logprobs": 2}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = _json.loads(resp.read())
+        lp = out["choices"][0]["logprobs"]
+        assert len(lp["top_logprobs"]) == 4
+        assert all(len(d) >= 1 for d in lp["top_logprobs"])
+    finally:
+        srv.stop()

@@ -135,3 +135,49 @@ def test_top_p_nucleus_keeps_full_nucleus():
     # probs ~ [.357, .323, .292, .018]; exclusive cum [0, .357, .68, .973]
     f = np.asarray(filtered_logits(logits, 1.0, 0, 0.95))
     assert np.isfinite(f[0, :3]).all() and not np.isfinite(f[0, 3])
+
+
+def test_min_p_static_restricts_support():
+    # probs at temp 1: token0 ~0.84, token1 ~0.11, rest < 0.03.
+    logits = jnp.asarray([[4.0, 2.0, 1.0, 0.0]] * 16, jnp.float32)
+    for i in range(20):
+        out = sample_tokens(
+            jax.random.fold_in(RNG, i), logits, temperature=1.0, min_p=0.1
+        )
+        assert (out <= 1).all(), out  # only tokens with p >= 0.1*p_max
+
+
+def test_min_p_keeps_top_token():
+    logits = jnp.asarray([[5.0, 0.0, 0.0]], jnp.float32)
+    out = sample_tokens(RNG, logits, temperature=1.0, min_p=0.99)
+    assert out.tolist() == [0]
+
+
+def test_min_p_dynamic_matches_static():
+    from llm_inference_lab_tpu.ops.sampling import filtered_logits
+
+    logits = jnp.asarray(
+        np.random.default_rng(3).normal(size=(4, 64)), jnp.float32
+    )
+    static = filtered_logits(logits, temperature=0.8, min_p=0.2)
+    dynamic = filtered_logits(
+        logits,
+        temperature=jnp.full((4,), 0.8, jnp.float32),
+        min_p=jnp.full((4,), 0.2, jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(static), np.asarray(dynamic), rtol=1e-6
+    )
+
+
+def test_min_p_zero_disables():
+    from llm_inference_lab_tpu.ops.sampling import filtered_logits
+
+    logits = jnp.asarray(
+        np.random.default_rng(4).normal(size=(2, 32)), jnp.float32
+    )
+    out = filtered_logits(
+        logits, temperature=jnp.ones((2,), jnp.float32),
+        min_p=jnp.zeros((2,), jnp.float32),
+    )
+    assert bool(jnp.all(jnp.isfinite(out)))

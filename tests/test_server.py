@@ -273,3 +273,24 @@ def test_n_with_stream_rejected(server):
         _post(server, "/v1/completions",
               {"prompt": "x", "max_tokens": 4, "n": 2, "stream": True})
     assert e.value.code == 400
+
+
+def test_request_timeout_cancels():
+    """Server-side request_timeout cancels a long request and frees the
+    slot; the client gets finish_reason "cancelled" with partial output."""
+    import time as _time
+
+    eng = Engine(EngineConfig(implementation="fake", base_model="fake",
+                              draft_model="fake", max_draft=2,
+                              max_new_tokens=4096, max_seq_len=8192))
+    srv = InferenceServer(eng, n_slots=1, port=0, poll_every=2,
+                          request_timeout=0.5)
+    srv.start()
+    try:
+        t0 = _time.time()
+        out = _post(srv, "/v1/completions",
+                    {"prompt": "slow", "max_tokens": 4096})
+        assert _time.time() - t0 < 30
+        assert out["choices"][0]["finish_reason"] == "cancelled"
+    finally:
+        srv.stop()
