@@ -362,10 +362,16 @@ class ContinuousBatcher:
         presence_penalty: Optional[float] = None,
         frequency_penalty: Optional[float] = None,
         logit_bias: Optional[Dict[int, float]] = None,
+        add_special_tokens: bool = True,
     ) -> int:
         # Headroom uses engine._max_k (tree-aware: tree mode writes
         # num_nodes+1 cache rows per step, more than max_draft).
-        ids = self.engine.tokenizer.encode(prompt)[
+        enc = self.engine.tokenizer.encode
+        try:
+            ids = enc(prompt, add_special_tokens=add_special_tokens)
+        except TypeError:  # ByteTokenizer / fakes: no special tokens at all
+            ids = enc(prompt)
+        ids = ids[
             : self.max_seq_len - (max_new_tokens or self.engine.config.max_new_tokens)
             - self.engine._max_k - 2
         ]

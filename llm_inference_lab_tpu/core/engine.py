@@ -340,6 +340,11 @@ class Engine:
                     "repetition/presence/frequency penalties are not "
                     "supported in tree mode"
                 )
+            if cfg.logprobs_topk:
+                raise ValueError(
+                    "logprobs_topk is not supported in tree mode (the tree "
+                    "commit does not capture alternatives)"
+                )
             return make_tree_spec_step(
                 self.target,
                 TreeConfig(tuple(cfg.tree.get("branching", [3, 2]))),

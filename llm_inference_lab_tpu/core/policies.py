@@ -70,6 +70,7 @@ def rejection(
     temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
     draft_temperature: float = 1.0,
     draft_greedy: bool = False,
     **_,
@@ -88,10 +89,11 @@ def rejection(
     from llm_inference_lab_tpu.ops.sampling import proposal_log_probs
 
     lp_t = proposal_log_probs(
-        target_logits[:, :-1], temperature, top_k, top_p
+        target_logits[:, :-1], temperature, top_k, top_p, min_p
     )
     lp_d = proposal_log_probs(
-        draft_logits, draft_temperature, top_k, top_p, greedy=draft_greedy
+        draft_logits, draft_temperature, top_k, top_p, min_p,
+        greedy=draft_greedy,
     )
     lpt_i = jnp.take_along_axis(lp_t, draft_tokens[..., None], axis=-1)[..., 0]
     lpd_i = jnp.take_along_axis(lp_d, draft_tokens[..., None], axis=-1)[..., 0]
@@ -110,6 +112,7 @@ def rejection_bonus_logits(
     temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
     draft_temperature: float = 1.0,
     draft_greedy: bool = False,
 ) -> jax.Array:
@@ -125,8 +128,10 @@ def rejection_bonus_logits(
     idx = jnp.minimum(accept_len, K - 1)
     tl = jnp.take_along_axis(target_logits, idx[:, None, None], axis=1)[:, 0]
     dl = jnp.take_along_axis(draft_logits, idx[:, None, None], axis=1)[:, 0]
-    lp_t = proposal_log_probs(tl, temperature, top_k, top_p)
-    lp_d = proposal_log_probs(dl, draft_temperature, top_k, top_p, greedy=draft_greedy)
+    lp_t = proposal_log_probs(tl, temperature, top_k, top_p, min_p)
+    lp_d = proposal_log_probs(
+        dl, draft_temperature, top_k, top_p, min_p, greedy=draft_greedy
+    )
     resid = jnp.maximum(jnp.exp(lp_t) - jnp.exp(lp_d), 0.0)
     # Degenerate (p_t <= p_d everywhere) -> fall back to target distribution.
     total = jnp.sum(resid, axis=-1, keepdims=True)
@@ -134,7 +139,7 @@ def rejection_bonus_logits(
     resid_logits = jnp.where(total > 1e-9, resid_logits, lp_t)
     # All-accepted -> bonus comes from the free K-th target row.
     full = jnp.take_along_axis(target_logits, jnp.full((B, 1, 1), K), axis=1)[:, 0]
-    lp_full = proposal_log_probs(full, temperature, top_k, top_p)
+    lp_full = proposal_log_probs(full, temperature, top_k, top_p, min_p)
     return jnp.where((accept_len >= K)[:, None], lp_full, resid_logits)
 
 

@@ -35,8 +35,8 @@ import jax.numpy as jnp
 from llm_inference_lab_tpu.core.policies import rejection_bonus_logits
 from llm_inference_lab_tpu.core.state import DecodeState
 from llm_inference_lab_tpu.ops.sampling import (
-    apply_logit_bias,
     apply_penalties,
+    logit_bias_row,
     sample_tokens,
     token_counts,
 )
@@ -140,6 +140,7 @@ def make_spec_step(
             temperature=temperature,
             top_k=top_k,
             top_p=top_p,
+            min_p=min_p,
             draft_temperature=draft_temp,
             draft_greedy=greedy,
         )
@@ -169,17 +170,50 @@ def make_spec_step(
                     state.freq_penalty)
         return (repetition_penalty, presence_penalty, frequency_penalty)
 
-    if (
-        use_pen
-        and draft_mode == "vanilla"
+    # Draft-side penalties/bias need the draft to share the target's
+    # vocabulary (counts/bias rows are indexed by token id). Mismatched
+    # vocabs: STATIC penalties are a config error; per-request penalties
+    # skip the draft side only — verification stays penalized (authoritative
+    # output is still exact), the draft just proposes unpenalized tokens and
+    # loses acceptance when penalties bind.
+    pen_vocab_ok = not (
+        draft_mode == "vanilla"
         and draft_model is not None
         and draft_model.config.vocab_size != target_model.config.vocab_size
-    ):
+    )
+    if use_pen and not per_request_sampling and not pen_vocab_ok:
         raise ValueError(
             "penalties need draft and target to share a vocabulary "
             f"(draft {draft_model.config.vocab_size} != "
             f"target {target_model.config.vocab_size})"
         )
+
+    def _ctx_penalize(state, sctx, logits, cnt, draft_side=False):
+        """Apply penalties + logit bias with the step context. Per-request
+        engines skip ALL the work at runtime (lax.cond) when every slot has
+        penalties/bias disabled — the common serving case (the [B, V]
+        scatter + one-hot traffic otherwise computes an identity)."""
+        logits = logits.astype(jnp.float32)
+        if use_pen and not (draft_side and not pen_vocab_ok):
+            pen = lambda l, c: apply_penalties(l, c, *_pen_params(state))
+            pa = sctx["pen_active"]
+            if pa is None:  # static penalties: always on
+                logits = pen(logits, cnt)
+            else:
+                logits = jax.lax.cond(
+                    pa, pen, lambda l, c: l, logits, cnt
+                )
+        if use_bias and not (draft_side and not pen_vocab_ok):
+            row = sctx["bias_row"]
+            if logits.ndim == 3:
+                row = row[:, None, :]
+            logits = jax.lax.cond(
+                sctx["bias_active"],
+                lambda l: l + row,
+                lambda l: l,
+                logits,
+            )
+        return logits
 
     def _draft_samp(state):
         """Draft-sampling kwargs: per-sequence arrays or compiled scalars."""
@@ -198,21 +232,16 @@ def make_spec_step(
     a_step = int((adaptive_cfg or {}).get("step_size", 1))
 
     def _draft_vanilla(state, draft_params, last, base, rng_draft, eff_k,
-                       counts):
+                       sctx):
         B = last.shape[0]
-        cnt0 = counts if use_pen else jnp.zeros((B, 1), jnp.int32)
+        pen_draft = use_pen and pen_vocab_ok
+        cnt0 = sctx["counts"] if pen_draft else jnp.zeros((B, 1), jnp.int32)
 
         def _penalize(logits, cnt):
-            if use_pen:
-                logits = apply_penalties(logits, cnt, *_pen_params(state))
-            if use_bias:
-                logits = apply_logit_bias(
-                    logits, state.bias_ids, state.bias_vals
-                )
-            return logits
+            return _ctx_penalize(state, sctx, logits, cnt, draft_side=True)
 
         def _bump(cnt, nxt):
-            if use_pen:
+            if pen_draft:
                 return cnt.at[jnp.arange(B), nxt].add(1)
             return cnt
 
@@ -268,23 +297,19 @@ def make_spec_step(
         return d_buf, l_buf, draft_cache
 
     def _draft_medusa(state, draft_params, last, base, rng_draft, eff_k,
-                      counts):
+                      sctx):
         proj = draft_params["medusa_proj"]  # [K, D, D]
         h = state.last_hidden.astype(compute_dtype)  # [B, D]
         m_temp = float(medusa_cfg.get("temperature", 0.7))
         m_top_p = float(medusa_cfg.get("top_p", 0.9))
         B = last.shape[0]
+        counts = sctx["counts"]
         ds, ls = [], []
         for i in range(K):
             logits_i = head_fn(
                 target_params_ref[0], jnp.dot(h, proj[i].astype(h.dtype))
             )  # [B, V]
-            if use_pen:
-                logits_i = apply_penalties(logits_i, counts, *_pen_params(state))
-            if use_bias:
-                logits_i = apply_logit_bias(
-                    logits_i, state.bias_ids, state.bias_vals
-                )
+            logits_i = _ctx_penalize(state, sctx, logits_i, counts)
             d_i = sample_tokens(
                 jax.random.fold_in(rng_draft, i), logits_i,
                 temperature=m_temp, top_p=m_top_p, greedy=greedy,
@@ -296,24 +321,20 @@ def make_spec_step(
         return jnp.stack(ds, 1), jnp.stack(ls, 1), state.draft_cache
 
     def _draft_eagle(state, draft_params, last, base, rng_draft, eff_k,
-                     counts):
+                     sctx):
         # Head drafting is one [B, D] matmul per level — drafting all K and
         # clipping acceptance to eff_k is cheaper than a dynamic loop.
         h_cur = state.last_hidden
         h_prev = state.prev_hidden
         B = last.shape[0]
+        counts = sctx["counts"]
         ds, ls = [], []
         for i in range(K):
             h_next = h_cur + eagle_alpha * (h_cur - h_prev)
             logits_i = head_fn(
                 target_params_ref[0], h_next.astype(compute_dtype)
             )  # [B, V]; greedy argmax (reference eagle.py:149-150)
-            if use_pen:
-                logits_i = apply_penalties(logits_i, counts, *_pen_params(state))
-            if use_bias:
-                logits_i = apply_logit_bias(
-                    logits_i, state.bias_ids, state.bias_vals
-                )
+            logits_i = _ctx_penalize(state, sctx, logits_i, counts)
             d_i = jnp.argmax(logits_i, axis=-1).astype(jnp.int32)
             if use_pen:
                 counts = counts.at[jnp.arange(B), d_i].add(1)
@@ -325,7 +346,7 @@ def make_spec_step(
     ngram_n = int((ngram_cfg or {}).get("n", 2))
 
     def _draft_ngram(state, draft_params, last, base, rng_draft, eff_k,
-                     counts):
+                     sctx):
         # Proposals are deterministic buffer lookups — penalties act on the
         # verify side only (wrong proposals just fail verification).
         tokens = state.tokens  # [B, T]
@@ -380,15 +401,34 @@ def make_spec_step(
 
         # ---- 1. Draft K tokens ----
         target_params_ref[0] = target_params
-        base_counts = (
-            token_counts(
-                state.tokens, state.lengths, target_model.config.vocab_size
+        Vt = target_model.config.vocab_size
+        sctx = {"counts": None, "pen_active": None,
+                "bias_active": None, "bias_row": None}
+        if use_pen:
+            mk_counts = lambda: token_counts(state.tokens, state.lengths, Vt)
+            if per_request_sampling:
+                # Runtime skip: no slot has penalties on -> no counts
+                # scatter, no penalty math anywhere this step.
+                sctx["pen_active"] = (
+                    jnp.any(state.rep_penalty != 1.0)
+                    | jnp.any(state.presence_penalty != 0.0)
+                    | jnp.any(state.freq_penalty != 0.0)
+                )
+                sctx["counts"] = jax.lax.cond(
+                    sctx["pen_active"], mk_counts,
+                    lambda: jnp.zeros((B, Vt), jnp.int32),
+                )
+            else:
+                sctx["counts"] = mk_counts()
+        if use_bias:
+            sctx["bias_active"] = jnp.any(state.bias_ids >= 0)
+            sctx["bias_row"] = jax.lax.cond(
+                sctx["bias_active"],
+                lambda: logit_bias_row(state.bias_ids, state.bias_vals, Vt),
+                lambda: jnp.zeros((B, Vt), jnp.float32),
             )
-            if use_pen
-            else None
-        )
         d, draft_logits, draft_cache = draft_fn(
-            state, draft_params, last, base, rng_draft, eff_k, base_counts
+            state, draft_params, last, base, rng_draft, eff_k, sctx
         )
 
         # ---- 2. Verify: ONE forward over K+1 positions ----
@@ -403,19 +443,31 @@ def make_spec_step(
             # d_0..d_{i-1}: penalize with exactly those incremental counts
             # (matches what the draft loop saw when it proposed d_i, so
             # greedy spec == greedy penalized baseline, token for token).
-            Vt = target_logits.shape[-1]
-            inc = jnp.cumsum(
-                jax.nn.one_hot(d, Vt, dtype=jnp.int32), axis=1
-            )  # [B, K, Vt]
-            window_counts = base_counts[:, None, :] + jnp.concatenate(
-                [jnp.zeros_like(inc[:, :1]), inc], axis=1
-            )  # [B, K+1, Vt]
-            target_logits = apply_penalties(
-                target_logits, window_counts, *_pen_params(state)
+            def pen_verify(tl):
+                inc = jnp.cumsum(
+                    jax.nn.one_hot(d, Vt, dtype=jnp.int32), axis=1
+                )  # [B, K, Vt]
+                window_counts = sctx["counts"][:, None, :] + jnp.concatenate(
+                    [jnp.zeros_like(inc[:, :1]), inc], axis=1
+                )  # [B, K+1, Vt]
+                return apply_penalties(
+                    tl, window_counts, *_pen_params(state)
+                )
+
+            tl32 = target_logits.astype(jnp.float32)
+            target_logits = (
+                pen_verify(tl32)
+                if sctx["pen_active"] is None
+                else jax.lax.cond(
+                    sctx["pen_active"], pen_verify, lambda t: t, tl32
+                )
             )
         if use_bias:
-            target_logits = apply_logit_bias(
-                target_logits, state.bias_ids, state.bias_vals
+            target_logits = jax.lax.cond(
+                sctx["bias_active"],
+                lambda t: t + sctx["bias_row"][:, None, :],
+                lambda t: t,
+                target_logits.astype(jnp.float32),
             )
 
         # ---- 3. Acceptance ----
@@ -454,8 +506,8 @@ def make_spec_step(
             # applied inside) — sample it raw or it would be scaled twice.
             bonus_logits = rejection_bonus_logits(
                 draft_logits, target_logits, a, temperature=temperature,
-                top_k=top_k, top_p=top_p, draft_temperature=draft_temp,
-                draft_greedy=greedy,
+                top_k=top_k, top_p=top_p, min_p=min_p,
+                draft_temperature=draft_temp, draft_greedy=greedy,
             )
             bonus = sample_tokens(
                 rng_bonus, bonus_logits, temperature=1.0, greedy=greedy
@@ -647,19 +699,39 @@ def make_baseline_step(
         logits, target_cache = target_apply(
             target_params, last[:, None], base[:, None], state.target_cache, base
         )
-        row = logits[:, 0]
+        row = logits[:, 0].astype(jnp.float32)
         if use_pen:
-            counts = token_counts(
-                state.tokens, state.lengths, target_model.config.vocab_size
-            )
+            Vt = target_model.config.vocab_size
+            B0 = row.shape[0]
             pen = (
                 (state.rep_penalty, state.presence_penalty, state.freq_penalty)
                 if per_request_sampling
                 else (repetition_penalty, presence_penalty, frequency_penalty)
             )
-            row = apply_penalties(row, counts, *pen)
+
+            def pen_row(r):
+                counts = token_counts(state.tokens, state.lengths, Vt)
+                return apply_penalties(r, counts, *pen)
+
+            if per_request_sampling:
+                pen_active = (
+                    jnp.any(state.rep_penalty != 1.0)
+                    | jnp.any(state.presence_penalty != 0.0)
+                    | jnp.any(state.freq_penalty != 0.0)
+                )
+                row = jax.lax.cond(pen_active, pen_row, lambda r: r, row)
+            else:
+                row = pen_row(row)
         if per_request_sampling:
-            row = apply_logit_bias(row, state.bias_ids, state.bias_vals)
+            bias_active = jnp.any(state.bias_ids >= 0)
+            row = jax.lax.cond(
+                bias_active,
+                lambda r: r + logit_bias_row(
+                    state.bias_ids, state.bias_vals, row.shape[-1]
+                ),
+                lambda r: r,
+                row,
+            )
             nxt = sample_tokens(
                 rng_s, row, temperature=state.temperature,
                 top_k=state.top_k, top_p=state.top_p, min_p=state.min_p,

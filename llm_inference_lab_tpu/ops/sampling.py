@@ -78,6 +78,23 @@ def apply_penalties(
     return x - pres * seen.astype(jnp.float32) - freq * c
 
 
+def logit_bias_row(
+    bias_ids: jax.Array,  # [B, N] int32 token ids; -1 = empty slot
+    bias_vals: jax.Array,  # [B, N] float32 additive biases
+    vocab_size: int,
+) -> jax.Array:
+    """Dense [B, V] additive-bias row from fixed-width (id, value) pairs.
+    Loop-invariant within a decode step — compute ONCE and broadcast-add,
+    instead of re-scattering at every draft position."""
+    B = bias_ids.shape[0]
+    valid = bias_ids >= 0
+    return (
+        jnp.zeros((B, vocab_size), jnp.float32)
+        .at[jnp.arange(B)[:, None], jnp.clip(bias_ids, 0, vocab_size - 1)]
+        .add(jnp.where(valid, bias_vals, 0.0))
+    )
+
+
 def apply_logit_bias(
     logits: jax.Array,  # [B, ..., V]
     bias_ids: jax.Array,  # [B, N] int32 token ids; -1 = empty slot
@@ -87,14 +104,7 @@ def apply_logit_bias(
     Fixed-width [B, N] id/value arrays keep the step shape-static; empty
     slots are id -1. A -100 bias effectively bans a token, +100 forces it
     (the OpenAI convention)."""
-    B, N = bias_ids.shape
-    V = logits.shape[-1]
-    valid = bias_ids >= 0
-    row = (
-        jnp.zeros((B, V), jnp.float32)
-        .at[jnp.arange(B)[:, None], jnp.clip(bias_ids, 0, V - 1)]
-        .add(jnp.where(valid, bias_vals, 0.0))
-    )
+    row = logit_bias_row(bias_ids, bias_vals, logits.shape[-1])
     row = row.reshape(row.shape[:1] + (1,) * (logits.ndim - 2) + row.shape[1:])
     return logits.astype(jnp.float32) + row
 

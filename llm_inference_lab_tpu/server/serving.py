@@ -43,10 +43,11 @@ from llm_inference_lab_tpu.core.engine import Engine
 class _Pending:
     __slots__ = ("prompt", "max_tokens", "event", "result", "stream", "stop",
                  "chunks", "sent_text", "final_text", "finish_reason",
-                 "sampling", "created")
+                 "sampling", "created", "add_special_tokens")
 
     def __init__(self, prompt: str, max_tokens: int,
-                 stream: bool = False, stop=None, sampling=None):
+                 stream: bool = False, stop=None, sampling=None,
+                 add_special_tokens: bool = True):
         self.prompt = prompt
         self.max_tokens = max_tokens
         # (temperature, top_k, top_p, min_p, repetition_penalty,
@@ -62,6 +63,7 @@ class _Pending:
         self.final_text: Optional[str] = None  # stop-truncated final text
         self.finish_reason: Optional[str] = None
         self.created = time.time()
+        self.add_special_tokens = add_special_tokens
 
 
 class InferenceServer:
@@ -108,7 +110,8 @@ class InferenceServer:
                 rid = b.submit(p.prompt, max_new_tokens=p.max_tokens,
                                temperature=t, top_k=k, top_p=tp, min_p=mp,
                                repetition_penalty=rp, presence_penalty=pp,
-                               frequency_penalty=fp, logit_bias=lb)
+                               frequency_penalty=fp, logit_bias=lb,
+                               add_special_tokens=p.add_special_tokens)
                 self._inflight[rid] = p
                 drained = True
             if drained or b.scheduler.pending():
@@ -285,6 +288,7 @@ class InferenceServer:
                 except Exception:
                     self._json(400, {"error": "invalid JSON"})
                     return
+                templated = False  # chat-template output carries its own BOS
                 if self.path == "/v1/completions":
                     prompt = body.get("prompt", "")
                     if isinstance(prompt, list):
@@ -297,10 +301,14 @@ class InferenceServer:
                     # (ByteTokenizer / templateless models).
                     tok = outer.engine.tokenizer
                     tmpl = getattr(tok, "apply_chat_template", None)
+                    templated = False
                     if tmpl is not None and getattr(tok, "chat_template", None):
                         prompt = tmpl(
                             msgs, tokenize=False, add_generation_prompt=True
                         )
+                        # The rendered string already contains BOS etc. —
+                        # submit must not re-add special tokens.
+                        templated = True
                     else:
                         prompt = "\n".join(
                             f"{m.get('role', 'user')}: {m.get('content', '')}"
@@ -342,12 +350,14 @@ class InferenceServer:
                     self._json(400, {"error": "n > 1 with stream is not supported"})
                     return
                 pend = _Pending(prompt, max_tokens, stream=stream, stop=stop,
-                                sampling=sampling)
+                                sampling=sampling,
+                                add_special_tokens=not templated)
                 # OpenAI `n`: independent completions of the same prompt —
                 # each rides its own batcher slot (they share the prompt's
                 # KV pages under prefix caching).
                 extra = [
-                    _Pending(prompt, max_tokens, stop=stop, sampling=sampling)
+                    _Pending(prompt, max_tokens, stop=stop, sampling=sampling,
+                             add_special_tokens=not templated)
                     for _ in range(n - 1)
                 ]
                 outer._incoming.put(pend)
@@ -381,14 +391,19 @@ class InferenceServer:
                     # Top-N alternatives ride along when the engine captures
                     # them (EngineConfig(logprobs_topk=N)).
                     tops = res.get("top_logprobs")
-                    top_fmt = (
-                        [
-                            {dec([alt["id"]]): alt["logprob"] for alt in pos}
-                            for pos in tops
-                        ]
-                        if tops
-                        else None
-                    )
+
+                    def fmt_pos(pos):
+                        # The legacy completions format keys by decoded
+                        # text; distinct ids can decode identically — keep
+                        # the most likely one instead of last-write-wins.
+                        d: Dict[str, float] = {}
+                        for alt in pos:
+                            key = dec([alt["id"]])
+                            if key not in d or alt["logprob"] > d[key]:
+                                d[key] = alt["logprob"]
+                        return d
+
+                    top_fmt = [fmt_pos(pos) for pos in tops] if tops else None
                     if chat:
                         return {"content": [
                             {
@@ -418,11 +433,15 @@ class InferenceServer:
                 def text_of(p, i):
                     if i == 0:
                         return text  # echo-adjusted above
-                    return (
+                    t = (
                         p.final_text
                         if p.final_text is not None
                         else p.result["text"]
                     )
+                    # OpenAI echo applies to EVERY choice, not just index 0.
+                    if body.get("echo") and not chat:
+                        t = prompt + t
+                    return t
 
                 if not chat:
                     self._json(200, {

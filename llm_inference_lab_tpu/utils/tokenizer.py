@@ -61,14 +61,18 @@ class HFTokenizer:
         self._cache: dict = {}
         self._cache_size = cache_size
 
-    def encode(self, text: str) -> List[int]:
-        hit = self._cache.get(text)
+    def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
+        # add_special_tokens=False: the text already carries its special
+        # tokens (chat-template output renders BOS into the string —
+        # re-adding would double it, the HF tokenize=False pitfall).
+        key = (text, add_special_tokens)
+        hit = self._cache.get(key)
         if hit is not None:
             return list(hit)
-        ids = self._tok.encode(text)
+        ids = self._tok.encode(text, add_special_tokens=add_special_tokens)
         if len(self._cache) >= self._cache_size:  # FIFO evict
             self._cache.pop(next(iter(self._cache)))
-        self._cache[text] = tuple(ids)
+        self._cache[key] = tuple(ids)
         return ids
 
     def decode(self, ids: List[int]) -> str:

@@ -142,6 +142,37 @@ def test_tree_mode_rejects_penalties():
         _engine(draft_mode="tree", repetition_penalty=1.5).generate("x")
 
 
+def test_tree_mode_rejects_logprobs_topk():
+    """Tree commit captures no alternatives — asking for them must error,
+    not return fabricated all-zero buffers (round-2 code-review finding)."""
+    with pytest.raises(ValueError):
+        _engine(draft_mode="tree", logprobs_topk=3).generate("x")
+
+
+def test_per_request_vocab_mismatch_allowed_without_penalties():
+    """A vanilla draft with a different vocab must still CONSTRUCT under
+    per_request_sampling (penalties default off per request); only the
+    draft side skips penalty math. Static penalties stay a config error
+    (round-2 code-review finding: the guard hard-failed construction)."""
+    from llm_inference_lab_tpu.core.policies import create_policy
+    from llm_inference_lab_tpu.core.specstep import make_spec_step
+    from llm_inference_lab_tpu.models.fake import make_fake_model
+
+    tgt = make_fake_model(vocab_size=256)
+    drf = make_fake_model(vocab_size=48)
+    # Per-request: constructs fine (runtime-disabled penalties).
+    make_spec_step(
+        tgt, drf, k=2, policy_fn=create_policy("longest_prefix"),
+        eos_token_id=None, per_request_sampling=True, jit=False,
+    )
+    # Static penalty with mismatched vocab: config error at build time.
+    with pytest.raises(ValueError):
+        make_spec_step(
+            tgt, drf, k=2, policy_fn=create_policy("longest_prefix"),
+            eos_token_id=None, repetition_penalty=1.5, jit=False,
+        )
+
+
 # ---------------------------------------------------------------- logit_bias
 def test_apply_logit_bias_values():
     from llm_inference_lab_tpu.ops.sampling import apply_logit_bias

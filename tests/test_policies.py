@@ -95,10 +95,19 @@ def test_rejection_bonus_residual():
 
 
 @pytest.mark.parametrize(
-    "temperature,top_p,draft_scale",
-    [(1.0, 1.0, 1.0), (0.7, 1.0, 1.5), (1.3, 0.9, 1.5)],
+    "temperature,top_p,draft_scale,min_p",
+    [
+        (1.0, 1.0, 1.0, 0.0),
+        (0.7, 1.0, 1.5, 0.0),
+        (1.3, 0.9, 1.5, 0.0),
+        # min_p must thread into BOTH p_d and p_t or exactness breaks
+        # (round-2 code-review finding: min_p was silently dropped).
+        (0.8, 1.0, 1.5, 0.15),
+        (1.0, 0.9, 1.0, 0.1),
+    ],
 )
-def test_rejection_is_distribution_exact(temperature, top_p, draft_scale):
+def test_rejection_is_distribution_exact(temperature, top_p, draft_scale,
+                                         min_p):
     """End-to-end single-position check of the speculative-sampling theorem:
     emit accepted-draft-or-residual-bonus must be distributed EXACTLY like
     sampling the target directly (incl. temperature != 1 and top-p filters —
@@ -119,21 +128,23 @@ def test_rejection_is_distribution_exact(temperature, top_p, draft_scale):
     tl = jnp.broadcast_to(tl_row, (N, 2, V))
     d_tok = sample_tokens(
         jax.random.split(k_draft, 1)[0], dl[:, 0],
-        temperature=draft_temp, top_p=top_p,
+        temperature=draft_temp, top_p=top_p, min_p=min_p,
     )[:, None]
     a = rejection(
         k_pol, d_tok, dl, tl, temperature=temperature, top_p=top_p,
-        draft_temperature=draft_temp,
+        min_p=min_p, draft_temperature=draft_temp,
     )
     bl = rejection_bonus_logits(
-        dl, tl, a, temperature=temperature, top_p=top_p,
+        dl, tl, a, temperature=temperature, top_p=top_p, min_p=min_p,
         draft_temperature=draft_temp,
     )
     bonus = sample_tokens(k_bonus, bl, temperature=1.0)
     emitted = np.where(np.asarray(a) == 1, np.asarray(d_tok[:, 0]), np.asarray(bonus))
 
     emp = np.bincount(emitted, minlength=V) / N
-    want = np.exp(np.asarray(proposal_log_probs(tl_row, temperature, 0, top_p)))
+    want = np.exp(np.asarray(
+        proposal_log_probs(tl_row, temperature, 0, top_p, min_p)
+    ))
     tv = 0.5 * np.abs(emp - want).sum()
     assert tv < 0.02, (tv, emp, want)
 

@@ -217,6 +217,16 @@ def test_echo(server):
     assert out["choices"][0]["text"].startswith("echo this")
 
 
+def test_echo_applies_to_all_n_choices(server):
+    """OpenAI echo prepends the prompt to EVERY choice, not just index 0
+    (round-2 code-review finding)."""
+    out = _post(server, "/v1/completions",
+                {"prompt": "all of us", "max_tokens": 4, "echo": True,
+                 "n": 3})
+    for c in out["choices"]:
+        assert c["text"].startswith("all of us"), c
+
+
 def test_bad_json(server):
     req = urllib.request.Request(
         f"http://127.0.0.1:{server.port}/v1/completions",
