@@ -45,6 +45,7 @@ class _Request:
     presence_penalty: Optional[float] = None
     frequency_penalty: Optional[float] = None
     logit_bias: Optional[Dict[int, float]] = None  # token id -> bias
+    seed: Optional[int] = None  # OpenAI per-request seed; None = derived
     submitted_at: float = field(default_factory=time.perf_counter)
     slot: Optional[int] = None
     result: Optional[dict] = None
@@ -65,7 +66,7 @@ def make_admit(target_model, draft_model):
     def admit(target_params, draft_params, state, prompt_row, prompt_len, slot,
               max_new, table_row, temperature, top_k, top_p, min_p,
               rep_penalty, presence_penalty, freq_penalty,
-              bias_ids, bias_vals):
+              bias_ids, bias_vals, seed):
         from llm_inference_lab_tpu.models.base import KVCache
         from llm_inference_lab_tpu.models.paged import PagedKVCache
 
@@ -151,6 +152,7 @@ def make_admit(target_model, draft_model):
             freq_penalty=state.freq_penalty.at[slot].set(freq_penalty),
             bias_ids=state.bias_ids.at[slot].set(bias_ids),
             bias_vals=state.bias_vals.at[slot].set(bias_vals),
+            slot_rng=state.slot_rng.at[slot].set(jax.random.PRNGKey(seed)),
         )
 
     return jax.jit(admit, donate_argnums=(2,))
@@ -171,7 +173,7 @@ def make_admit_prefix(target_model, draft_model):
               prompt_len, reuse_len, slot, max_new, table_row,
               temperature, top_k, top_p, min_p,
               rep_penalty, presence_penalty, freq_penalty,
-              bias_ids, bias_vals):
+              bias_ids, bias_vals, seed):
         from llm_inference_lab_tpu.models.paged import PagedKVCache
 
         S = suffix_row.shape[1]
@@ -236,6 +238,7 @@ def make_admit_prefix(target_model, draft_model):
             freq_penalty=state.freq_penalty.at[slot].set(freq_penalty),
             bias_ids=state.bias_ids.at[slot].set(bias_ids),
             bias_vals=state.bias_vals.at[slot].set(bias_vals),
+            slot_rng=state.slot_rng.at[slot].set(jax.random.PRNGKey(seed)),
         )
 
     return jax.jit(admit, donate_argnums=(2,))
@@ -363,6 +366,7 @@ class ContinuousBatcher:
         frequency_penalty: Optional[float] = None,
         logit_bias: Optional[Dict[int, float]] = None,
         add_special_tokens: bool = True,
+        seed: Optional[int] = None,
     ) -> int:
         # Headroom uses engine._max_k (tree-aware: tree mode writes
         # num_nodes+1 cache rows per step, more than max_draft).
@@ -384,6 +388,7 @@ class ContinuousBatcher:
             presence_penalty=presence_penalty,
             frequency_penalty=frequency_penalty,
             logit_bias=logit_bias,
+            seed=seed,
         )
         self._next_id += 1
         self._requests[req.req_id] = req
@@ -435,7 +440,15 @@ class ContinuousBatcher:
             for j, (tid, bv) in enumerate(list(req.logit_bias.items())[:nb]):
                 b_ids[j] = int(tid)
                 b_vals[j] = float(bv)
-        pen = pen + (b_ids, b_vals)
+        # Per-request seed: explicit wins; otherwise derive a deterministic
+        # per-request key from the engine seed and the request id, so a
+        # fixed engine seed still reproduces a whole serving trace.
+        eff_seed = (
+            req.seed & 0x7FFFFFFF
+            if req.seed is not None
+            else (cfgp.seed * 1000003 + req.req_id) & 0x7FFFFFFF
+        )
+        pen = pen + (b_ids, b_vals, np.int32(eff_seed))
         if self._admit_prefix is not None:
             # Prefix-cached paged admission: forward the SUFFIX only.
             suffix = req.ids[req.reuse_len :]

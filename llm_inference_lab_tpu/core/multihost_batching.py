@@ -121,8 +121,11 @@ class MultiHostBatcher(ContinuousBatcher):
         from jax.experimental import multihost_utils
 
         B = self.n_slots
-        # header rows: (slot, plen, max_new, req_id, top_k, reuse_len)
-        header = np.zeros((B, 6), np.int32)
+        # header rows: (slot, plen, max_new, req_id, top_k, reuse_len,
+        # seed) — seed is RESOLVED on the coordinator (explicit request
+        # seed or the deterministic engine-seed/req-id derivation) so all
+        # hosts admit the identical per-slot sampling key.
+        header = np.zeros((B, 7), np.int32)
         rows = np.zeros((B, self._row_buf), np.int32)
         tables = np.zeros((B, self._tab_buf), np.int32)
         # Per-request sampling (resolved to engine defaults when unset) must
@@ -141,9 +144,15 @@ class MultiHostBatcher(ContinuousBatcher):
         if self.is_coordinator:
             plans = self._plan_admissions()
             for i, req in enumerate(plans):
+                req.seed = (
+                    req.seed & 0x7FFFFFFF
+                    if req.seed is not None
+                    else (cfgp.seed * 1000003 + req.req_id) & 0x7FFFFFFF
+                )
                 header[i] = (
                     req.slot, len(req.ids), req.max_new_tokens, req.req_id,
                     dk if req.top_k is None else req.top_k, req.reuse_len,
+                    req.seed,
                 )
                 samp[i] = (
                     dt if req.temperature is None else req.temperature,
@@ -180,7 +189,7 @@ class MultiHostBatcher(ContinuousBatcher):
         n_admit, pending, self._k_sync = int(meta[0]), int(meta[1]), int(meta[2])
 
         for i in range(n_admit):
-            slot, plen, max_new, rid, top_k, reuse_len = (
+            slot, plen, max_new, rid, top_k, reuse_len, seed = (
                 int(x) for x in header[i]
             )
             if self.is_coordinator:
@@ -199,7 +208,8 @@ class MultiHostBatcher(ContinuousBatcher):
                                    int(t): float(v)
                                    for t, v in zip(bias_ids[i], bias_vals[i])
                                    if t >= 0
-                               } or None)
+                               } or None,
+                               seed=seed)
                 req.slot = slot
                 req.reuse_len = reuse_len
                 if self.paged:

@@ -36,6 +36,7 @@ from llm_inference_lab_tpu.core.policies import rejection_bonus_logits
 from llm_inference_lab_tpu.core.state import DecodeState
 from llm_inference_lab_tpu.ops.sampling import (
     apply_penalties,
+    fold_rows,
     logit_bias_row,
     sample_tokens,
     token_counts,
@@ -215,14 +216,20 @@ def make_spec_step(
             )
         return logits
 
-    def _draft_samp(state):
-        """Draft-sampling kwargs: per-sequence arrays or compiled scalars."""
+    def _draft_samp(state, sctx=None, site=None):
+        """Draft-sampling kwargs: per-sequence arrays or compiled scalars.
+        Per-request engines draw row-wise from the slot's seed key (folded
+        with the draft position `site`) so each request's stream is
+        batch-composition independent."""
         if per_request_sampling:
-            return dict(
+            kw = dict(
                 temperature=state.temperature / draft_temperature_scale,
                 top_k=state.top_k, top_p=state.top_p, min_p=state.min_p,
                 greedy=False,
             )
+            if sctx is not None and sctx.get("row_keys") is not None:
+                kw["row_keys"] = fold_rows(sctx["row_keys"], site)
+            return kw
         return dict(temperature=draft_temp, top_k=top_k, top_p=top_p,
                     min_p=min_p, greedy=greedy)
 
@@ -254,7 +261,7 @@ def make_spec_step(
                     draft_params, x[:, None], pos[:, None], cache, pos
                 )
                 logits = _penalize(logits[:, 0], cnt)
-                nxt = sample_tokens(rng_i, logits, **_draft_samp(state))
+                nxt = sample_tokens(rng_i, logits, **_draft_samp(state, sctx, i))
                 return (nxt, cache, _bump(cnt, nxt)), (nxt, logits)
 
             (_, draft_cache, _), (d, draft_logits) = jax.lax.scan(
@@ -284,7 +291,8 @@ def make_spec_step(
             )
             logits = _penalize(logits[:, 0], cnt)
             nxt = sample_tokens(
-                jax.random.fold_in(rng_draft, i), logits, **_draft_samp(state)
+                jax.random.fold_in(rng_draft, i), logits,
+                **_draft_samp(state, sctx, i)
             )
             db = jax.lax.dynamic_update_index_in_dim(db, nxt, i, 1)
             lb = jax.lax.dynamic_update_index_in_dim(lb, logits, i, 1)
@@ -403,7 +411,15 @@ def make_spec_step(
         target_params_ref[0] = target_params
         Vt = target_model.config.vocab_size
         sctx = {"counts": None, "pen_active": None,
-                "bias_active": None, "bias_row": None}
+                "bias_active": None, "bias_row": None, "row_keys": None}
+        if per_request_sampling:
+            # Per-slot seed stream: fold the slot key with the committed
+            # length (strictly increases every step a slot is active), so
+            # every step draws fresh per-row keys that depend only on the
+            # request's own seed and progress (OpenAI `seed` semantics).
+            sctx["row_keys"] = jax.vmap(jax.random.fold_in)(
+                state.slot_rng, state.lengths
+            )
         if use_pen:
             mk_counts = lambda: token_counts(state.tokens, state.lengths, Vt)
             if per_request_sampling:
@@ -471,7 +487,12 @@ def make_spec_step(
             )
 
         # ---- 3. Acceptance ----
-        a = policy_fn(rng_policy, d, draft_logits, target_logits, **policy_params)
+        pol_kw = dict(policy_params)
+        if per_request_sampling:
+            # Stochastic policies (rejection) draw per-row from the slot's
+            # seed stream; deterministic policies absorb the kwarg.
+            pol_kw["row_keys"] = fold_rows(sctx["row_keys"], K + 1)
+        a = policy_fn(rng_policy, d, draft_logits, target_logits, **pol_kw)
         a = jnp.clip(a, 0, K)
         if adaptive:
             # Positions beyond the effective K were never really proposed.
@@ -510,7 +531,11 @@ def make_spec_step(
                 draft_temperature=draft_temp, draft_greedy=greedy,
             )
             bonus = sample_tokens(
-                rng_bonus, bonus_logits, temperature=1.0, greedy=greedy
+                rng_bonus, bonus_logits, temperature=1.0, greedy=greedy,
+                row_keys=(
+                    fold_rows(sctx["row_keys"], K)
+                    if per_request_sampling else None
+                ),
             )
         else:
             bonus_logits = jnp.take_along_axis(
@@ -521,6 +546,8 @@ def make_spec_step(
                     rng_bonus, bonus_logits, temperature=state.temperature,
                     top_k=state.top_k, top_p=state.top_p, min_p=state.min_p,
                     greedy=False,
+                    row_keys=fold_rows(sctx["row_keys"], K),  # site id K:
+                    # draft sites are 0..K-1, so the bonus never collides
                 )
             else:
                 bonus = sample_tokens(
@@ -736,6 +763,11 @@ def make_baseline_step(
                 rng_s, row, temperature=state.temperature,
                 top_k=state.top_k, top_p=state.top_p, min_p=state.min_p,
                 greedy=False,
+                # Per-request seed stream (same derivation as the spec
+                # step: slot key folded with committed length).
+                row_keys=jax.vmap(jax.random.fold_in)(
+                    state.slot_rng, state.lengths
+                ),
             )
         else:
             nxt = sample_tokens(

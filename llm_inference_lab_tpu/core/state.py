@@ -59,6 +59,13 @@ class DecodeState:
     top_k: jax.Array  # [B] int32
     top_p: jax.Array  # [B] float32
     min_p: jax.Array  # [B] float32 — vLLM min-p filter; 0.0 = off
+    # Per-slot sampling PRNG key (OpenAI per-request `seed`). Sampling
+    # sites in per-request steps draw row-wise from
+    # fold_in(slot_rng[b], lengths[b], site) so a request's token stream
+    # depends only on its own seed/params/prompt — NOT on batch
+    # composition or slot index. Set at admission; requests without a
+    # seed get a deterministic per-request key from the engine seed.
+    slot_rng: jax.Array  # [B, 2] uint32
     # Per-sequence penalty parameters (OpenAI presence/frequency, HF
     # repetition). Disabled values (1.0 / 0.0 / 0.0) are the defaults; only
     # steps built with per_request_sampling=True (or static engine-config
@@ -148,6 +155,9 @@ def init_state(
         top_k=jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (B,)),
         top_p=jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (B,)),
         min_p=jnp.broadcast_to(jnp.asarray(min_p, jnp.float32), (B,)),
+        slot_rng=jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)
+        )(jnp.arange(B, dtype=jnp.int32)),
         rep_penalty=jnp.broadcast_to(
             jnp.asarray(repetition_penalty, jnp.float32), (B,)
         ),

@@ -35,6 +35,12 @@ def _bcast(p, logits: jax.Array, dtype=jnp.float32) -> jax.Array:
     return p.reshape(p.shape + (1,) * (logits.ndim - p.ndim))
 
 
+def fold_rows(row_keys: jax.Array, site) -> jax.Array:
+    """Fold a per-site id into [B, 2] per-row PRNG keys (site may be a
+    traced scalar — e.g. the draft-scan position index)."""
+    return jax.vmap(jax.random.fold_in, (0, None))(row_keys, site)
+
+
 def token_counts(
     tokens: jax.Array,  # [B, T] int32 token buffer
     lengths: jax.Array,  # [B] int32 committed lengths
@@ -223,12 +229,17 @@ def sample_tokens(
     top_p=1.0,  # float or [B] array; 1.0 = disabled
     min_p=0.0,  # float or [B] array; 0.0 = disabled
     greedy: bool = False,
+    row_keys: Optional[jax.Array] = None,  # [B, 2] per-row PRNG keys
 ) -> jax.Array:
     """Returns [B] int32 sampled token ids, always clamped to [0, V).
 
     With array parameters, rows whose temperature <= 0 decode greedily
     (the OpenAI temperature=0 convention) — mixed greedy/sampled batches
-    work inside one compiled step."""
+    work inside one compiled step.
+
+    row_keys: per-row keys (OpenAI per-request `seed`). Each row draws
+    from its OWN key so its sample is independent of batch composition
+    and slot index; `rng` is ignored for the draw. [B, V] logits only."""
     V = logits.shape[-1]
     dynamic = _dynamic(temperature, top_k, top_p, min_p)
     if not dynamic and (greedy or temperature <= 0.0):
@@ -238,7 +249,14 @@ def sample_tokens(
 
     def _sample(logits):
         scaled = filtered_logits(logits, temperature, top_k, top_p, min_p)
-        sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+        if row_keys is not None:
+            sampled = jax.vmap(
+                lambda k, s: jax.random.categorical(k, s)
+            )(row_keys, scaled).astype(jnp.int32)
+        else:
+            sampled = jax.random.categorical(rng, scaled, axis=-1).astype(
+                jnp.int32
+            )
         # NaN/all-inf fallback to plain argmax (reference pipeline.py:124-137).
         bad = ~jnp.all(
             jnp.isfinite(jnp.max(scaled, axis=-1, keepdims=False))[..., None],

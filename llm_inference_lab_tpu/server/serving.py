@@ -51,9 +51,10 @@ class _Pending:
         self.prompt = prompt
         self.max_tokens = max_tokens
         # (temperature, top_k, top_p, min_p, repetition_penalty,
-        # presence_penalty, frequency_penalty, logit_bias dict) — Nones mean
-        # engine defaults; only honored under per_request_sampling.
-        self.sampling = sampling or (None,) * 8
+        # presence_penalty, frequency_penalty, logit_bias dict, seed) —
+        # Nones mean engine defaults; only honored under
+        # per_request_sampling.
+        self.sampling = sampling or (None,) * 9
         self.event = threading.Event()
         self.result: Optional[dict] = None
         self.stream = stream
@@ -106,12 +107,13 @@ class InferenceServer:
                     p = self._incoming.get_nowait()
                 except queue.Empty:
                     break
-                t, k, tp, mp, rp, pp, fp, lb = p.sampling
+                t, k, tp, mp, rp, pp, fp, lb, sd = p.sampling
                 rid = b.submit(p.prompt, max_new_tokens=p.max_tokens,
                                temperature=t, top_k=k, top_p=tp, min_p=mp,
                                repetition_penalty=rp, presence_penalty=pp,
                                frequency_penalty=fp, logit_bias=lb,
-                               add_special_tokens=p.add_special_tokens)
+                               add_special_tokens=p.add_special_tokens,
+                               seed=sd)
                 self._inflight[rid] = p
                 drained = True
             if drained or b.scheduler.pending():
@@ -344,6 +346,8 @@ class InferenceServer:
                         None if body.get("logit_bias") is None
                         else {int(k): float(v)
                               for k, v in body["logit_bias"].items()},
+                        None if body.get("seed") is None
+                        else int(body["seed"]),
                     )
                 n = max(1, min(int(body.get("n") or 1), 16))
                 if n > 1 and stream:
