@@ -1,0 +1,337 @@
+"""JSON char-level pushdown automaton + vectorized token-effect compiler.
+
+Two layers:
+
+1. `json_char_automaton()` — a [S, 256] transition table for a streaming
+   JSON validator. States cover values, strings (value/key contexts with
+   escapes and \\uXXXX), numbers, literals, and structural positions; the
+   nesting stack is NOT in the state — entries carry push/pop/branch
+   flags and the walker owns the stack (so depth is bounded only by the
+   runtime stack buffer, not by state-count explosion).
+
+2. `compile_token_tables(automaton, token_bytes, lens)` — for every
+   (lexer state s0, vocab token t): walk t's bytes through the automaton
+   with a simulated stack that starts EMPTY at the token boundary.
+   Pops that dip below the boundary record the REQUIRED slot-stack
+   symbols (up to MAX_POP, in order); pushes that survive are the net
+   push sequence (up to MAX_PUSH). The result is five dense tables the
+   decode step gathers from:
+
+     state_out [S, V] int8   final lexer state; -1 = token invalid
+     n_pop     [S, V] int8   pops below the boundary
+     pop_syms  [S, V, MAX_POP] int8   required symbols, top-first
+     n_push    [S, V] int8   net pushes above the boundary
+     push_syms [S, V, MAX_PUSH] int8  pushed symbols, bottom-first
+
+   Soundness simplification: a token whose ',' routing would consult a
+   slot-stack symbol below the boundary (e.g. the single token "},") is
+   marked invalid — the model must emit "}" and "," separately there.
+   The constraint never ADMITS invalid JSON; it may force a slightly
+   longer tokenization of valid JSON.
+
+The compiler is vectorized over the whole vocabulary with numpy (walks
+all V tokens in lockstep per start state): ~S x Lmax gather steps, a
+couple of seconds for a 128k vocab.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------- states
+VALUE = 0            # expecting a value (ws ok)
+VALUE_ARRFIRST = 1   # ditto, but ']' closes the (just-opened) array
+OBJ_KEY = 2          # after '{': key string or '}'
+OBJ_COMMA_KEY = 3    # after ',' in object: key string only
+OBJ_COLON = 4        # after a key: ':'
+AFTER_VALUE = 5      # value done: ws / ',' / '}' / ']'
+STR_VAL = 6
+STR_KEY = 7
+ESC_VAL = 8
+ESC_KEY = 9
+U_VAL = 10           # 10..13: \\uXXXX hex digits (value string)
+U_KEY = 14           # 14..17: ditto (key string)
+NUM_MINUS = 18
+NUM_ZERO = 19
+NUM_INT = 20
+NUM_DOT = 21
+NUM_FRAC = 22
+NUM_E = 23
+NUM_ESIGN = 24
+NUM_EXP = 25
+LIT_TR = 26          # 't' seen; 26:'r' 27:'u' 28:'e'
+LIT_FA = 29          # 'f' seen; 29:'a' 30:'l' 31:'s' 32:'e'
+LIT_NU = 33          # 'n' seen; 33:'u' 34:'l' 35:'l'
+VALUE_OBJONLY = 36   # OpenAI json_object: top level must be an object
+
+N_STATES = 37
+# Lexer states where the text so far is a complete top-level value
+# (acceptance additionally requires an empty stack).
+ACCEPTING = (AFTER_VALUE, NUM_ZERO, NUM_INT, NUM_FRAC, NUM_EXP)
+
+# Stack symbols
+SYM_OBJ = 1
+SYM_ARR = 2
+
+# Entry encoding: low 8 bits = next state; flag bits above.
+F_PUSH_OBJ = 1 << 8
+F_PUSH_ARR = 1 << 9
+F_POP_OBJ = 1 << 10
+F_POP_ARR = 1 << 11
+F_BRANCH_COMMA = 1 << 12  # next state depends on the stack top
+DEAD = -1
+
+MAX_POP = 4    # below-boundary pops a single token may perform
+MAX_PUSH = 8   # net pushes a single token may leave behind
+
+_WS = [0x20, 0x09, 0x0A, 0x0D]
+_HEX = [ord(c) for c in "0123456789abcdefABCDEF"]
+_DIGITS = [ord(c) for c in "0123456789"]
+_D19 = [ord(c) for c in "123456789"]
+
+
+@dataclass
+class CharAutomaton:
+    table: np.ndarray  # [N_STATES, 256] int32, DEAD where invalid
+    accepting: np.ndarray  # [N_STATES] bool
+    initial: int = VALUE
+    initial_objonly: int = VALUE_OBJONLY
+
+
+def json_char_automaton() -> CharAutomaton:
+    t = np.full((N_STATES, 256), DEAD, np.int32)
+
+    def s(state, chars, entry):
+        for c in chars if isinstance(chars, (list, tuple)) else [chars]:
+            t[state, c if isinstance(c, int) else ord(c)] = entry
+
+    def value_starts(state):
+        s(state, _WS, state)  # ws self-loop
+        s(state, "{", OBJ_KEY | F_PUSH_OBJ)
+        s(state, "[", VALUE_ARRFIRST | F_PUSH_ARR)
+        s(state, '"', STR_VAL)
+        s(state, "-", NUM_MINUS)
+        s(state, "0", NUM_ZERO)
+        s(state, _D19, NUM_INT)
+        s(state, "t", LIT_TR)
+        s(state, "f", LIT_FA)
+        s(state, "n", LIT_NU)
+
+    value_starts(VALUE)
+    value_starts(VALUE_ARRFIRST)
+    s(VALUE_ARRFIRST, "]", AFTER_VALUE | F_POP_ARR)
+
+    s(VALUE_OBJONLY, _WS, VALUE_OBJONLY)
+    s(VALUE_OBJONLY, "{", OBJ_KEY | F_PUSH_OBJ)
+
+    s(OBJ_KEY, _WS, OBJ_KEY)
+    s(OBJ_KEY, '"', STR_KEY)
+    s(OBJ_KEY, "}", AFTER_VALUE | F_POP_OBJ)
+
+    s(OBJ_COMMA_KEY, _WS, OBJ_COMMA_KEY)
+    s(OBJ_COMMA_KEY, '"', STR_KEY)
+
+    s(OBJ_COLON, _WS, OBJ_COLON)
+    s(OBJ_COLON, ":", VALUE)
+
+    def after_value(state):
+        s(state, _WS, AFTER_VALUE)
+        s(state, ",", F_BRANCH_COMMA)  # obj -> OBJ_COMMA_KEY, arr -> VALUE
+        s(state, "}", AFTER_VALUE | F_POP_OBJ)
+        s(state, "]", AFTER_VALUE | F_POP_ARR)
+
+    after_value(AFTER_VALUE)
+
+    # Strings: any byte >= 0x20 except '"' and '\\' continues (multi-byte
+    # UTF-8 continuation bytes included — sequence validity is left to the
+    # tokenizer, which only emits well-formed text).
+    for st, esc, close in ((STR_VAL, ESC_VAL, AFTER_VALUE),
+                           (STR_KEY, ESC_KEY, OBJ_COLON)):
+        for c in range(0x20, 256):
+            t[st, c] = st
+        s(st, '"', close)
+        s(st, "\\", esc)
+    for esc, st, u0 in ((ESC_VAL, STR_VAL, U_VAL), (ESC_KEY, STR_KEY, U_KEY)):
+        s(esc, ['"', "\\", "/", "b", "f", "n", "r", "t"], st)
+        s(esc, "u", u0)
+        for i in range(4):
+            nxt = st if i == 3 else u0 + i + 1
+            for c in _HEX:
+                t[u0 + i, c] = nxt
+
+    # Numbers. Complete-number states also act as AFTER_VALUE for
+    # delimiters (no separate "end number" char exists in JSON).
+    s(NUM_MINUS, "0", NUM_ZERO)
+    s(NUM_MINUS, _D19, NUM_INT)
+    for st in (NUM_ZERO, NUM_INT, NUM_FRAC, NUM_EXP):
+        after_value(st)
+    s(NUM_ZERO, ".", NUM_DOT)
+    s(NUM_ZERO, ["e", "E"], NUM_E)
+    s(NUM_INT, _DIGITS, NUM_INT)
+    s(NUM_INT, ".", NUM_DOT)
+    s(NUM_INT, ["e", "E"], NUM_E)
+    s(NUM_DOT, _DIGITS, NUM_FRAC)
+    s(NUM_FRAC, _DIGITS, NUM_FRAC)
+    s(NUM_FRAC, ["e", "E"], NUM_E)
+    s(NUM_E, ["+", "-"], NUM_ESIGN)
+    s(NUM_E, _DIGITS, NUM_EXP)
+    s(NUM_ESIGN, _DIGITS, NUM_EXP)
+    s(NUM_EXP, _DIGITS, NUM_EXP)
+
+    # Literals
+    for chain, chars in ((LIT_TR, "rue"), (LIT_FA, "alse"), (LIT_NU, "ull")):
+        for i, c in enumerate(chars):
+            nxt = AFTER_VALUE if i == len(chars) - 1 else chain + i + 1
+            t[chain + i, ord(c)] = nxt
+
+    acc = np.zeros((N_STATES,), bool)
+    acc[list(ACCEPTING)] = True
+    return CharAutomaton(table=t, accepting=acc)
+
+
+@dataclass
+class TokenTables:
+    """Dense per-(state, token) effect tables (see module docstring)."""
+
+    state_out: np.ndarray  # [S, V] int8, -1 = invalid
+    n_pop: np.ndarray      # [S, V] int8
+    pop_syms: np.ndarray   # [S, V, MAX_POP] int8
+    n_push: np.ndarray     # [S, V] int8
+    push_syms: np.ndarray  # [S, V, MAX_PUSH] int8
+    accepting: np.ndarray  # [S] bool
+    eos_id: int
+    initial: int
+    initial_objonly: int
+
+
+def compile_token_tables(
+    auto: CharAutomaton,
+    token_bytes: np.ndarray,  # [V, L] uint8, zero-padded
+    token_lens: np.ndarray,   # [V] int32; 0-length tokens are invalid
+    eos_id: int,
+) -> TokenTables:
+    V, L = token_bytes.shape
+    S = N_STATES
+    SIM = L + 1  # simulated stack can't grow past one push per char
+
+    state_out = np.full((S, V), -1, np.int8)
+    n_pop_t = np.zeros((S, V), np.int8)
+    pop_syms_t = np.zeros((S, V, MAX_POP), np.int8)
+    n_push_t = np.zeros((S, V), np.int8)
+    push_syms_t = np.zeros((S, V, MAX_PUSH), np.int8)
+
+    tbl = auto.table
+    for s0 in range(S):
+        state = np.full((V,), s0, np.int32)
+        dead = token_lens <= 0
+        sp = np.zeros((V,), np.int32)  # sim-stack height above boundary
+        sim = np.zeros((V, SIM), np.int8)
+        npop = np.zeros((V,), np.int32)
+        pops = np.zeros((V, MAX_POP), np.int8)
+        rows = np.arange(V)
+
+        for i in range(L):
+            act = (i < token_lens) & ~dead
+            if not act.any():
+                break
+            e = tbl[state, token_bytes[:, i]]
+            dead |= act & (e < 0)
+            act &= ~dead
+            nxt = e & 0xFF
+            flags = e
+
+            # Pushes
+            for flag, sym in ((F_PUSH_OBJ, SYM_OBJ), (F_PUSH_ARR, SYM_ARR)):
+                m = act & ((flags & flag) != 0)
+                if m.any():
+                    sim[rows[m], sp[m]] = sym
+                    sp[m] += 1
+
+            # Pops: internal (sim top) must match; below-boundary pops
+            # record the required slot symbol.
+            for flag, sym in ((F_POP_OBJ, SYM_OBJ), (F_POP_ARR, SYM_ARR)):
+                m = act & ((flags & flag) != 0)
+                if not m.any():
+                    continue
+                internal = m & (sp > 0)
+                below = m & (sp == 0)  # BEFORE the internal decrement
+                if internal.any():
+                    top = sim[rows[internal], sp[internal] - 1]
+                    bad = internal.copy()
+                    bad[internal] = top != sym
+                    dead |= bad
+                    ok = internal & ~bad
+                    sp[ok] -= 1
+                below &= ~dead
+                if below.any():
+                    over = below & (npop >= MAX_POP)
+                    dead |= over
+                    rec = below & ~over
+                    if rec.any():
+                        pops[rows[rec], npop[rec]] = sym
+                        npop[rec] += 1
+
+            # ',' routing: internal top decides; below-boundary is the
+            # documented soundness kill.
+            m = act & ((flags & F_BRANCH_COMMA) != 0) & ~dead
+            if m.any():
+                below = m & (sp == 0)
+                dead |= below
+                inside = m & ~below
+                if inside.any():
+                    top = sim[rows[inside], sp[inside] - 1]
+                    nxt[inside] = np.where(
+                        top == SYM_OBJ, OBJ_COMMA_KEY, VALUE
+                    )
+
+            act &= ~dead
+            state[act] = nxt[act]
+
+        dead |= sp > MAX_PUSH
+        live = ~dead
+        state_out[s0, live] = state[live].astype(np.int8)
+        n_pop_t[s0, live] = npop[live].astype(np.int8)
+        pop_syms_t[s0, live] = pops[live]
+        n_push_t[s0, live] = sp[live].astype(np.int8)
+        push_syms_t[s0, live] = sim[live, :MAX_PUSH]
+
+    # EOS is handled by the runtime (valid iff accepting state + empty
+    # stack); keep it invalid in the tables so a mid-value EOS can't leak.
+    state_out[:, eos_id] = -1
+
+    return TokenTables(
+        state_out=state_out, n_pop=n_pop_t, pop_syms=pop_syms_t,
+        n_push=n_push_t, push_syms=push_syms_t,
+        accepting=auto.accepting.copy(), eos_id=eos_id,
+        initial=auto.initial, initial_objonly=auto.initial_objonly,
+    )
+
+
+# ------------------------------------------------------- tokenizer bytes
+def token_bytes_of(tokenizer, vocab_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Best-effort byte string of every vocab id, as [V, L] uint8 +
+    [V] lengths. ByteTokenizer maps exactly; HF tokenizers go through
+    per-id decode with the GPT-2 byte-encoder / sentencepiece '▁'
+    conventions handled by the backend itself (single-id decode)."""
+    out: List[bytes] = []
+    if type(tokenizer).__name__ == "ByteTokenizer":
+        for i in range(vocab_size):
+            out.append(b"" if i == 0 else bytes([(i - 1) % 256]))
+    else:
+        dec = tokenizer.decode
+        for i in range(vocab_size):
+            try:
+                txt = dec([i])
+            except Exception:
+                txt = ""
+            out.append(txt.encode("utf-8", errors="ignore"))
+    L = max(1, max(len(b) for b in out))
+    arr = np.zeros((vocab_size, L), np.uint8)
+    lens = np.zeros((vocab_size,), np.int32)
+    for i, b in enumerate(out):
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    return arr, lens

@@ -1,0 +1,225 @@
+"""Token-effect table compiler vs a naive char-level JSON PDA.
+
+The naive simulator walks text char-by-char with an explicit stack and is
+independent of the vectorized compiler's stack-effect factoring; agreement
+on validity + final (state, stack) across random token sequences is the
+correctness argument for the whole constrained-decoding path."""
+
+import json
+
+import numpy as np
+import pytest
+
+from llm_inference_lab_tpu.constrain.jsonfsm import (
+    DEAD,
+    F_BRANCH_COMMA,
+    F_POP_ARR,
+    F_POP_OBJ,
+    F_PUSH_ARR,
+    F_PUSH_OBJ,
+    MAX_POP,
+    MAX_PUSH,
+    OBJ_COMMA_KEY,
+    SYM_ARR,
+    SYM_OBJ,
+    VALUE,
+    compile_token_tables,
+    json_char_automaton,
+)
+
+AUTO = json_char_automaton()
+
+
+def naive_walk(text: bytes, state=VALUE, stack=()):
+    """Char-level reference walk. Returns (state, stack) or None (dead)."""
+    stack = list(stack)
+    t = AUTO.table
+    for ch in text:
+        e = int(t[state, ch])
+        if e < 0:
+            return None
+        nxt = e & 0xFF
+        if e & F_PUSH_OBJ:
+            stack.append(SYM_OBJ)
+        if e & F_PUSH_ARR:
+            stack.append(SYM_ARR)
+        if e & F_POP_OBJ:
+            if not stack or stack.pop() != SYM_OBJ:
+                return None
+        if e & F_POP_ARR:
+            if not stack or stack.pop() != SYM_ARR:
+                return None
+        if e & F_BRANCH_COMMA:
+            if not stack:
+                return None
+            nxt = OBJ_COMMA_KEY if stack[-1] == SYM_OBJ else VALUE
+        state = nxt
+    return state, tuple(stack)
+
+
+def accepts(text: bytes) -> bool:
+    r = naive_walk(text)
+    return r is not None and bool(AUTO.accepting[r[0]]) and not r[1]
+
+
+@pytest.mark.parametrize("doc,ok", [
+    (b'{}', True),
+    (b'{"a": 1}', True),
+    (b'  {"a": [1, 2.5e-3, true, null, "s\\n"]} ', True),
+    (b'[[], {}, [{"k": {"x": []}}]]', True),
+    (b'"top-level string"', True),
+    (b'-0.5', True),
+    (b'[1,]', False),
+    (b'{"a" 1}', False),
+    (b'{a: 1}', False),
+    (b'[1', False),
+    (b'}', False),
+    (b'{"a": 01}', False),
+    (b'nul', False),
+    (b'truefalse', False),
+    (b'{"a": 1}}', False),
+])
+def test_char_automaton_validates_json(doc, ok):
+    assert accepts(doc) == ok
+    # Cross-check with Python's parser on the accept side.
+    if ok:
+        json.loads(doc.decode())
+
+
+def _mock_vocab():
+    """A BPE-ish vocab: single bytes + multi-char chunks, id 0 = EOS."""
+    toks = [b""]  # EOS
+    toks += [bytes([b]) for b in range(0x20, 0x7F)]
+    toks += [b'{"', b'":', b'", "', b'"}', b'}, "', b'[{', b'}]', b'{}',
+             b'[]', b'true', b'false', b'null', b'0.5', b'1e9', b'",',
+             b'\\n', b'\\u00e9', b'  ', b'},', b'"a"', b': [', b']]',
+             b'"key": ', b', ', b'[1, 2]', b'-', b'--', b'events',
+             b'\xc3\xa9', b'"\xe2\x82\xac"']
+    V = len(toks)
+    L = max(len(t) for t in toks)
+    arr = np.zeros((V, L), np.uint8)
+    lens = np.zeros((V,), np.int32)
+    for i, t in enumerate(toks):
+        arr[i, : len(t)] = np.frombuffer(t, np.uint8)
+        lens[i] = len(t)
+    return toks, arr, lens
+
+
+def _apply_tables(tt, state, stack, tok):
+    """Apply one token via the effect tables (host mirror of the device
+    logic). Returns (state, stack) or None."""
+    so = int(tt.state_out[state, tok])
+    if so < 0:
+        return None
+    np_, nu = int(tt.n_pop[state, tok]), int(tt.n_push[state, tok])
+    if np_ > len(stack):
+        return None
+    for j in range(np_):
+        if stack[-1 - j] != tt.pop_syms[state, tok, j]:
+            return None
+    stack = stack[: len(stack) - np_] + tuple(
+        int(x) for x in tt.push_syms[state, tok, :nu]
+    )
+    return so, stack
+
+
+def test_token_tables_match_naive_walk():
+    """For every (start state, token): table outcome == naive char walk,
+    modulo the documented sound over-restrictions (below-boundary ','
+    routing, pop/push caps)."""
+    toks, arr, lens = _mock_vocab()
+    tt = compile_token_tables(AUTO, arr, lens, eos_id=0)
+
+    # Contexts reachable mid-generation: (state, stack) pairs from prefixes.
+    prefixes = [b'', b'{"a": ', b'[', b'[[{"k": [', b'{"a": {"b": 1}',
+                b'[1, 2', b'{"s": "x', b'12', b'{"a": 1, "b": [{}']
+    ctxs = []
+    for p in prefixes:
+        r = naive_walk(p)
+        assert r is not None, p
+        ctxs.append(r)
+
+    checked = disagreements = 0
+    for state, stack in ctxs:
+        for tok_id, tok in enumerate(toks):
+            if tok_id == 0:  # EOS: runtime-special
+                assert tt.state_out[state, 0] == -1
+                continue
+            naive = naive_walk(tok, state, stack)
+            via_tt = _apply_tables(tt, state, stack, tok_id)
+            checked += 1
+            if via_tt is None and naive is not None:
+                # Sound over-restriction: verify it IS one of the
+                # documented cases, not a bug.
+                n_below, depth = 0, len(stack)
+                cur = depth
+                over_cap = False
+                # Re-derive the below-boundary interaction naively.
+                st2, stk2 = state, list(stack)
+                for ch in tok:
+                    e = int(AUTO.table[st2, ch])
+                    nxt = e & 0xFF
+                    if e & (F_PUSH_OBJ | F_PUSH_ARR):
+                        stk2.append(SYM_OBJ if e & F_PUSH_OBJ else SYM_ARR)
+                    if e & (F_POP_OBJ | F_POP_ARR):
+                        stk2.pop()
+                        n_below = max(n_below, depth - len(stk2))
+                    if e & F_BRANCH_COMMA:
+                        if len(stk2) <= depth - n_below + (
+                            len(stk2) - depth if len(stk2) > depth else 0
+                        ) and len(stk2) <= depth:
+                            pass  # below-boundary comma: expected kill
+                        nxt = (OBJ_COMMA_KEY if stk2[-1] == SYM_OBJ
+                               else VALUE)
+                    st2 = nxt
+                over_cap = (n_below > MAX_POP
+                            or len(stk2) - (depth - n_below) > MAX_PUSH)
+                has_comma = b"," in tok
+                assert over_cap or has_comma, (state, stack, tok)
+                disagreements += 1
+                continue
+            if naive is None:
+                assert via_tt is None, (state, stack, tok)
+                continue
+            assert via_tt is not None, (state, stack, tok)
+            assert via_tt[0] == naive[0], (state, stack, tok)
+            assert via_tt[1] == naive[1], (state, stack, tok)
+    assert checked > 1000
+    # The over-restriction should be rare, not the common case.
+    assert disagreements < checked * 0.05
+
+
+def test_greedy_table_walk_produces_valid_json():
+    """Drive the tables as a generator: at each step pick any valid token
+    (deterministic choice), stop at EOS-allowed; the byte string must
+    parse as JSON. Exercises acceptance/EOS logic."""
+    toks, arr, lens = _mock_vocab()
+    tt = compile_token_tables(AUTO, arr, lens, eos_id=0)
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        state, stack, out = tt.initial, (), b""
+        for _ in range(60):
+            valid = []
+            for tok_id in range(1, len(toks)):
+                if _apply_tables(tt, state, stack, tok_id) is not None:
+                    valid.append(tok_id)
+            can_eos = bool(tt.accepting[state]) and not stack
+            if can_eos and (not valid or rng.random() < 0.35):
+                break
+            assert valid, (state, stack, out)
+            choice = int(valid[rng.integers(len(valid))])
+            out += toks[choice]
+            state, stack = _apply_tables(tt, state, stack, choice)
+        else:
+            continue  # budget exhausted: incomplete JSON is allowed
+        json.loads(out.decode())
+
+
+def test_objonly_initial_state():
+    toks, arr, lens = _mock_vocab()
+    tt = compile_token_tables(AUTO, arr, lens, eos_id=0)
+    s = tt.initial_objonly
+    lbrack = toks.index(b"[")
+    lbrace = toks.index(b"{")
+    assert tt.state_out[s, lbrack] == -1  # arrays banned at top level
+    assert tt.state_out[s, lbrace] >= 0
