@@ -116,6 +116,13 @@ class EngineConfig:
     # means greedy). Off = the scalars above are compiled into the step
     # (slightly faster). Not compatible with policy="rejection" or tree mode.
     per_request_sampling: bool = False
+    # Grammar-constrained decoding (constrain/): None disables; "json"
+    # (any top-level value) or "json_object" (OpenAI response_format)
+    # compiles the tokenizer's stack-effect tables at engine init and
+    # masks every sampling site device-side. With per_request_sampling,
+    # constraining is ALSO per request (OpenAI response_format toggles
+    # it); the engine-level value is the default for Engine.generate.
+    constrain: Optional[str] = None
 
     # Shapes / limits
     max_seq_len: int = 1024

@@ -215,7 +215,9 @@ def compile_token_tables(
 ) -> TokenTables:
     V, L = token_bytes.shape
     S = N_STATES
-    SIM = L + 1  # simulated stack can't grow past one push per char
+    # Simulated stack can't grow past one push per char; floor at MAX_PUSH
+    # so the push_syms slice below is always well-shaped (1-byte vocabs).
+    SIM = max(L + 1, MAX_PUSH)
 
     state_out = np.full((S, V), -1, np.int8)
     n_pop_t = np.zeros((S, V), np.int8)

@@ -46,6 +46,7 @@ class _Request:
     frequency_penalty: Optional[float] = None
     logit_bias: Optional[Dict[int, float]] = None  # token id -> bias
     seed: Optional[int] = None  # OpenAI per-request seed; None = derived
+    response_format: Optional[str] = None  # 'json' | 'json_object'
     submitted_at: float = field(default_factory=time.perf_counter)
     slot: Optional[int] = None
     result: Optional[dict] = None
@@ -66,7 +67,7 @@ def make_admit(target_model, draft_model):
     def admit(target_params, draft_params, state, prompt_row, prompt_len, slot,
               max_new, table_row, temperature, top_k, top_p, min_p,
               rep_penalty, presence_penalty, freq_penalty,
-              bias_ids, bias_vals, seed):
+              bias_ids, bias_vals, seed, fsm_init):
         from llm_inference_lab_tpu.models.base import KVCache
         from llm_inference_lab_tpu.models.paged import PagedKVCache
 
@@ -153,6 +154,9 @@ def make_admit(target_model, draft_model):
             bias_ids=state.bias_ids.at[slot].set(bias_ids),
             bias_vals=state.bias_vals.at[slot].set(bias_vals),
             slot_rng=state.slot_rng.at[slot].set(jax.random.PRNGKey(seed)),
+            fsm_lex=state.fsm_lex.at[slot].set(fsm_init),
+            fsm_stack=state.fsm_stack.at[slot].set(0),
+            fsm_sp=state.fsm_sp.at[slot].set(0),
         )
 
     return jax.jit(admit, donate_argnums=(2,))
@@ -173,7 +177,7 @@ def make_admit_prefix(target_model, draft_model):
               prompt_len, reuse_len, slot, max_new, table_row,
               temperature, top_k, top_p, min_p,
               rep_penalty, presence_penalty, freq_penalty,
-              bias_ids, bias_vals, seed):
+              bias_ids, bias_vals, seed, fsm_init):
         from llm_inference_lab_tpu.models.paged import PagedKVCache
 
         S = suffix_row.shape[1]
@@ -239,6 +243,9 @@ def make_admit_prefix(target_model, draft_model):
             bias_ids=state.bias_ids.at[slot].set(bias_ids),
             bias_vals=state.bias_vals.at[slot].set(bias_vals),
             slot_rng=state.slot_rng.at[slot].set(jax.random.PRNGKey(seed)),
+            fsm_lex=state.fsm_lex.at[slot].set(fsm_init),
+            fsm_stack=state.fsm_stack.at[slot].set(0),
+            fsm_sp=state.fsm_sp.at[slot].set(0),
         )
 
     return jax.jit(admit, donate_argnums=(2,))
@@ -367,6 +374,7 @@ class ContinuousBatcher:
         logit_bias: Optional[Dict[int, float]] = None,
         add_special_tokens: bool = True,
         seed: Optional[int] = None,
+        response_format: Optional[str] = None,
     ) -> int:
         # Headroom uses engine._max_k (tree-aware: tree mode writes
         # num_nodes+1 cache rows per step, more than max_draft).
@@ -389,6 +397,7 @@ class ContinuousBatcher:
             frequency_penalty=frequency_penalty,
             logit_bias=logit_bias,
             seed=seed,
+            response_format=response_format,
         )
         self._next_id += 1
         self._requests[req.req_id] = req
@@ -449,6 +458,19 @@ class ContinuousBatcher:
             else (cfgp.seed * 1000003 + req.req_id) & 0x7FFFFFFF
         )
         pen = pen + (b_ids, b_vals, np.int32(eff_seed))
+        # Grammar constraint (OpenAI response_format): per-request opt-in;
+        # the engine must have been built with EngineConfig.constrain so
+        # the tables exist and the steps carry the masking path.
+        if req.response_format is not None:
+            if eng._constrain_tbl is None:
+                raise ValueError(
+                    "response_format requires the engine to be built with "
+                    "EngineConfig(constrain=...)"
+                )
+            fsm_init = eng._fsm_initial_map[req.response_format]
+        else:
+            fsm_init = -1
+        pen = pen + (np.int32(fsm_init),)
         if self._admit_prefix is not None:
             # Prefix-cached paged admission: forward the SUFFIX only.
             suffix = req.ids[req.reuse_len :]

@@ -305,6 +305,40 @@ class Engine:
             )
         if cfg.kv_layout == "paged" and 128 % cfg.kv_page_size != 0:
             raise ValueError("kv_page_size must divide 128 (buffer bucketing)")
+        # Grammar-constrained decoding: compile the tokenizer's
+        # stack-effect tables ONCE (seconds for a 128k vocab, vectorized
+        # numpy) and keep them on device; steps gather from them.
+        self._constrain_tbl = None
+        if cfg.constrain is not None:
+            if cfg.constrain not in ("json", "json_object"):
+                raise ValueError(
+                    f"constrain must be 'json' or 'json_object', "
+                    f"got {cfg.constrain!r}"
+                )
+            if self.draft_mode == "tree":
+                raise ValueError(
+                    "constrained decoding is not supported in tree mode"
+                )
+            from llm_inference_lab_tpu.constrain import (
+                compile_token_tables,
+                json_char_automaton,
+                token_bytes_of,
+            )
+            from llm_inference_lab_tpu.constrain.runtime import device_tables
+
+            tb, tl = token_bytes_of(
+                self.tokenizer, self.target.config.vocab_size
+            )
+            tt = compile_token_tables(
+                json_char_automaton(), tb, tl,
+                eos_id=self.eos_token_id if self.eos_token_id is not None
+                else 0,
+            )
+            self._constrain_tbl = device_tables(tt)
+            self._fsm_initial_map = {
+                "json": tt.initial, "json_object": tt.initial_objonly,
+            }
+            self._fsm_initial = self._fsm_initial_map[cfg.constrain]
         self._step_cache: Dict[tuple, Any] = {}
         if self.draft_mode == "tree":
             # The verify chunk writes num_nodes+1 cache slots per step, so
@@ -370,6 +404,7 @@ class Engine:
                 eos_token_id=self.eos_token_id,
                 per_request_sampling=cfg.per_request_sampling,
                 logprobs_topk=cfg.logprobs_topk,
+                constrain_tbl=self._constrain_tbl,
                 jit=jit,
             )
         from llm_inference_lab_tpu.core.controllers import AdaptiveDeviceKController
@@ -404,6 +439,7 @@ class Engine:
             adaptive_cfg=adaptive_cfg,
             per_request_sampling=cfg.per_request_sampling,
             logprobs_topk=cfg.logprobs_topk,
+            constrain_tbl=self._constrain_tbl,
             jit=jit,
         )
 
@@ -523,6 +559,9 @@ class Engine:
             presence_penalty=cfg.presence_penalty,
             frequency_penalty=cfg.frequency_penalty,
             logprobs_topk=cfg.logprobs_topk,
+            fsm_init=(
+                self._fsm_initial if self._constrain_tbl is not None else -1
+            ),
         )
         if self.mesh is not None:
             from llm_inference_lab_tpu.parallel.sharding import shard_state

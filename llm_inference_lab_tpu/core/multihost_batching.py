@@ -122,10 +122,11 @@ class MultiHostBatcher(ContinuousBatcher):
 
         B = self.n_slots
         # header rows: (slot, plen, max_new, req_id, top_k, reuse_len,
-        # seed) — seed is RESOLVED on the coordinator (explicit request
+        # seed, rf) — seed is RESOLVED on the coordinator (explicit request
         # seed or the deterministic engine-seed/req-id derivation) so all
-        # hosts admit the identical per-slot sampling key.
-        header = np.zeros((B, 7), np.int32)
+        # hosts admit the identical per-slot sampling key; rf encodes
+        # response_format (0 none, 1 json, 2 json_object).
+        header = np.zeros((B, 8), np.int32)
         rows = np.zeros((B, self._row_buf), np.int32)
         tables = np.zeros((B, self._tab_buf), np.int32)
         # Per-request sampling (resolved to engine defaults when unset) must
@@ -153,6 +154,9 @@ class MultiHostBatcher(ContinuousBatcher):
                     req.slot, len(req.ids), req.max_new_tokens, req.req_id,
                     dk if req.top_k is None else req.top_k, req.reuse_len,
                     req.seed,
+                    {None: 0, "json": 1, "json_object": 2}[
+                        req.response_format
+                    ],
                 )
                 samp[i] = (
                     dt if req.temperature is None else req.temperature,
@@ -189,7 +193,7 @@ class MultiHostBatcher(ContinuousBatcher):
         n_admit, pending, self._k_sync = int(meta[0]), int(meta[1]), int(meta[2])
 
         for i in range(n_admit):
-            slot, plen, max_new, rid, top_k, reuse_len, seed = (
+            slot, plen, max_new, rid, top_k, reuse_len, seed, rf = (
                 int(x) for x in header[i]
             )
             if self.is_coordinator:
@@ -209,7 +213,9 @@ class MultiHostBatcher(ContinuousBatcher):
                                    for t, v in zip(bias_ids[i], bias_vals[i])
                                    if t >= 0
                                } or None,
-                               seed=seed)
+                               seed=seed,
+                               response_format={0: None, 1: "json",
+                                                2: "json_object"}[rf])
                 req.slot = slot
                 req.reuse_len = reuse_len
                 if self.paged:

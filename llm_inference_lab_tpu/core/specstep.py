@@ -74,6 +74,7 @@ def make_spec_step(
     adaptive_cfg: Optional[dict] = None,
     per_request_sampling: bool = False,
     logprobs_topk: int = 0,
+    constrain_tbl=None,  # constrain.runtime.device_tables output, or None
     donate: bool = True,
     jit: bool = True,
 ):
@@ -165,6 +166,26 @@ def make_spec_step(
     # penalties, identically on draft and verify sides.
     use_bias = per_request_sampling
 
+    # Grammar constraints (constrain/): verify-side masking is the
+    # soundness guarantee (invalid tokens get -inf BEFORE acceptance and
+    # bonus sampling, so they can never commit); draft-side masking is the
+    # acceptance-quality lever and needs the draft to share the target's
+    # vocabulary (tables are target-vocab indexed).
+    use_fsm = constrain_tbl is not None
+    fsm_draft_ok = use_fsm and not (
+        draft_mode == "vanilla"
+        and draft_model is not None
+        and draft_model.config.vocab_size != target_model.config.vocab_size
+    )
+    if use_fsm:
+        from llm_inference_lab_tpu.constrain.runtime import (
+            apply_mask,
+            token_mask,
+            transition as fsm_transition,
+            walk_window,
+            window_mask,
+        )
+
     def _pen_params(state):
         if per_request_sampling:
             return (state.rep_penalty, state.presence_penalty,
@@ -252,21 +273,40 @@ def make_spec_step(
                 return cnt.at[jnp.arange(B), nxt].add(1)
             return cnt
 
+        fsm0 = (
+            (state.fsm_lex, state.fsm_stack, state.fsm_sp)
+            if fsm_draft_ok
+            else None
+        )
+
+        def _fsm_mask(logits, fsm):
+            if fsm is None:
+                return logits
+            return apply_mask(logits, token_mask(constrain_tbl, *fsm))
+
+        def _fsm_step(fsm, nxt):
+            if fsm is None:
+                return None
+            return fsm_transition(constrain_tbl, *fsm, nxt)
+
         if not adaptive:
             def draft_body(carry, inp):
-                x, cache, cnt = carry
+                x, cache, cnt, fsm = carry
                 i, rng_i = inp
                 pos = base + i  # [B]
                 logits, cache = draft_apply(
                     draft_params, x[:, None], pos[:, None], cache, pos
                 )
-                logits = _penalize(logits[:, 0], cnt)
+                logits = _fsm_mask(_penalize(logits[:, 0], cnt), fsm)
                 nxt = sample_tokens(rng_i, logits, **_draft_samp(state, sctx, i))
-                return (nxt, cache, _bump(cnt, nxt)), (nxt, logits)
+                return (
+                    (nxt, cache, _bump(cnt, nxt), _fsm_step(fsm, nxt)),
+                    (nxt, logits),
+                )
 
-            (_, draft_cache, _), (d, draft_logits) = jax.lax.scan(
+            (_, draft_cache, _, _), (d, draft_logits) = jax.lax.scan(
                 draft_body,
-                (last, state.draft_cache, cnt0),
+                (last, state.draft_cache, cnt0, fsm0),
                 (jnp.arange(K, dtype=jnp.int32), jax.random.split(rng_draft, K)),
             )
             return (
@@ -284,23 +324,25 @@ def make_spec_step(
             return c[0] < eff_k
 
         def body(c):
-            i, x, cache, db, lb, cnt = c
+            i, x, cache, db, lb, cnt, fsm = c
             pos = base + i
             logits, cache = draft_apply(
                 draft_params, x[:, None], pos[:, None], cache, pos
             )
-            logits = _penalize(logits[:, 0], cnt)
+            logits = _fsm_mask(_penalize(logits[:, 0], cnt), fsm)
             nxt = sample_tokens(
                 jax.random.fold_in(rng_draft, i), logits,
                 **_draft_samp(state, sctx, i)
             )
             db = jax.lax.dynamic_update_index_in_dim(db, nxt, i, 1)
             lb = jax.lax.dynamic_update_index_in_dim(lb, logits, i, 1)
-            return (i + 1, nxt, cache, db, lb, _bump(cnt, nxt))
+            return (i + 1, nxt, cache, db, lb, _bump(cnt, nxt),
+                    _fsm_step(fsm, nxt))
 
-        _, _, draft_cache, d_buf, l_buf, _ = jax.lax.while_loop(
+        _, _, draft_cache, d_buf, l_buf, _, _ = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), last, state.draft_cache, d_buf, l_buf, cnt0),
+            (jnp.int32(0), last, state.draft_cache, d_buf, l_buf, cnt0,
+             fsm0),
         )
         return d_buf, l_buf, draft_cache
 
@@ -312,16 +354,26 @@ def make_spec_step(
         m_top_p = float(medusa_cfg.get("top_p", 0.9))
         B = last.shape[0]
         counts = sctx["counts"]
+        fsm = (
+            (state.fsm_lex, state.fsm_stack, state.fsm_sp)
+            if fsm_draft_ok else None
+        )
         ds, ls = [], []
         for i in range(K):
             logits_i = head_fn(
                 target_params_ref[0], jnp.dot(h, proj[i].astype(h.dtype))
             )  # [B, V]
             logits_i = _ctx_penalize(state, sctx, logits_i, counts)
+            if fsm is not None:
+                logits_i = apply_mask(
+                    logits_i, token_mask(constrain_tbl, *fsm)
+                )
             d_i = sample_tokens(
                 jax.random.fold_in(rng_draft, i), logits_i,
                 temperature=m_temp, top_p=m_top_p, greedy=greedy,
             )
+            if fsm is not None:
+                fsm = fsm_transition(constrain_tbl, *fsm, d_i)
             if use_pen:
                 counts = counts.at[jnp.arange(B), d_i].add(1)
             ds.append(d_i)
@@ -336,6 +388,10 @@ def make_spec_step(
         h_prev = state.prev_hidden
         B = last.shape[0]
         counts = sctx["counts"]
+        fsm = (
+            (state.fsm_lex, state.fsm_stack, state.fsm_sp)
+            if fsm_draft_ok else None
+        )
         ds, ls = [], []
         for i in range(K):
             h_next = h_cur + eagle_alpha * (h_cur - h_prev)
@@ -343,7 +399,13 @@ def make_spec_step(
                 target_params_ref[0], h_next.astype(compute_dtype)
             )  # [B, V]; greedy argmax (reference eagle.py:149-150)
             logits_i = _ctx_penalize(state, sctx, logits_i, counts)
+            if fsm is not None:
+                logits_i = apply_mask(
+                    logits_i, token_mask(constrain_tbl, *fsm)
+                )
             d_i = jnp.argmax(logits_i, axis=-1).astype(jnp.int32)
+            if fsm is not None:
+                fsm = fsm_transition(constrain_tbl, *fsm, d_i)
             if use_pen:
                 counts = counts.at[jnp.arange(B), d_i].add(1)
             ds.append(d_i)
@@ -486,6 +548,27 @@ def make_spec_step(
                 target_logits.astype(jnp.float32),
             )
 
+        # Grammar constraint, verify side (the soundness guarantee): walk
+        # the draft window through the FSM and -inf every invalid token at
+        # every verify position. Skipped at runtime when no slot is
+        # constrained (the gathers read ~[B, K, V] of table rows).
+        if use_fsm:
+            fsm_lexs, fsm_stacks, fsm_sps = walk_window(
+                constrain_tbl, state.fsm_lex, state.fsm_stack,
+                state.fsm_sp, d,
+            )
+            any_fsm = jnp.any(state.fsm_lex != -1)
+            target_logits = jax.lax.cond(
+                any_fsm,
+                lambda t: apply_mask(
+                    t, window_mask(
+                        constrain_tbl, fsm_lexs, fsm_stacks, fsm_sps
+                    ),
+                ),
+                lambda t: t.astype(jnp.float32),
+                target_logits,
+            )
+
         # ---- 3. Acceptance ----
         pol_kw = dict(policy_params)
         if per_request_sampling:
@@ -576,6 +659,44 @@ def make_spec_step(
         commit = jnp.minimum(commit, max_len - state.lengths - 1)
         commit = jnp.where(state.active, commit, 0)
 
+        # Constraint FSM advance by exactly the committed tokens: walked
+        # draft states up to `commit`, plus one bonus transition when the
+        # bonus committed (commit == a+1). Unconstrained slots are frozen
+        # inside transition/walk (lex < 0).
+        if use_fsm:
+            D_fsm = state.fsm_stack.shape[1]
+            idx = jnp.minimum(commit, K)
+            lex_c = jnp.take_along_axis(fsm_lexs, idx[:, None], 1)[:, 0]
+            stack_c = jnp.take_along_axis(
+                fsm_stacks,
+                jnp.broadcast_to(idx[:, None, None], (B, 1, D_fsm)), 1,
+            )[:, 0]
+            sp_c = jnp.take_along_axis(fsm_sps, idx[:, None], 1)[:, 0]
+            lex_a = jnp.take_along_axis(fsm_lexs, a[:, None], 1)[:, 0]
+            stack_a = jnp.take_along_axis(
+                fsm_stacks,
+                jnp.broadcast_to(a[:, None, None], (B, 1, D_fsm)), 1,
+            )[:, 0]
+            sp_a = jnp.take_along_axis(fsm_sps, a[:, None], 1)[:, 0]
+            bl, bst, bsp = fsm_transition(
+                constrain_tbl, lex_a, stack_a, sp_a, bonus
+            )
+            use_b = commit == a + 1
+            new_fsm_lex = jnp.where(use_b, bl, lex_c)
+            new_fsm_stack = jnp.where(use_b[:, None], bst, stack_c)
+            new_fsm_sp = jnp.where(use_b, bsp, sp_c)
+            new_fsm_lex = jnp.where(
+                state.active, new_fsm_lex, state.fsm_lex
+            )
+            new_fsm_stack = jnp.where(
+                state.active[:, None], new_fsm_stack, state.fsm_stack
+            )
+            new_fsm_sp = jnp.where(state.active, new_fsm_sp, state.fsm_sp)
+        else:
+            new_fsm_lex = state.fsm_lex
+            new_fsm_stack = state.fsm_stack
+            new_fsm_sp = state.fsm_sp
+
         def write(tok_b, vals_b, start):
             return jax.lax.dynamic_update_slice(tok_b, vals_b, (start,))
 
@@ -655,6 +776,9 @@ def make_spec_step(
             token_logprobs=new_lp,
             top_ids=new_tids,
             top_lps=new_tlps,
+            fsm_lex=new_fsm_lex,
+            fsm_stack=new_fsm_stack,
+            fsm_sp=new_fsm_sp,
         )
 
     if not jit:
@@ -705,6 +829,7 @@ def make_baseline_step(
     eos_token_id: Optional[int] = None,
     per_request_sampling: bool = False,
     logprobs_topk: int = 0,
+    constrain_tbl=None,
     donate: bool = True,
     jit: bool = True,
 ):
@@ -717,6 +842,12 @@ def make_baseline_step(
         or presence_penalty != 0.0
         or frequency_penalty != 0.0
     )
+    if constrain_tbl is not None:
+        from llm_inference_lab_tpu.constrain.runtime import (
+            apply_mask,
+            token_mask,
+            transition as fsm_transition,
+        )
 
     def step(target_params, state: DecodeState) -> DecodeState:
         max_len = state.tokens.shape[1]
@@ -759,6 +890,17 @@ def make_baseline_step(
                 lambda r: r,
                 row,
             )
+        if constrain_tbl is not None:
+            row = jax.lax.cond(
+                jnp.any(state.fsm_lex != -1),
+                lambda r: apply_mask(
+                    r, token_mask(constrain_tbl, state.fsm_lex,
+                                  state.fsm_stack, state.fsm_sp),
+                ),
+                lambda r: r,
+                row,
+            )
+        if per_request_sampling:
             nxt = sample_tokens(
                 rng_s, row, temperature=state.temperature,
                 top_k=state.top_k, top_p=state.top_p, min_p=state.min_p,
@@ -777,6 +919,13 @@ def make_baseline_step(
         commit = jnp.where(state.active, 1, 0)
         remaining = state.prompt_lens + state.max_new - state.lengths
         commit = jnp.minimum(commit, jnp.maximum(remaining, 0))
+        if constrain_tbl is not None:
+            new_fsm = fsm_transition(
+                constrain_tbl, state.fsm_lex, state.fsm_stack,
+                state.fsm_sp, nxt, active=state.active & (commit > 0),
+            )
+        else:
+            new_fsm = (state.fsm_lex, state.fsm_stack, state.fsm_sp)
         new_tokens = jax.vmap(
             lambda t, v, s: jax.lax.dynamic_update_slice(t, v[None], (s,))
         )(state.tokens, nxt, state.lengths)
@@ -822,6 +971,9 @@ def make_baseline_step(
             token_logprobs=new_lp,
             top_ids=new_tids,
             top_lps=new_tlps,
+            fsm_lex=new_fsm[0],
+            fsm_stack=new_fsm[1],
+            fsm_sp=new_fsm[2],
         )
 
     if not jit:

@@ -59,6 +59,13 @@ class DecodeState:
     top_k: jax.Array  # [B] int32
     top_p: jax.Array  # [B] float32
     min_p: jax.Array  # [B] float32 — vLLM min-p filter; 0.0 = off
+    # Grammar-constrained decoding (constrain/runtime.py): per-slot FSM.
+    # fsm_lex -1 = unconstrained slot, -2 = dead (invalid token slipped
+    # in — masks collapse to EOS-only); >= 0 = lexer state of the JSON
+    # pushdown automaton. The nesting stack is explicit per slot.
+    fsm_lex: jax.Array    # [B] int32
+    fsm_stack: jax.Array  # [B, FSM_DEPTH] int32
+    fsm_sp: jax.Array     # [B] int32
     # Per-slot sampling PRNG key (OpenAI per-request `seed`). Sampling
     # sites in per-request steps draw row-wise from
     # fold_in(slot_rng[b], lengths[b], site) so a request's token stream
@@ -114,6 +121,7 @@ def init_state(
     frequency_penalty: float = 0.0,
     n_bias: int = 32,
     logprobs_topk: int = 0,
+    fsm_init: int = -1,  # -1 = unconstrained; else initial lexer state
 ) -> DecodeState:
     B = batch_size
     kv_kw = dict(quantized=kv_quantized)
@@ -155,6 +163,9 @@ def init_state(
         top_k=jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (B,)),
         top_p=jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (B,)),
         min_p=jnp.broadcast_to(jnp.asarray(min_p, jnp.float32), (B,)),
+        fsm_lex=jnp.full((B,), fsm_init, jnp.int32),
+        fsm_stack=jnp.zeros((B, 32), jnp.int32),
+        fsm_sp=jnp.zeros((B,), jnp.int32),
         slot_rng=jax.vmap(
             lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)
         )(jnp.arange(B, dtype=jnp.int32)),

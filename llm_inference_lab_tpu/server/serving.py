@@ -43,11 +43,13 @@ from llm_inference_lab_tpu.core.engine import Engine
 class _Pending:
     __slots__ = ("prompt", "max_tokens", "event", "result", "stream", "stop",
                  "chunks", "sent_text", "final_text", "finish_reason",
-                 "sampling", "created", "add_special_tokens")
+                 "sampling", "created", "add_special_tokens",
+                 "response_format")
 
     def __init__(self, prompt: str, max_tokens: int,
                  stream: bool = False, stop=None, sampling=None,
-                 add_special_tokens: bool = True):
+                 add_special_tokens: bool = True,
+                 response_format=None):
         self.prompt = prompt
         self.max_tokens = max_tokens
         # (temperature, top_k, top_p, min_p, repetition_penalty,
@@ -65,6 +67,7 @@ class _Pending:
         self.finish_reason: Optional[str] = None
         self.created = time.time()
         self.add_special_tokens = add_special_tokens
+        self.response_format = response_format
 
 
 class InferenceServer:
@@ -113,7 +116,8 @@ class InferenceServer:
                                repetition_penalty=rp, presence_penalty=pp,
                                frequency_penalty=fp, logit_bias=lb,
                                add_special_tokens=p.add_special_tokens,
-                               seed=sd)
+                               seed=sd,
+                               response_format=p.response_format)
                 self._inflight[rid] = p
                 drained = True
             if drained or b.scheduler.pending():
@@ -349,19 +353,39 @@ class InferenceServer:
                         None if body.get("seed") is None
                         else int(body["seed"]),
                     )
+                # OpenAI response_format: {"type": "json_object"} (or
+                # "json" for any top-level value). Needs an engine built
+                # with EngineConfig(constrain=...).
+                rf = body.get("response_format") or {}
+                rf_type = rf.get("type") if isinstance(rf, dict) else rf
+                if rf_type in (None, "text"):
+                    rf_type = None
+                elif rf_type in ("json", "json_object"):
+                    if getattr(outer.engine, "_constrain_tbl", None) is None:
+                        self._json(400, {
+                            "error": "response_format requires a server "
+                                     "started with constrain enabled "
+                                     "(EngineConfig.constrain)"})
+                        return
+                else:
+                    self._json(400, {
+                        "error": f"unsupported response_format {rf_type!r}"})
+                    return
                 n = max(1, min(int(body.get("n") or 1), 16))
                 if n > 1 and stream:
                     self._json(400, {"error": "n > 1 with stream is not supported"})
                     return
                 pend = _Pending(prompt, max_tokens, stream=stream, stop=stop,
                                 sampling=sampling,
-                                add_special_tokens=not templated)
+                                add_special_tokens=not templated,
+                                response_format=rf_type)
                 # OpenAI `n`: independent completions of the same prompt —
                 # each rides its own batcher slot (they share the prompt's
                 # KV pages under prefix caching).
                 extra = [
                     _Pending(prompt, max_tokens, stop=stop, sampling=sampling,
-                             add_special_tokens=not templated)
+                             add_special_tokens=not templated,
+                             response_format=rf_type)
                     for _ in range(n - 1)
                 ]
                 outer._incoming.put(pend)
