@@ -117,12 +117,16 @@ class EngineConfig:
     # (slightly faster). Not compatible with policy="rejection" or tree mode.
     per_request_sampling: bool = False
     # Grammar-constrained decoding (constrain/): None disables; "json"
-    # (any top-level value) or "json_object" (OpenAI response_format)
-    # compiles the tokenizer's stack-effect tables at engine init and
-    # masks every sampling site device-side. With per_request_sampling,
-    # constraining is ALSO per request (OpenAI response_format toggles
-    # it); the engine-level value is the default for Engine.generate.
+    # (any top-level value), "json_object" (OpenAI response_format), or
+    # "json_schema" (structured outputs — requires constrain_schema)
+    # compiles the grammar's token tables at engine init and masks every
+    # sampling site device-side. Serving: requests opt in per-request via
+    # OpenAI response_format; the engine-level value is the default for
+    # Engine.generate and fixes WHICH grammar the deployment serves.
     constrain: Optional[str] = None
+    # The schema served when constrain == "json_schema" (see
+    # constrain/schema.py for the supported subset).
+    constrain_schema: Optional[dict] = None
 
     # Shapes / limits
     max_seq_len: int = 1024

@@ -214,7 +214,7 @@ def compile_token_tables(
     eos_id: int,
 ) -> TokenTables:
     V, L = token_bytes.shape
-    S = N_STATES
+    S = auto.table.shape[0]  # generic: schema DFAs have their own count
     # Simulated stack can't grow past one push per char; floor at MAX_PUSH
     # so the push_syms slice below is always well-shaped (1-byte vocabs).
     SIM = max(L + 1, MAX_PUSH)

@@ -467,7 +467,13 @@ class ContinuousBatcher:
                     "response_format requires the engine to be built with "
                     "EngineConfig(constrain=...)"
                 )
-            fsm_init = eng._fsm_initial_map[req.response_format]
+            fsm_init = eng._fsm_initial_map.get(req.response_format)
+            if fsm_init is None:
+                raise ValueError(
+                    f"this deployment's grammar "
+                    f"({eng.config.constrain!r}) cannot serve "
+                    f"response_format {req.response_format!r}"
+                )
         else:
             fsm_init = -1
         pen = pen + (np.int32(fsm_init),)

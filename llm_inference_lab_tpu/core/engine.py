@@ -310,10 +310,10 @@ class Engine:
         # numpy) and keep them on device; steps gather from them.
         self._constrain_tbl = None
         if cfg.constrain is not None:
-            if cfg.constrain not in ("json", "json_object"):
+            if cfg.constrain not in ("json", "json_object", "json_schema"):
                 raise ValueError(
-                    f"constrain must be 'json' or 'json_object', "
-                    f"got {cfg.constrain!r}"
+                    f"constrain must be 'json', 'json_object', or "
+                    f"'json_schema', got {cfg.constrain!r}"
                 )
             if self.draft_mode == "tree":
                 raise ValueError(
@@ -326,18 +326,35 @@ class Engine:
             )
             from llm_inference_lab_tpu.constrain.runtime import device_tables
 
+            if cfg.constrain == "json_schema":
+                if not cfg.constrain_schema:
+                    raise ValueError(
+                        "constrain='json_schema' requires constrain_schema"
+                    )
+                from llm_inference_lab_tpu.constrain.schema import (
+                    build_schema_automaton,
+                )
+
+                auto = build_schema_automaton(cfg.constrain_schema)
+            else:
+                auto = json_char_automaton()
             tb, tl = token_bytes_of(
                 self.tokenizer, self.target.config.vocab_size
             )
             tt = compile_token_tables(
-                json_char_automaton(), tb, tl,
+                auto, tb, tl,
                 eos_id=self.eos_token_id if self.eos_token_id is not None
                 else 0,
             )
             self._constrain_tbl = device_tables(tt)
-            self._fsm_initial_map = {
-                "json": tt.initial, "json_object": tt.initial_objonly,
-            }
+            # Which response_format values this deployment's grammar can
+            # serve, and the FSM start state for each.
+            self._fsm_initial_map = (
+                {"json_schema": tt.initial}
+                if cfg.constrain == "json_schema"
+                else {"json": tt.initial,
+                      "json_object": tt.initial_objonly}
+            )
             self._fsm_initial = self._fsm_initial_map[cfg.constrain]
         self._step_cache: Dict[tuple, Any] = {}
         if self.draft_mode == "tree":

@@ -154,7 +154,8 @@ class MultiHostBatcher(ContinuousBatcher):
                     req.slot, len(req.ids), req.max_new_tokens, req.req_id,
                     dk if req.top_k is None else req.top_k, req.reuse_len,
                     req.seed,
-                    {None: 0, "json": 1, "json_object": 2}[
+                    {None: 0, "json": 1, "json_object": 2,
+                     "json_schema": 3}[
                         req.response_format
                     ],
                 )
@@ -215,7 +216,8 @@ class MultiHostBatcher(ContinuousBatcher):
                                } or None,
                                seed=seed,
                                response_format={0: None, 1: "json",
-                                                2: "json_object"}[rf])
+                                                2: "json_object",
+                                                3: "json_schema"}[rf])
                 req.slot = slot
                 req.reuse_len = reuse_len
                 if self.paged:

@@ -360,13 +360,32 @@ class InferenceServer:
                 rf_type = rf.get("type") if isinstance(rf, dict) else rf
                 if rf_type in (None, "text"):
                     rf_type = None
-                elif rf_type in ("json", "json_object"):
-                    if getattr(outer.engine, "_constrain_tbl", None) is None:
+                elif rf_type in ("json", "json_object", "json_schema"):
+                    fmt_map = getattr(outer.engine, "_fsm_initial_map", None)
+                    if (getattr(outer.engine, "_constrain_tbl", None) is None
+                            or rf_type not in fmt_map):
                         self._json(400, {
-                            "error": "response_format requires a server "
-                                     "started with constrain enabled "
-                                     "(EngineConfig.constrain)"})
+                            "error": "this server's grammar cannot serve "
+                                     f"response_format {rf_type!r} (started "
+                                     "with EngineConfig.constrain="
+                                     f"{outer.engine.config.constrain!r})"})
                         return
+                    if rf_type == "json_schema":
+                        # OpenAI structured outputs carry the schema in the
+                        # request; this deployment serves ONE precompiled
+                        # schema — reject mismatches rather than silently
+                        # constraining to a different shape.
+                        req_schema = (rf.get("json_schema") or {}).get(
+                            "schema"
+                        ) if isinstance(rf, dict) else None
+                        if (req_schema is not None
+                                and req_schema
+                                != outer.engine.config.constrain_schema):
+                            self._json(400, {
+                                "error": "request schema does not match "
+                                         "the schema this server was "
+                                         "compiled with"})
+                            return
                 else:
                     self._json(400, {
                         "error": f"unsupported response_format {rf_type!r}"})

@@ -161,3 +161,79 @@ def test_server_response_format():
                         "response_format": {"type": "json_object"}})
     finally:
         srv2.stop()
+
+
+SCHEMA = {"type": "object",
+          "properties": {"a": {"type": "integer"},
+                         "b": {"enum": ["x", "y"]}}}
+
+
+def test_engine_json_schema_mode():
+    """Structured outputs: generation conforms to the compiled schema
+    (fixed key order, typed values) and terminates at completion."""
+    r = _engine(constrain="json_schema",
+                constrain_schema=SCHEMA).generate("structured")
+    obj = json.loads(r["text"])
+    assert isinstance(obj["a"], int)
+    assert obj["b"] in ("x", "y")
+    assert list(obj) == ["a", "b"]
+    # Compact grammar + EOS-at-completion: way under budget.
+    assert r["generated_tokens"] < 32
+
+
+def test_json_schema_requires_schema():
+    with pytest.raises(ValueError):
+        _engine(constrain="json_schema")
+
+
+def test_json_schema_spec_equals_baseline():
+    spec = _engine(constrain="json_schema",
+                   constrain_schema=SCHEMA).generate("m")
+    base = _engine(constrain="json_schema", constrain_schema=SCHEMA,
+                   draft_model=None).generate("m")
+    assert spec["generated_ids"] == base["generated_ids"]
+
+
+def test_server_json_schema():
+    import urllib.error
+    import urllib.request
+
+    from llm_inference_lab_tpu.server import InferenceServer
+
+    def post(srv, body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/completions",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+
+    srv = InferenceServer(
+        _engine(constrain="json_schema", constrain_schema=SCHEMA),
+        n_slots=2, port=0,
+    )
+    srv.start()
+    try:
+        out = post(srv, {"prompt": "s", "max_tokens": 32,
+                         "response_format": {"type": "json_schema"}})
+        obj = json.loads(out["choices"][0]["text"])
+        assert list(obj) == ["a", "b"]
+        # Matching schema in the request body is accepted.
+        out = post(srv, {"prompt": "s", "max_tokens": 32,
+                         "response_format": {
+                             "type": "json_schema",
+                             "json_schema": {"schema": SCHEMA}}})
+        json.loads(out["choices"][0]["text"])
+        # A DIFFERENT schema is a 400 (this deployment serves one schema).
+        with pytest.raises(urllib.error.HTTPError):
+            post(srv, {"prompt": "s", "max_tokens": 8,
+                       "response_format": {
+                           "type": "json_schema",
+                           "json_schema": {"schema": {"type": "string"}}}})
+        # json_object doesn't match a schema deployment's grammar.
+        with pytest.raises(urllib.error.HTTPError):
+            post(srv, {"prompt": "s", "max_tokens": 8,
+                       "response_format": {"type": "json_object"}})
+    finally:
+        srv.stop()
