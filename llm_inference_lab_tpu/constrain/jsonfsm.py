@@ -313,23 +313,76 @@ def compile_token_tables(
 
 
 # ------------------------------------------------------- tokenizer bytes
+def _gpt2_byte_decoder() -> dict:
+    """Inverse of GPT-2's bytes_to_unicode bijection (every byte maps to a
+    printable unicode char in byte-level-BPE vocab entries)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {chr(c): b for b, c in zip(bs, cs)}
+
+
 def token_bytes_of(tokenizer, vocab_size: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Best-effort byte string of every vocab id, as [V, L] uint8 +
-    [V] lengths. ByteTokenizer maps exactly; HF tokenizers go through
-    per-id decode with the GPT-2 byte-encoder / sentencepiece '▁'
-    conventions handled by the backend itself (single-id decode)."""
+    """Exact byte string of every vocab id, as [V, L] uint8 + [V] lengths.
+
+    Why not decode([id]): sentencepiece decoders strip the leading '▁'
+    space of a lone token and special tokens render as literal text —
+    both would corrupt the constraint tables on real models. Instead the
+    raw vocab entries are mapped through the tokenizer's own byte
+    convention: GPT-2 byte-level BPE ('Ġ' family, exact byte bijection),
+    sentencepiece ('▁' = space, '<0xNN>' = raw byte), with decode([id])
+    only as the last-resort fallback. Special tokens (BOS/EOS/chat
+    markup) get length 0 = never valid inside constrained output."""
     out: List[bytes] = []
     if type(tokenizer).__name__ == "ByteTokenizer":
         for i in range(vocab_size):
             out.append(b"" if i == 0 else bytes([(i - 1) % 256]))
     else:
-        dec = tokenizer.decode
-        for i in range(vocab_size):
+        inner = getattr(tokenizer, "_tok", tokenizer)
+        special = set(getattr(inner, "all_special_ids", None) or ())
+        toks = None
+        if hasattr(inner, "convert_ids_to_tokens"):
             try:
-                txt = dec([i])
+                toks = inner.convert_ids_to_tokens(list(range(vocab_size)))
             except Exception:
-                txt = ""
-            out.append(txt.encode("utf-8", errors="ignore"))
+                toks = None
+        if toks is not None:
+            sample = [t for t in toks if t][:2000]
+            gpt2_style = any("Ġ" in t or "Ċ" in t for t in sample)
+            sp_style = any("▁" in t for t in sample)
+            byte_dec = _gpt2_byte_decoder() if gpt2_style else None
+            for i, t in enumerate(toks):
+                if t is None or i in special:
+                    out.append(b"")
+                elif byte_dec is not None:
+                    try:
+                        out.append(bytes(byte_dec[c] for c in t))
+                    except KeyError:  # non-byte-level entry (added token)
+                        out.append(b"")
+                elif sp_style:
+                    if t.startswith("<0x") and t.endswith(">"):
+                        out.append(bytes([int(t[3:-1], 16)]))
+                    else:
+                        out.append(t.replace("▁", " ").encode("utf-8"))
+                else:
+                    out.append(t.encode("utf-8", errors="ignore"))
+        else:
+            dec = tokenizer.decode
+            for i in range(vocab_size):
+                try:
+                    txt = dec([i]) if i not in special else ""
+                except Exception:
+                    txt = ""
+                out.append(txt.encode("utf-8", errors="ignore"))
     L = max(1, max(len(b) for b in out))
     arr = np.zeros((vocab_size, L), np.uint8)
     lens = np.zeros((vocab_size,), np.int32)

@@ -223,3 +223,59 @@ def test_objonly_initial_state():
     lbrace = toks.index(b"{")
     assert tt.state_out[s, lbrack] == -1  # arrays banned at top level
     assert tt.state_out[s, lbrace] >= 0
+
+
+def test_token_bytes_gpt2_convention():
+    """GPT-2 byte-level vocab entries map through the byte bijection —
+    'Ġ' is a space, multi-byte UTF-8 round-trips, specials are length 0."""
+    from llm_inference_lab_tpu.constrain.jsonfsm import (
+        _gpt2_byte_decoder,
+        token_bytes_of,
+    )
+
+    enc = {b: c for c, b in _gpt2_byte_decoder().items()}
+
+    def to_vocab(bs: bytes) -> str:
+        return "".join(enc[b] for b in bs)
+
+    vocab = ["<|endoftext|>", to_vocab(b" the"), to_vocab(b'{"'),
+             to_vocab("é".encode()), to_vocab(b"\n")]
+
+    class _Stub:
+        all_special_ids = [0]
+
+        def convert_ids_to_tokens(self, ids):
+            return [vocab[i] for i in ids]
+
+    class _Wrap:
+        _tok = _Stub()
+
+    arr, lens = token_bytes_of(_Wrap(), len(vocab))
+    assert lens[0] == 0  # special
+    assert bytes(arr[1, :lens[1]]) == b" the"
+    assert bytes(arr[2, :lens[2]]) == b'{"'
+    assert bytes(arr[3, :lens[3]]) == "é".encode()
+    assert bytes(arr[4, :lens[4]]) == b"\n"
+
+
+def test_token_bytes_sentencepiece_convention():
+    """SentencePiece: '▁'→space, '<0xNN>' raw-byte tokens, specials 0."""
+    from llm_inference_lab_tpu.constrain.jsonfsm import token_bytes_of
+
+    vocab = ["<s>", "▁the", "<0x0A>", "▁{", 'word']
+
+    class _Stub:
+        all_special_ids = [0]
+
+        def convert_ids_to_tokens(self, ids):
+            return [vocab[i] for i in ids]
+
+    class _Wrap:
+        _tok = _Stub()
+
+    arr, lens = token_bytes_of(_Wrap(), len(vocab))
+    assert lens[0] == 0
+    assert bytes(arr[1, :lens[1]]) == b" the"
+    assert bytes(arr[2, :lens[2]]) == b"\n"
+    assert bytes(arr[3, :lens[3]]) == b" {"
+    assert bytes(arr[4, :lens[4]]) == b"word"
