@@ -282,7 +282,16 @@ def make_spec_step(
         def _fsm_mask(logits, fsm):
             if fsm is None:
                 return logits
-            return apply_mask(logits, token_mask(constrain_tbl, *fsm))
+            # Runtime skip: the [B, V] table gathers only run when some
+            # slot is actually constrained (same policy as the verify
+            # side) — an engine built with constrain= pays nothing while
+            # serving unconstrained traffic.
+            return jax.lax.cond(
+                jnp.any(state.fsm_lex != -1),
+                lambda l: apply_mask(l, token_mask(constrain_tbl, *fsm)),
+                lambda l: l.astype(jnp.float32),
+                logits,
+            )
 
         def _fsm_step(fsm, nxt):
             if fsm is None:
@@ -365,8 +374,13 @@ def make_spec_step(
             )  # [B, V]
             logits_i = _ctx_penalize(state, sctx, logits_i, counts)
             if fsm is not None:
-                logits_i = apply_mask(
-                    logits_i, token_mask(constrain_tbl, *fsm)
+                logits_i = jax.lax.cond(
+                    jnp.any(state.fsm_lex != -1),
+                    lambda l, f=fsm: apply_mask(
+                        l, token_mask(constrain_tbl, *f)
+                    ),
+                    lambda l: l.astype(jnp.float32),
+                    logits_i,
                 )
             d_i = sample_tokens(
                 jax.random.fold_in(rng_draft, i), logits_i,
@@ -400,8 +414,13 @@ def make_spec_step(
             )  # [B, V]; greedy argmax (reference eagle.py:149-150)
             logits_i = _ctx_penalize(state, sctx, logits_i, counts)
             if fsm is not None:
-                logits_i = apply_mask(
-                    logits_i, token_mask(constrain_tbl, *fsm)
+                logits_i = jax.lax.cond(
+                    jnp.any(state.fsm_lex != -1),
+                    lambda l, f=fsm: apply_mask(
+                        l, token_mask(constrain_tbl, *f)
+                    ),
+                    lambda l: l.astype(jnp.float32),
+                    logits_i,
                 )
             d_i = jnp.argmax(logits_i, axis=-1).astype(jnp.int32)
             if fsm is not None:
