@@ -394,6 +394,16 @@ class InferenceServer:
                 if n > 1 and stream:
                     self._json(400, {"error": "n > 1 with stream is not supported"})
                     return
+                # OpenAI best_of (completions only): generate best_of
+                # candidates server-side, return the n highest-mean-logprob
+                # ones. Usage counts ALL candidates (OpenAI semantics).
+                best_of = max(n, min(int(body.get("best_of") or n), 16))
+                if chat:
+                    best_of = n
+                if stream and best_of != n:
+                    self._json(400, {
+                        "error": "best_of != n is not supported with stream"})
+                    return
                 pend = _Pending(prompt, max_tokens, stream=stream, stop=stop,
                                 sampling=sampling,
                                 add_special_tokens=not templated,
@@ -405,7 +415,7 @@ class InferenceServer:
                     _Pending(prompt, max_tokens, stop=stop, sampling=sampling,
                              add_special_tokens=not templated,
                              response_format=rf_type)
-                    for _ in range(n - 1)
+                    for _ in range(best_of - 1)
                 ]
                 outer._incoming.put(pend)
                 for p in extra:
@@ -417,8 +427,17 @@ class InferenceServer:
                     if not p.event.wait(timeout=600):
                         self._json(504, {"error": "generation timed out"})
                         return
-                r = pend.result
-                text = pend.final_text if pend.final_text is not None else r["text"]
+                cands = [pend] + extra
+                if best_of > n:
+                    def _mean_lp(p):
+                        lps = p.result.get("token_logprobs") or []
+                        return sum(lps) / max(len(lps), 1)
+
+                    ranked = sorted(cands, key=_mean_lp, reverse=True)
+                    cands = ranked[:n]
+                r = cands[0].result
+                text = (cands[0].final_text
+                        if cands[0].final_text is not None else r["text"])
                 if body.get("echo") and not chat:
                     text = prompt + text
                 usage = {
@@ -499,7 +518,7 @@ class InferenceServer:
                             "index": i, "text": text_of(p, i),
                             "finish_reason": p.finish_reason,
                             "logprobs": lp_of(p.result),
-                        } for i, p in enumerate([pend] + extra)],
+                        } for i, p in enumerate(cands)],
                         "usage": usage,
                         "specdx": {
                             "acceptance_rate": r["acceptance_rate"],
@@ -519,7 +538,7 @@ class InferenceServer:
                             },
                             "finish_reason": p.finish_reason,
                             "logprobs": lp_of(p.result),
-                        } for i, p in enumerate([pend] + extra)],
+                        } for i, p in enumerate(cands)],
                         "usage": usage,
                     })
 

@@ -304,3 +304,36 @@ def test_request_timeout_cancels():
         assert out["choices"][0]["finish_reason"] == "cancelled"
     finally:
         srv.stop()
+
+
+def test_best_of_selects_highest_logprob():
+    """best_of > n: the server generates best_of candidates and returns
+    the n with the highest mean token logprob; usage counts them all."""
+    eng = Engine(EngineConfig(implementation="fake", base_model="fake",
+                              draft_model="fake", max_draft=2,
+                              per_request_sampling=True,
+                              max_new_tokens=8, max_seq_len=256))
+    srv = InferenceServer(eng, n_slots=4, port=0)
+    srv.start()
+    try:
+        out = _post(srv, "/v1/completions",
+                    {"prompt": "pick best", "max_tokens": 6, "n": 1,
+                     "best_of": 4, "temperature": 2.5, "logprobs": 0})
+        assert len(out["choices"]) == 1
+        assert out["usage"]["completion_tokens"] == 4 * 6
+        # Returned choice's mean logprob must be >= a fresh single sample's
+        # (statistically almost-sure with 4 hot candidates; exact check:
+        # it equals the max over the candidates, which we can't see — so
+        # just sanity-check the field exists and the request succeeded).
+        assert out["choices"][0]["text"]
+    finally:
+        srv.stop()
+
+
+def test_best_of_stream_mismatch_rejected(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        _post(server, "/v1/completions",
+              {"prompt": "x", "max_tokens": 4, "stream": True,
+               "best_of": 3})
