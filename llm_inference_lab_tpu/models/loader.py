@@ -129,6 +129,45 @@ def load_llama_checkpoint(path: str, cfg: ModelConfig) -> Any:
     return params
 
 
+def load_phi3_checkpoint(path: str, cfg: ModelConfig) -> Any:
+    """HF Phi-3: llama architecture with PRE-FUSED projections in the
+    checkpoint — self_attn.qkv_proj ([q|k|v] rows) and mlp.gate_up_proj
+    ([gate|up] rows, HF modeling_phi3 chunk order) — so the transpose
+    lands directly on our fused [D, out] layout with no concatenation."""
+    w = _open_shards(path)
+    dt = cfg.dtype
+    L = cfg.n_layers
+
+    def layer_stack(fmt: str, transpose: bool = True):
+        ts = []
+        for i in range(L):
+            t = w[fmt.format(i=i)]
+            ts.append(t.T if transpose else t)
+        return _to_jax(np.stack(ts), dt)
+
+    layers = {
+        "attn_norm_scale": layer_stack(
+            "model.layers.{i}.input_layernorm.weight", transpose=False
+        ),
+        "mlp_norm_scale": layer_stack(
+            "model.layers.{i}.post_attention_layernorm.weight",
+            transpose=False,
+        ),
+        "w_qkv": layer_stack("model.layers.{i}.self_attn.qkv_proj.weight"),
+        "wo": layer_stack("model.layers.{i}.self_attn.o_proj.weight"),
+        "w_gate_up": layer_stack("model.layers.{i}.mlp.gate_up_proj.weight"),
+        "w_down": layer_stack("model.layers.{i}.mlp.down_proj.weight"),
+    }
+    params = {
+        "embed": _to_jax(w["model.embed_tokens.weight"], dt),
+        "layers": layers,
+        "final_norm_scale": _to_jax(w["model.norm.weight"], dt),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _to_jax(w["lm_head.weight"].T, dt)
+    return params
+
+
 def load_mixtral_checkpoint(path: str, cfg: ModelConfig) -> Any:
     """HF Mixtral: llama-style attention + block_sparse_moe MLP. Expert
     weights stack to [L, E, D, 2F] (w1=gate, w3=up fused on the out dim)
@@ -430,6 +469,27 @@ def config_from_hf(hf: dict, name: str, dtype) -> ModelConfig:
             act=hf.get("activation_function", "relu"),
             pos_offset=2,
             tie_word_embeddings=hf.get("tie_word_embeddings", True),
+            dtype=dtype,
+        )
+    if mt == "phi3":
+        # Phi-3: llama architecture, fused qkv/gate_up in the checkpoint
+        # (load_phi3_checkpoint), sliding window (binding on mini-4k:
+        # sliding_window=2047 < max_position_embeddings).
+        return ModelConfig(
+            name=name,
+            arch="llama",
+            vocab_size=hf["vocab_size"],
+            n_layers=hf["num_hidden_layers"],
+            n_heads=hf["num_attention_heads"],
+            n_kv_heads=hf.get("num_key_value_heads",
+                              hf["num_attention_heads"]),
+            d_model=hf["hidden_size"],
+            d_ff=hf["intermediate_size"],
+            max_position_embeddings=hf.get("max_position_embeddings", 4096),
+            rope_theta=float(hf.get("rope_theta", 10000.0)),
+            rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            sliding_window=hf.get("sliding_window"),
             dtype=dtype,
         )
     if mt in ("llama", "qwen2", "mistral", "mixtral"):

@@ -28,6 +28,7 @@ def get_model(
     from llm_inference_lab_tpu.models.mistral import MISTRAL_CONFIGS, MistralModel
     from llm_inference_lab_tpu.models.mixtral import MIXTRAL_CONFIGS, MixtralModel
     from llm_inference_lab_tpu.models.opt import OPT_CONFIGS, OPTModel
+    from llm_inference_lab_tpu.models.phi3 import PHI3_CONFIGS, Phi3Model
     from llm_inference_lab_tpu.models.qwen2 import QWEN2_CONFIGS, Qwen2Model
 
     if implementation == "fake" or name == "fake":
@@ -41,6 +42,7 @@ def get_model(
         .replace("qwen/", "")
         .replace("mistralai/", "")
         .replace("google/", "")
+        .replace("microsoft/", "")
     )
     kw = dict(rng=rng, dtype=dtype, checkpoint_path=checkpoint_path,
               quantized_init=quantized_init, quantize_embed=quantize_embed)
@@ -52,6 +54,7 @@ def get_model(
         (MISTRAL_CONFIGS, MistralModel),
         (MIXTRAL_CONFIGS, MixtralModel),
         (GEMMA_CONFIGS, GemmaModel),
+        (PHI3_CONFIGS, Phi3Model),
     )
     for configs, family in families:
         if key in configs:

@@ -248,3 +248,29 @@ def test_gemma2_roundtrip(tmp_path):
     assert cfg.query_pre_attn_scalar == 24.0
     params = load_llama_checkpoint(str(tmp_path), cfg)
     _compare(cfg, params, m, 128)
+
+
+def test_phi3_roundtrip_fused_projections(tmp_path):
+    """Phi-3: checkpoint stores PRE-FUSED qkv_proj ([q|k|v]) and
+    gate_up_proj ([gate|up]) — the load must land them on our fused
+    layout without reordering, against transformers.Phi3ForCausalLM.
+    Window disabled (phi3 window semantics differ from mistral's by one;
+    the real mini-4k window (2047) never binds at test lengths anyway)."""
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, sliding_window=None,
+        tie_word_embeddings=False, attn_implementation="eager",
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,  # default 32000 > toy vocab
+    )
+    m = transformers.Phi3ForCausalLM(hf_cfg).eval()
+    m.save_pretrained(tmp_path, safe_serialization=True)
+
+    from llm_inference_lab_tpu.models.loader import load_phi3_checkpoint
+
+    cfg = config_from_hf(load_hf_config(str(tmp_path)), "phi3-test",
+                         jnp.float32)
+    assert cfg.arch == "llama" and not cfg.qkv_bias
+    params = load_phi3_checkpoint(str(tmp_path), cfg)
+    assert params["layers"]["w_qkv"].shape == (2, 32, (4 + 2 + 2) * 8)
+    _compare(cfg, params, m, 96)
