@@ -127,6 +127,10 @@ class EngineConfig:
     # The schema served when constrain == "json_schema" (see
     # constrain/schema.py for the supported subset).
     constrain_schema: Optional[dict] = None
+    # Multi-LoRA serving (models/lora.py): HF PEFT adapter directories to
+    # stack at engine init; requests select one by name (the directory
+    # basename) via batcher.submit(lora=...) / the OpenAI `model` field.
+    lora_paths: Optional[list] = None
 
     # Shapes / limits
     max_seq_len: int = 1024

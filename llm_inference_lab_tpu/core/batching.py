@@ -47,6 +47,7 @@ class _Request:
     logit_bias: Optional[Dict[int, float]] = None  # token id -> bias
     seed: Optional[int] = None  # OpenAI per-request seed; None = derived
     response_format: Optional[str] = None  # 'json' | 'json_object'
+    lora: Optional[str] = None  # adapter name (multi-LoRA serving)
     submitted_at: float = field(default_factory=time.perf_counter)
     slot: Optional[int] = None
     result: Optional[dict] = None
@@ -67,7 +68,7 @@ def make_admit(target_model, draft_model):
     def admit(target_params, draft_params, state, prompt_row, prompt_len, slot,
               max_new, table_row, temperature, top_k, top_p, min_p,
               rep_penalty, presence_penalty, freq_penalty,
-              bias_ids, bias_vals, seed, fsm_init):
+              bias_ids, bias_vals, seed, fsm_init, lora_id):
         from llm_inference_lab_tpu.models.base import KVCache
         from llm_inference_lab_tpu.models.paged import PagedKVCache
 
@@ -113,6 +114,7 @@ def make_admit(target_model, draft_model):
         _, t_cache, hidden = target_apply(
             target_params, prompt_row, positions, sub_cache(state.target_cache),
             zero, return_hidden=True,
+            lora_ids=jnp.full((1,), lora_id, jnp.int32),
         )
         target_cache = splice(state.target_cache, t_cache)
 
@@ -154,6 +156,7 @@ def make_admit(target_model, draft_model):
             bias_ids=state.bias_ids.at[slot].set(bias_ids),
             bias_vals=state.bias_vals.at[slot].set(bias_vals),
             slot_rng=state.slot_rng.at[slot].set(jax.random.PRNGKey(seed)),
+            lora_ids=state.lora_ids.at[slot].set(lora_id),
             fsm_lex=state.fsm_lex.at[slot].set(fsm_init),
             fsm_stack=state.fsm_stack.at[slot].set(0),
             fsm_sp=state.fsm_sp.at[slot].set(0),
@@ -177,7 +180,7 @@ def make_admit_prefix(target_model, draft_model):
               prompt_len, reuse_len, slot, max_new, table_row,
               temperature, top_k, top_p, min_p,
               rep_penalty, presence_penalty, freq_penalty,
-              bias_ids, bias_vals, seed, fsm_init):
+              bias_ids, bias_vals, seed, fsm_init, lora_id):
         from llm_inference_lab_tpu.models.paged import PagedKVCache
 
         S = suffix_row.shape[1]
@@ -190,9 +193,11 @@ def make_admit_prefix(target_model, draft_model):
                 cache.k, cache.v, cache.k_scale, cache.v_scale,
                 jax.lax.dynamic_slice_in_dim(table_full, slot, 1, 0),
             )
-            if want_hidden:
+            if want_hidden:  # target: adapters apply to the prefill too
                 _, new, hidden = apply(
-                    params, suffix_row, positions, view, cl, return_hidden=True
+                    params, suffix_row, positions, view, cl,
+                    return_hidden=True,
+                    lora_ids=jnp.full((1,), lora_id, jnp.int32),
                 )
             else:
                 _, new = apply(params, suffix_row, positions, view, cl)
@@ -243,6 +248,7 @@ def make_admit_prefix(target_model, draft_model):
             bias_ids=state.bias_ids.at[slot].set(bias_ids),
             bias_vals=state.bias_vals.at[slot].set(bias_vals),
             slot_rng=state.slot_rng.at[slot].set(jax.random.PRNGKey(seed)),
+            lora_ids=state.lora_ids.at[slot].set(lora_id),
             fsm_lex=state.fsm_lex.at[slot].set(fsm_init),
             fsm_stack=state.fsm_stack.at[slot].set(0),
             fsm_sp=state.fsm_sp.at[slot].set(0),
@@ -375,6 +381,7 @@ class ContinuousBatcher:
         add_special_tokens: bool = True,
         seed: Optional[int] = None,
         response_format: Optional[str] = None,
+        lora: Optional[str] = None,
     ) -> int:
         # Headroom uses engine._max_k (tree-aware: tree mode writes
         # num_nodes+1 cache rows per step, more than max_draft).
@@ -398,6 +405,7 @@ class ContinuousBatcher:
             logit_bias=logit_bias,
             seed=seed,
             response_format=response_format,
+            lora=lora,
         )
         self._next_id += 1
         self._requests[req.req_id] = req
@@ -477,6 +485,17 @@ class ContinuousBatcher:
         else:
             fsm_init = -1
         pen = pen + (np.int32(fsm_init),)
+        # Multi-LoRA: resolve the adapter name against the engine's pack.
+        if req.lora is not None:
+            lid = getattr(eng, "lora_names", {}).get(req.lora)
+            if lid is None:
+                raise ValueError(
+                    f"unknown LoRA adapter {req.lora!r} (engine has "
+                    f"{sorted(getattr(eng, 'lora_names', {}))})"
+                )
+        else:
+            lid = -1
+        pen = pen + (np.int32(lid),)
         if self._admit_prefix is not None:
             # Prefix-cached paged admission: forward the SUFFIX only.
             suffix = req.ids[req.reuse_len :]

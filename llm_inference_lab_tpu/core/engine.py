@@ -80,6 +80,7 @@ class Engine:
         tokenizer=None,
         flags: Optional[EnvFlags] = None,
         mesh=None,
+        lora_adapters=None,  # list of models.lora.Adapter (multi-LoRA)
         **overrides: Any,
     ):
         cfg = (config or EngineConfig()).override(**overrides)
@@ -356,6 +357,32 @@ class Engine:
                       "json_object": tt.initial_objonly}
             )
             self._fsm_initial = self._fsm_initial_map[cfg.constrain]
+        # Multi-LoRA: stack the adapters into params["layers"] (the pack
+        # rides the forward's layer scan; slots pick adapters by
+        # DecodeState.lora_ids — models/lora.py).
+        self.lora_names: Dict[str, int] = {}
+        if cfg.lora_paths:
+            from llm_inference_lab_tpu.models.lora import load_peft_adapter
+
+            lora_adapters = list(lora_adapters or []) + [
+                load_peft_adapter(p, self.target.config)
+                for p in cfg.lora_paths
+            ]
+        if lora_adapters:
+            if self.draft_mode == "tree":
+                raise ValueError("LoRA is not supported in tree mode")
+            if self.mesh is not None and self.mesh.shape.get("stage", 1) > 1:
+                raise ValueError(
+                    "LoRA with pipeline parallelism is not supported "
+                    "(forward_pp ignores adapter packs)"
+                )
+            from llm_inference_lab_tpu.models.lora import build_pack
+
+            pack, self.lora_names = build_pack(
+                self.target.config, lora_adapters, dtype=dtype
+            )
+            self.target.params["layers"].update(pack)
+
         self._step_cache: Dict[tuple, Any] = {}
         if self.draft_mode == "tree":
             # The verify chunk writes num_nodes+1 cache slots per step, so
@@ -495,6 +522,7 @@ class Engine:
         temperature=None,
         top_k=None,
         top_p=None,
+        adapter: Optional[str] = None,  # LoRA adapter name (whole batch)
     ) -> List[Dict[str, Any]]:
         """Batched generation (reference pipeline.generate_batch,
         pipeline.py:1605). Returns one result dict per prompt with the
@@ -578,6 +606,9 @@ class Engine:
             logprobs_topk=cfg.logprobs_topk,
             fsm_init=(
                 self._fsm_initial if self._constrain_tbl is not None else -1
+            ),
+            lora_id=(
+                self.lora_names[adapter] if adapter is not None else -1
             ),
         )
         if self.mesh is not None:

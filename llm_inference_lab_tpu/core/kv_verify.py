@@ -80,7 +80,10 @@ def kv_alignment_report(
         )
     fresh = model.init_cache(B, T, quantized=live.quantized)
     _, fresh = model.apply_fn(
-        params, tokens, positions, fresh, jnp.zeros((B,), jnp.int32)
+        params, tokens, positions, fresh, jnp.zeros((B,), jnp.int32),
+        # The recompute must use the SAME per-slot adapters as the live
+        # decode or LoRA runs would report false misalignment.
+        lora_ids=state.lora_ids,
     )
 
     # Mask: committed cache rows are [0, L-1) per sequence.

@@ -122,11 +122,12 @@ class MultiHostBatcher(ContinuousBatcher):
 
         B = self.n_slots
         # header rows: (slot, plen, max_new, req_id, top_k, reuse_len,
-        # seed, rf) — seed is RESOLVED on the coordinator (explicit request
-        # seed or the deterministic engine-seed/req-id derivation) so all
-        # hosts admit the identical per-slot sampling key; rf encodes
-        # response_format (0 none, 1 json, 2 json_object).
-        header = np.zeros((B, 8), np.int32)
+        # seed, rf, lora) — seed is RESOLVED on the coordinator (explicit
+        # request seed or the deterministic engine-seed/req-id derivation)
+        # so all hosts admit the identical per-slot sampling key; rf
+        # encodes response_format (0 none, 1 json, 2 json_object,
+        # 3 json_schema); lora is the resolved adapter index (-1 base).
+        header = np.zeros((B, 9), np.int32)
         rows = np.zeros((B, self._row_buf), np.int32)
         tables = np.zeros((B, self._tab_buf), np.int32)
         # Per-request sampling (resolved to engine defaults when unset) must
@@ -158,6 +159,8 @@ class MultiHostBatcher(ContinuousBatcher):
                      "json_schema": 3}[
                         req.response_format
                     ],
+                    (self.engine.lora_names[req.lora]
+                     if req.lora is not None else -1),
                 )
                 samp[i] = (
                     dt if req.temperature is None else req.temperature,
@@ -194,9 +197,8 @@ class MultiHostBatcher(ContinuousBatcher):
         n_admit, pending, self._k_sync = int(meta[0]), int(meta[1]), int(meta[2])
 
         for i in range(n_admit):
-            slot, plen, max_new, rid, top_k, reuse_len, seed, rf = (
-                int(x) for x in header[i]
-            )
+            (slot, plen, max_new, rid, top_k, reuse_len, seed, rf,
+             lora_id) = (int(x) for x in header[i])
             if self.is_coordinator:
                 req = plans[i]
             else:
@@ -217,7 +219,13 @@ class MultiHostBatcher(ContinuousBatcher):
                                seed=seed,
                                response_format={0: None, 1: "json",
                                                 2: "json_object",
-                                                3: "json_schema"}[rf])
+                                                3: "json_schema"}[rf],
+                               lora=(
+                                   {v: k for k, v
+                                    in self.engine.lora_names.items()}
+                                   .get(lora_id)
+                                   if lora_id >= 0 else None
+                               ))
                 req.slot = slot
                 req.reuse_len = reuse_len
                 if self.paged:

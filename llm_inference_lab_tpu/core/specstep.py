@@ -533,7 +533,7 @@ def make_spec_step(
         positions = base[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]
         target_logits, target_cache, hidden = target_apply(
             target_params, verify_in, positions, state.target_cache, base,
-            return_hidden=True,
+            return_hidden=True, lora_ids=state.lora_ids,
         )  # [B, K+1, V], cache, [B, K+1, D]
         if use_pen:
             # Verify row i predicts write-slot i having seen prefix +
@@ -874,7 +874,8 @@ def make_baseline_step(
         last = _gather_last(state.tokens, state.lengths)
         base = state.lengths - 1
         logits, target_cache = target_apply(
-            target_params, last[:, None], base[:, None], state.target_cache, base
+            target_params, last[:, None], base[:, None], state.target_cache,
+            base, lora_ids=state.lora_ids,
         )
         row = logits[:, 0].astype(jnp.float32)
         if use_pen:
@@ -1044,7 +1045,7 @@ def make_prefill(target_model, draft_model, prefill_draft: bool = True,
                 start = jnp.full((B,), i * chunk, jnp.int32)
                 _, tc, hid = target_apply(
                     target_params, tok, positions, tc, start,
-                    return_hidden=True,
+                    return_hidden=True, lora_ids=state.lora_ids,
                 )
                 if prefill_draft and draft_apply is not None:
                     _, dc = draft_apply(draft_params, tok, positions, dc, start)
@@ -1072,7 +1073,7 @@ def make_prefill(target_model, draft_model, prefill_draft: bool = True,
             cp_kw = {"cp": context_parallel} if context_parallel else {}
             _, target_cache, hidden = target_apply(
                 target_params, prompt_block, positions, state.target_cache,
-                zeros, return_hidden=True, **cp_kw,
+                zeros, return_hidden=True, lora_ids=state.lora_ids, **cp_kw,
             )
             if prefill_draft and draft_apply is not None:
                 _, draft_cache = draft_apply(

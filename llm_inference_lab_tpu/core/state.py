@@ -59,6 +59,10 @@ class DecodeState:
     top_k: jax.Array  # [B] int32
     top_p: jax.Array  # [B] float32
     min_p: jax.Array  # [B] float32 — vLLM min-p filter; 0.0 = off
+    # Multi-LoRA serving (models/lora.py): which adapter each slot decodes
+    # with; -1 = base model. The forward gathers the slot's A/B rows from
+    # the stacked pack in params["layers"].
+    lora_ids: jax.Array  # [B] int32
     # Grammar-constrained decoding (constrain/runtime.py): per-slot FSM.
     # fsm_lex -1 = unconstrained slot, -2 = dead (invalid token slipped
     # in — masks collapse to EOS-only); >= 0 = lexer state of the JSON
@@ -122,6 +126,7 @@ def init_state(
     n_bias: int = 32,
     logprobs_topk: int = 0,
     fsm_init: int = -1,  # -1 = unconstrained; else initial lexer state
+    lora_id: int = -1,  # -1 = base model; else adapter index in the pack
 ) -> DecodeState:
     B = batch_size
     kv_kw = dict(quantized=kv_quantized)
@@ -163,6 +168,7 @@ def init_state(
         top_k=jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (B,)),
         top_p=jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (B,)),
         min_p=jnp.broadcast_to(jnp.asarray(min_p, jnp.float32), (B,)),
+        lora_ids=jnp.full((B,), lora_id, jnp.int32),
         fsm_lex=jnp.full((B,), fsm_init, jnp.int32),
         fsm_stack=jnp.zeros((B, 32), jnp.int32),
         fsm_sp=jnp.zeros((B,), jnp.int32),

@@ -38,6 +38,7 @@ def fake_forward(
     cache_lens: jax.Array,  # [B]
     return_hidden: bool = False,
     tree_mask: Optional[jax.Array] = None,  # accepted for protocol parity
+    lora_ids: Optional[jax.Array] = None,  # accepted for protocol parity
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     V = cfg.vocab_size
     mult = params["mult"]

@@ -106,6 +106,17 @@ def _norm(cfg: ModelConfig, x, p, prefix):
     return rms_norm(x, p[f"{prefix}_scale"], cfg.rms_norm_eps, cfg.rms_one_offset)
 
 
+def _lora(p: Any, site: str, lora_ids, x: jax.Array):
+    """Additive per-slot adapter delta (models/lora.py) when the layer
+    params carry a pack for `site` and the call threads slot ids."""
+    A = p.get(f"lora_A_{site}") if hasattr(p, "get") else None
+    if A is None or lora_ids is None:
+        return 0.0
+    from llm_inference_lab_tpu.models.lora import lora_delta
+
+    return lora_delta(A, p[f"lora_B_{site}"], lora_ids, x)
+
+
 def _attn_block(
     cfg: ModelConfig,
     p: Any,  # one layer's params
@@ -117,6 +128,7 @@ def _attn_block(
     page_table: Optional[jax.Array] = None,  # [B, max_pages] (paged caches)
     cp: Optional[tuple] = None,  # (Mesh, seq-axis name): ring-attention prefill
     win_on: Optional[jax.Array] = None,  # [] bool per-layer window gate (gemma2)
+    lora_ids: Optional[jax.Array] = None,  # [B] adapter ids; None = no LoRA
 ):
     B, S, _ = x.shape
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -124,7 +136,7 @@ def _attn_block(
     # Fused QKV: one matmul instead of three — decode steps are dominated by
     # per-matmul fixed cost, not FLOPs (HF gpt2's Conv1D c_attn is fused the
     # same way; for llama the loader concatenates q/k/v projections).
-    qkv = dense(x, p["w_qkv"], p.get("b_qkv"))
+    qkv = dense(x, p["w_qkv"], p.get("b_qkv")) + _lora(p, "qkv", lora_ids, x)
     q = qkv[..., : H * Dh].reshape(B, S, H, Dh)
     k = qkv[..., H * Dh : (H + KV) * Dh].reshape(B, S, KV, Dh)
     v = qkv[..., (H + KV) * Dh :].reshape(B, S, KV, Dh)
@@ -168,11 +180,13 @@ def _attn_block(
             tree_mask, cache_lens if tree_mask is not None else None,
             window=cfg.sliding_window, **g2,
         )
-    out = dense(attn.reshape(B, S, H * Dh), p["wo"], p.get("bo"))
+    a_flat = attn.reshape(B, S, H * Dh)
+    out = dense(a_flat, p["wo"], p.get("bo")) + _lora(p, "o", lora_ids, a_flat)
     return out, kv_layer
 
 
-def _mlp_block(cfg: ModelConfig, p: Any, x: jax.Array) -> jax.Array:
+def _mlp_block(cfg: ModelConfig, p: Any, x: jax.Array,
+               lora_ids: Optional[jax.Array] = None) -> jax.Array:
     if cfg.moe:  # Mixtral: top-k routed gated-MLP experts (ops/moe.py)
         from llm_inference_lab_tpu.ops.moe import moe_dense
 
@@ -188,14 +202,15 @@ def _mlp_block(cfg: ModelConfig, p: Any, x: jax.Array) -> jax.Array:
         h = act(dense(x, p["w_fc"], p.get("b_fc")))
         return dense(h, p["w_proj"], p.get("b_proj"))
     # llama gated silu / gemma GeGLU; gate and up fused into one matmul
-    gu = dense(x, p["w_gate_up"])
+    gu = dense(x, p["w_gate_up"]) + _lora(p, "gate_up", lora_ids, x)
     F = gu.shape[-1] // 2
     gate_act = (
         (lambda v: jax.nn.gelu(v, approximate=True))
         if cfg.act == "gelu_tanh"
         else jax.nn.silu
     )
-    return dense(gate_act(gu[..., :F]) * gu[..., F:], p["w_down"])
+    h = gate_act(gu[..., :F]) * gu[..., F:]
+    return dense(h, p["w_down"]) + _lora(p, "down", lora_ids, h)
 
 
 def forward(
@@ -208,6 +223,7 @@ def forward(
     return_hidden: bool = False,
     tree_mask: Optional[jax.Array] = None,  # [S, S] ancestry (tree spec)
     cp: Optional[tuple] = None,  # (Mesh, axis): context-parallel prefill
+    lora_ids: Optional[jax.Array] = None,  # [B] per-slot adapter ids
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Full decoder forward. Returns (logits [B, S, V] float32, updated cache),
     plus the final (post-norm) hidden states [B, S, D] when return_hidden —
@@ -267,6 +283,13 @@ def forward(
         jnp.arange(cfg.n_layers) % 2 == 0 if cfg.alt_window else None
     )
 
+    # LoRA ids thread as a closure constant; the adapter pack itself lives
+    # inside params["layers"] (lora_A_*/lora_B_*, layer-major) so it rides
+    # the scan's xs with zero extra plumbing.
+    lids = lora_ids if any(
+        k.startswith("lora_") for k in params["layers"]
+    ) else None
+
     def layer(x, xs):
         if win_flags is not None:
             p, kv_layer, win_on = xs
@@ -274,12 +297,13 @@ def forward(
             (p, kv_layer), win_on = xs, None
         a, kv_layer = _attn_block(
             cfg, p, _norm(cfg, x, p, "attn_norm"), positions, kv_layer,
-            cache_lens, tree_mask, page_table, cp, win_on,
+            cache_lens, tree_mask, page_table, cp, win_on, lids,
         )
         if cfg.post_norms:  # gemma2 sandwich norms (modeling_gemma2)
             a = _norm(cfg, a, p, "post_attn_norm")
         x = x + a
-        h = _mlp_block(cfg, p, _norm(cfg, x, p, "mlp_norm"))
+        h = _mlp_block(cfg, x=_norm(cfg, x, p, "mlp_norm"), p=p,
+                       lora_ids=lids)
         if cfg.post_norms:
             h = _norm(cfg, h, p, "post_mlp_norm")
         x = x + h

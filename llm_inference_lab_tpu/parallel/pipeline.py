@@ -76,6 +76,8 @@ def forward_pp(
     tree_mask: Optional[jax.Array] = None,
     cp: Optional[tuple] = None,
     microbatches: Optional[int] = None,
+    lora_ids: Optional[jax.Array] = None,  # protocol parity; PP+LoRA is
+    # unsupported (the adapter pack would need stage-sharding plumbing)
 ) -> Tuple[jax.Array, KVCache]:
     """Drop-in replacement for transformer.forward when the mesh has a
     "stage" axis. Same contract: (logits [B,S,V] f32, updated cache[, hidden]).

@@ -175,6 +175,7 @@ def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
         top_k=jax.device_put(state.top_k, batch),
         top_p=jax.device_put(state.top_p, batch),
         min_p=jax.device_put(state.min_p, batch),
+        lora_ids=jax.device_put(state.lora_ids, batch),
         fsm_lex=jax.device_put(state.fsm_lex, batch),
         fsm_stack=jax.device_put(state.fsm_stack, batch2),
         fsm_sp=jax.device_put(state.fsm_sp, batch),

@@ -44,12 +44,12 @@ class _Pending:
     __slots__ = ("prompt", "max_tokens", "event", "result", "stream", "stop",
                  "chunks", "sent_text", "final_text", "finish_reason",
                  "sampling", "created", "add_special_tokens",
-                 "response_format")
+                 "response_format", "lora")
 
     def __init__(self, prompt: str, max_tokens: int,
                  stream: bool = False, stop=None, sampling=None,
                  add_special_tokens: bool = True,
-                 response_format=None):
+                 response_format=None, lora=None):
         self.prompt = prompt
         self.max_tokens = max_tokens
         # (temperature, top_k, top_p, min_p, repetition_penalty,
@@ -68,6 +68,7 @@ class _Pending:
         self.created = time.time()
         self.add_special_tokens = add_special_tokens
         self.response_format = response_format
+        self.lora = lora  # adapter name (OpenAI `model` routing)
 
 
 class InferenceServer:
@@ -117,7 +118,8 @@ class InferenceServer:
                                frequency_penalty=fp, logit_bias=lb,
                                add_special_tokens=p.add_special_tokens,
                                seed=sd,
-                               response_format=p.response_format)
+                               response_format=p.response_format,
+                               lora=p.lora)
                 self._inflight[rid] = p
                 drained = True
             if drained or b.scheduler.pending():
@@ -242,10 +244,17 @@ class InferenceServer:
                         "model": outer.engine.config.base_model,
                     })
                 elif self.path == "/v1/models":
+                    # Base model + every loaded LoRA adapter (vLLM-style:
+                    # adapters are addressable via the `model` field).
                     self._json(200, {"object": "list", "data": [{
                         "id": outer.engine.config.base_model,
                         "object": "model",
-                    }]})
+                    }] + [{
+                        "id": name, "object": "model",
+                        "parent": outer.engine.config.base_model,
+                    } for name in sorted(
+                        getattr(outer.engine, "lora_names", {})
+                    )]})
                 elif self.path == "/metrics":
                     b = outer.batcher
                     occupied = sum(1 for s in b._slots if s is not None)
@@ -353,6 +362,19 @@ class InferenceServer:
                         None if body.get("seed") is None
                         else int(body["seed"]),
                     )
+                # OpenAI `model` routing (multi-LoRA): an adapter name
+                # selects that adapter; the base model's name (or absent)
+                # selects the base; anything else is a 404-style error.
+                lora_name = None
+                model_req = body.get("model")
+                if model_req and model_req != outer.engine.config.base_model:
+                    if model_req in getattr(outer.engine, "lora_names", {}):
+                        lora_name = model_req
+                    else:
+                        self._json(404, {
+                            "error": f"model {model_req!r} not found "
+                                     "(base or a loaded LoRA adapter)"})
+                        return
                 # OpenAI response_format: {"type": "json_object"} (or
                 # "json" for any top-level value). Needs an engine built
                 # with EngineConfig(constrain=...).
@@ -407,14 +429,14 @@ class InferenceServer:
                 pend = _Pending(prompt, max_tokens, stream=stream, stop=stop,
                                 sampling=sampling,
                                 add_special_tokens=not templated,
-                                response_format=rf_type)
+                                response_format=rf_type, lora=lora_name)
                 # OpenAI `n`: independent completions of the same prompt —
                 # each rides its own batcher slot (they share the prompt's
                 # KV pages under prefix caching).
                 extra = [
                     _Pending(prompt, max_tokens, stop=stop, sampling=sampling,
                              add_special_tokens=not templated,
-                             response_format=rf_type)
+                             response_format=rf_type, lora=lora_name)
                     for _ in range(best_of - 1)
                 ]
                 outer._incoming.put(pend)
