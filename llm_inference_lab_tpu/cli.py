@@ -45,6 +45,17 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quantization", choices=["int8", "int4"], default=None)
     p.add_argument("--dtype", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--constrain", choices=["json", "json_object"],
+                   default=None,
+                   help="grammar-constrained decoding (OpenAI "
+                        "response_format; serving: per-request opt-in)")
+    p.add_argument("--lora", action="append", default=None,
+                   metavar="PEFT_DIR",
+                   help="HF PEFT adapter directory (repeatable); serving "
+                        "routes the OpenAI `model` field to adapters")
+    p.add_argument("--per-request-sampling", action="store_true",
+                   help="per-request temperature/top_k/top_p/penalties/"
+                        "seed (serving)")
     p.add_argument("--profile", action="store_true")
     p.add_argument("--config", default=None, help="YAML config path")
 
@@ -88,6 +99,9 @@ def _build_engine(args):
         quantization=args.quantization,
         seed=args.seed,
         profile=args.profile,
+        constrain=args.constrain,
+        lora_paths=args.lora,
+        per_request_sampling=args.per_request_sampling,
     )
     if args.dtype:
         cfg = cfg.override(dtype=args.dtype)
