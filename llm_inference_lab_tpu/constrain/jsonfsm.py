@@ -17,17 +17,19 @@ Two layers:
    push sequence (up to MAX_PUSH). The result is five dense tables the
    decode step gathers from:
 
-     state_out [S, V] int8   final lexer state; -1 = token invalid
-     n_pop     [S, V] int8   pops below the boundary
-     pop_syms  [S, V, MAX_POP] int8   required symbols, top-first
-     n_push    [S, V] int8   net pushes above the boundary
-     push_syms [S, V, MAX_PUSH] int8  pushed symbols, bottom-first
+     state_out [S_ext, V] int16  final lexer state; -1 = token invalid
+     n_pop     [S_ext, V] int8   pops below the boundary
+     pop_syms  [S_ext, V, MAX_POP] int8   required symbols, top-first
+     n_push    [S_ext, V] int8   net pushes above the boundary
+     push_syms [S_ext, V, MAX_PUSH] int8  pushed symbols, bottom-first
 
-   Soundness simplification: a token whose ',' routing would consult a
-   slot-stack symbol below the boundary (e.g. the single token "},") is
-   marked invalid — the model must emit "}" and "," separately there.
-   The constraint never ADMITS invalid JSON; it may force a slightly
-   longer tokenization of valid JSON.
+   ',' routing consults the slot stack's top symbol, which the walker
+   cannot know at a token boundary — so every state compiles THREE rows
+   (base / top-OBJ / top-ARR) and the runtime picks by the actual top. A ',' after a below-boundary POP inside the same
+   token (e.g. the single token "},") consults a DEEPER unknown symbol
+   and stays dead — the sound over-restriction; the model emits "}" and
+   "," as separate tokens there. The constraint never ADMITS invalid
+   JSON.
 
 The compiler is vectorized over the whole vocabulary with numpy (walks
 all V tokens in lockstep per start state): ~S x Lmax gather steps, a
@@ -76,16 +78,29 @@ ACCEPTING = (AFTER_VALUE, NUM_ZERO, NUM_INT, NUM_FRAC, NUM_EXP)
 SYM_OBJ = 1
 SYM_ARR = 2
 
-# Entry encoding: low 8 bits = next state; flag bits above.
-F_PUSH_OBJ = 1 << 8
-F_PUSH_ARR = 1 << 9
-F_POP_OBJ = 1 << 10
-F_POP_ARR = 1 << 11
-F_BRANCH_COMMA = 1 << 12  # next state depends on the stack top
+# Entry encoding: low 24 bits = next state (schema DFAs can have
+# thousands of states — 8 bits would alias them); flag bits above.
+STATE_MASK = (1 << 24) - 1
+F_PUSH_OBJ = 1 << 24
+F_PUSH_ARR = 1 << 25
+F_POP_OBJ = 1 << 26
+F_POP_ARR = 1 << 27
+F_BRANCH_COMMA = 1 << 28  # next state depends on the stack top
 DEAD = -1
 
 MAX_POP = 4    # below-boundary pops a single token may perform
 MAX_PUSH = 8   # net pushes a single token may leave behind
+
+# ',' routing consults the SLOT stack's top symbol, which a token-boundary
+# walk cannot know — and a token can reach a ',' at boundary depth from
+# ANY start state (e.g. '", "' starts inside a string). So automatons
+# with stack branching compile THREE rows per state: base (top
+# unknown/empty — boundary commas dead, the sound top-level behavior)
+# plus top-OBJ / top-ARR variants where the walker knows the symbol at
+# depth sp-1 until the first below-boundary pop consumes it. The device
+# picks the row by its actual stack top (runtime.effective_lex). Without
+# this, no token containing a structural ',' at boundary depth could
+# ever be emitted and multi-member objects/arrays would be ungenerable.
 
 _WS = [0x20, 0x09, 0x0A, 0x0D]
 _HEX = [ord(c) for c in "0123456789abcdefABCDEF"]
@@ -196,15 +211,20 @@ def json_char_automaton() -> CharAutomaton:
 class TokenTables:
     """Dense per-(state, token) effect tables (see module docstring)."""
 
-    state_out: np.ndarray  # [S, V] int8, -1 = invalid
-    n_pop: np.ndarray      # [S, V] int8
-    pop_syms: np.ndarray   # [S, V, MAX_POP] int8
-    n_push: np.ndarray     # [S, V] int8
-    push_syms: np.ndarray  # [S, V, MAX_PUSH] int8
-    accepting: np.ndarray  # [S] bool
+    state_out: np.ndarray  # [S_ext, V] int16, -1 = invalid
+    n_pop: np.ndarray      # [S_ext, V] int8
+    pop_syms: np.ndarray   # [S_ext, V, MAX_POP] int8
+    n_push: np.ndarray     # [S_ext, V] int8
+    push_syms: np.ndarray  # [S_ext, V, MAX_PUSH] int8
+    accepting: np.ndarray  # [S_ext] bool
     eos_id: int
     initial: int
     initial_objonly: int
+    # Base-state -> top-conditioned row maps (identity for non-split
+    # states): the runtime gathers from variant_obj[lex]/variant_arr[lex]
+    # when the slot stack's top is OBJ/ARR (runtime.effective_lex).
+    variant_obj: np.ndarray = None  # [S_base] int16
+    variant_arr: np.ndarray = None  # [S_base] int16
 
 
 def compile_token_tables(
@@ -219,20 +239,45 @@ def compile_token_tables(
     # so the push_syms slice below is always well-shaped (1-byte vocabs).
     SIM = max(L + 1, MAX_PUSH)
 
-    state_out = np.full((S, V), -1, np.int8)
-    n_pop_t = np.zeros((S, V), np.int8)
-    pop_syms_t = np.zeros((S, V, MAX_POP), np.int8)
-    n_push_t = np.zeros((S, V), np.int8)
-    push_syms_t = np.zeros((S, V, MAX_PUSH), np.int8)
+    # Extended row space: base rows + top-symbol variants of the split
+    # states (those whose ',' routing consults the slot stack; only
+    # meaningful for automatons that actually branch — pure DFAs like the
+    # schema compiler's have no F_BRANCH_COMMA entries but variants are
+    # harmless and the arrays stay identity).
+    has_branch = bool(
+        ((auto.table >= 0) & ((auto.table & F_BRANCH_COMMA) != 0)).any()
+    )
+    S_ext = 3 * S if has_branch else S
+    if S_ext >= 2**15:
+        raise ValueError(f"automaton too large ({S_ext} rows) for int16")
+    jobs = [(s0, s0, None) for s0 in range(S)]
+    if has_branch:
+        variant_obj = np.arange(S, 2 * S, dtype=np.int16)
+        variant_arr = np.arange(2 * S, 3 * S, dtype=np.int16)
+        for s0 in range(S):
+            jobs.append((S + s0, s0, SYM_OBJ))
+            jobs.append((2 * S + s0, s0, SYM_ARR))
+    else:  # pure DFA (schema grammars): no branching, identity maps
+        variant_obj = np.arange(S, dtype=np.int16)
+        variant_arr = np.arange(S, dtype=np.int16)
+
+    state_out = np.full((S_ext, V), -1, np.int16)
+    n_pop_t = np.zeros((S_ext, V), np.int8)
+    pop_syms_t = np.zeros((S_ext, V, MAX_POP), np.int8)
+    n_push_t = np.zeros((S_ext, V), np.int8)
+    push_syms_t = np.zeros((S_ext, V, MAX_PUSH), np.int8)
 
     tbl = auto.table
-    for s0 in range(S):
+    for row, s0, known_top in jobs:
         state = np.full((V,), s0, np.int32)
         dead = token_lens <= 0
         sp = np.zeros((V,), np.int32)  # sim-stack height above boundary
         sim = np.zeros((V, SIM), np.int8)
         npop = np.zeros((V,), np.int32)
         pops = np.zeros((V, MAX_POP), np.int8)
+        # The slot's top symbol stays known until the first below-boundary
+        # pop consumes it (per-token walk state).
+        top_known = np.full((V,), known_top is not None)
         rows = np.arange(V)
 
         for i in range(L):
@@ -242,7 +287,7 @@ def compile_token_tables(
             e = tbl[state, token_bytes[:, i]]
             dead |= act & (e < 0)
             act &= ~dead
-            nxt = e & 0xFF
+            nxt = e & STATE_MASK
             flags = e
 
             # Pushes
@@ -275,13 +320,20 @@ def compile_token_tables(
                     if rec.any():
                         pops[rows[rec], npop[rec]] = sym
                         npop[rec] += 1
+                        top_known[rec] = False  # consumed the known top
 
-            # ',' routing: internal top decides; below-boundary is the
-            # documented soundness kill.
+            # ',' routing: internal top decides; at the boundary the
+            # variant row's known top decides; truly unknown (base row,
+            # or after a below-pop) is the documented soundness kill.
             m = act & ((flags & F_BRANCH_COMMA) != 0) & ~dead
             if m.any():
                 below = m & (sp == 0)
-                dead |= below
+                routed = below & top_known
+                dead |= below & ~top_known
+                if routed.any():
+                    nxt[routed] = (
+                        OBJ_COMMA_KEY if known_top == SYM_OBJ else VALUE
+                    )
                 inside = m & ~below
                 if inside.any():
                     top = sim[rows[inside], sp[inside] - 1]
@@ -294,21 +346,31 @@ def compile_token_tables(
 
         dead |= sp > MAX_PUSH
         live = ~dead
-        state_out[s0, live] = state[live].astype(np.int8)
-        n_pop_t[s0, live] = npop[live].astype(np.int8)
-        pop_syms_t[s0, live] = pops[live]
-        n_push_t[s0, live] = sp[live].astype(np.int8)
-        push_syms_t[s0, live] = sim[live, :MAX_PUSH]
+        state_out[row, live] = state[live].astype(np.int16)
+        n_pop_t[row, live] = npop[live].astype(np.int8)
+        pop_syms_t[row, live] = pops[live]
+        n_push_t[row, live] = sp[live].astype(np.int8)
+        push_syms_t[row, live] = sim[live, :MAX_PUSH]
 
     # EOS is handled by the runtime (valid iff accepting state + empty
     # stack); keep it invalid in the tables so a mid-value EOS can't leak.
     state_out[:, eos_id] = -1
 
+    # Variant rows inherit the base state's accepting flag (they ARE the
+    # base state, just compiled with a known stack top) — though with a
+    # non-empty stack acceptance can't fire anyway.
+    accepting = np.zeros((S_ext,), bool)
+    accepting[:S] = auto.accepting
+    if has_branch:
+        accepting[S : 2 * S] = auto.accepting
+        accepting[2 * S :] = auto.accepting
+
     return TokenTables(
         state_out=state_out, n_pop=n_pop_t, pop_syms=pop_syms_t,
         n_push=n_push_t, push_syms=push_syms_t,
-        accepting=auto.accepting.copy(), eos_id=eos_id,
+        accepting=accepting, eos_id=eos_id,
         initial=auto.initial, initial_objonly=auto.initial_objonly,
+        variant_obj=variant_obj, variant_arr=variant_arr,
     )
 
 

@@ -38,19 +38,45 @@ STACK_DEPTH = 32  # max JSON nesting per slot
 
 
 def device_tables(tt: TokenTables) -> Dict[str, jax.Array]:
-    """Upload the effect tables once; gathered per step. Kept int8 —
-    ~71 MB for a 128k vocab (vs 4x that in int32); comparisons promote."""
+    """Upload the effect tables once; gathered per step. int16 states
+    (schema DFAs exceed 127 states), int8 effects — ~100 MB for a 128k
+    vocab on the generic JSON grammar."""
     return {
-        "state_out": jnp.asarray(tt.state_out, jnp.int8),  # [S, V]
+        "state_out": jnp.asarray(tt.state_out, jnp.int16),  # [S_ext, V]
         "n_pop": jnp.asarray(tt.n_pop, jnp.int8),
-        "pop_syms": jnp.asarray(tt.pop_syms, jnp.int8),  # [S, V, MAX_POP]
+        "pop_syms": jnp.asarray(tt.pop_syms, jnp.int8),  # [S_ext, V, MAX_POP]
         "n_push": jnp.asarray(tt.n_push, jnp.int8),
-        "push_syms": jnp.asarray(tt.push_syms, jnp.int8),  # [S, V, MAX_PUSH]
-        "accepting": jnp.asarray(tt.accepting, jnp.bool_),  # [S]
+        "push_syms": jnp.asarray(tt.push_syms, jnp.int8),  # [S_ext, V, MAX_PUSH]
+        "accepting": jnp.asarray(tt.accepting, jnp.bool_),  # [S_ext]
+        # Base-state -> top-conditioned row maps (see jsonfsm.SPLIT_STATES)
+        "variant_obj": jnp.asarray(tt.variant_obj, jnp.int32),  # [S_base]
+        "variant_arr": jnp.asarray(tt.variant_arr, jnp.int32),
         "eos_id": int(tt.eos_id),
         "initial": int(tt.initial),
         "initial_objonly": int(tt.initial_objonly),
     }
+
+
+def effective_lex(
+    tbl: Dict[str, jax.Array],
+    lex: jax.Array,    # [B] BASE lexer state
+    stack: jax.Array,  # [B, D]
+    sp: jax.Array,     # [B]
+) -> jax.Array:
+    """Row index to gather from: split states (',' routing consults the
+    stack top) use their OBJ/ARR variant row when the slot's top symbol
+    is known; everything else (and empty stacks) uses the base row."""
+    S_base = tbl["variant_obj"].shape[0]
+    lex_c = jnp.clip(lex, 0, S_base - 1)
+    top = jnp.take_along_axis(
+        stack, jnp.clip(sp - 1, 0, stack.shape[1] - 1)[:, None], axis=1
+    )[:, 0]
+    top = jnp.where(sp > 0, top, 0)
+    eff = jnp.where(
+        top == 1, tbl["variant_obj"][lex_c],
+        jnp.where(top == 2, tbl["variant_arr"][lex_c], lex_c),
+    )
+    return eff
 
 
 def token_mask(
@@ -61,7 +87,7 @@ def token_mask(
 ) -> jax.Array:
     """[B, V] bool — which tokens may be emitted from each slot's state."""
     B = lex.shape[0]
-    lex_c = jnp.clip(lex, 0, tbl["state_out"].shape[0] - 1)
+    lex_c = effective_lex(tbl, lex, stack, sp)
     so = tbl["state_out"][lex_c]      # [B, V]
     n_pop = tbl["n_pop"][lex_c]       # [B, V]
     n_push = tbl["n_push"][lex_c]     # [B, V]
@@ -107,8 +133,7 @@ def transition(
     """Advance each slot's FSM by one committed token. Total: invalid
     tokens send the slot to DEAD_STATE (mask then yields EOS-only)."""
     B, D = stack.shape
-    S = tbl["state_out"].shape[0]
-    lex_c = jnp.clip(lex, 0, S - 1)
+    lex_c = effective_lex(tbl, lex, stack, sp)
     tok_c = jnp.clip(tok, 0, tbl["state_out"].shape[1] - 1)
     rows = jnp.arange(B)
     so = tbl["state_out"][lex_c, tok_c]          # [B]

@@ -76,13 +76,30 @@ class _Builder:
         self._overlays.append((num_state, cont))
 
     def finish(self, initial: int, accept: int) -> CharAutomaton:
-        for num_state, cont in self._overlays:
-            row, crow = self.rows[num_state], self.rows[cont]
-            keep = row != DEAD  # number continuations win over delimiters
-            self.rows[num_state] = np.where(keep, row, crow)
-        table = np.stack(self.rows)
         accepting = np.zeros((len(self.rows),), bool)
         accepting[accept] = True
+        # Overlays inherit BOTH the continuation's row (its delimiters)
+        # and its accepting flag — a top-level number/integer schema's
+        # complete-number states ARE end states (otherwise EOS would
+        # never unlock and generation would run to budget), and a prefix
+        # enum option ("ab" of {"ab","abc"}) must be finishable. Iterate
+        # to a fixpoint: an overlay source may itself be overlaid (e.g.
+        # an enum exit that is a number-complete state).
+        for _ in range(len(self._overlays) + 1):
+            changed = False
+            for st, cont in self._overlays:
+                row, crow = self.rows[st], self.rows[cont]
+                keep = row != DEAD  # own continuations win over delimiters
+                merged = np.where(keep, row, crow)
+                if not np.array_equal(merged, row):
+                    self.rows[st] = merged
+                    changed = True
+                if accepting[cont] and not accepting[st]:
+                    accepting[st] = True
+                    changed = True
+            if not changed:
+                break
+        table = np.stack(self.rows)
         return CharAutomaton(
             table=table, accepting=accepting,
             initial=initial, initial_objonly=initial,

@@ -56,6 +56,17 @@ class _Request:
     cancelled: bool = False  # early termination (stop sequence / client gone)
 
 
+def derive_request_seed(engine_seed: int, req_id: int,
+                        explicit) -> int:
+    """The per-request sampling seed: the request's own (clamped) seed, or
+    a deterministic derivation from (engine seed, request id) so whole
+    serving traces replay. ONE definition — the multihost coordinator
+    broadcasts this value and every host must agree bit-for-bit."""
+    if explicit is not None:
+        return explicit & 0x7FFFFFFF
+    return (engine_seed * 1000003 + req_id) & 0x7FFFFFFF
+
+
 def make_admit(target_model, draft_model):
     """Jitted single-slot admission: prefill a [1, P] prompt into a small
     contiguous scratch cache, then splice into slot `b` of the running
@@ -460,11 +471,7 @@ class ContinuousBatcher:
         # Per-request seed: explicit wins; otherwise derive a deterministic
         # per-request key from the engine seed and the request id, so a
         # fixed engine seed still reproduces a whole serving trace.
-        eff_seed = (
-            req.seed & 0x7FFFFFFF
-            if req.seed is not None
-            else (cfgp.seed * 1000003 + req.req_id) & 0x7FFFFFFF
-        )
+        eff_seed = derive_request_seed(cfgp.seed, req.req_id, req.seed)
         pen = pen + (b_ids, b_vals, np.int32(eff_seed))
         # Grammar constraint (OpenAI response_format): per-request opt-in;
         # the engine must have been built with EngineConfig.constrain so

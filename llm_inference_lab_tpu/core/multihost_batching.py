@@ -146,10 +146,12 @@ class MultiHostBatcher(ContinuousBatcher):
         if self.is_coordinator:
             plans = self._plan_admissions()
             for i, req in enumerate(plans):
-                req.seed = (
-                    req.seed & 0x7FFFFFFF
-                    if req.seed is not None
-                    else (cfgp.seed * 1000003 + req.req_id) & 0x7FFFFFFF
+                from llm_inference_lab_tpu.core.batching import (
+                    derive_request_seed,
+                )
+
+                req.seed = derive_request_seed(
+                    cfgp.seed, req.req_id, req.seed
                 )
                 header[i] = (
                     req.slot, len(req.ids), req.max_new_tokens, req.req_id,

@@ -73,7 +73,6 @@ def rejection(
     min_p: float = 0.0,
     draft_temperature: float = 1.0,
     draft_greedy: bool = False,
-    row_keys=None,  # [B, 2] per-row keys (per-request `seed`)
     **_,
 ):
     """Stochastic speculative sampling: accept d_i w.p. min(1, p_t/p_d).
@@ -102,13 +101,7 @@ def rejection(
     # guard covers only numeric edge cases.
     ratio = jnp.exp(jnp.minimum(lpt_i - jnp.maximum(lpd_i, -30.0), 0.0))
     ratio = jnp.where(jnp.isfinite(lpt_i), ratio, 0.0)
-    if row_keys is not None:
-        # Per-request seed: each row's accept draws come from its own key,
-        # independent of batch composition.
-        K = draft_tokens.shape[1]
-        u = jax.vmap(lambda k: jax.random.uniform(k, (K,)))(row_keys)
-    else:
-        u = jax.random.uniform(rng, draft_tokens.shape)
+    u = jax.random.uniform(rng, draft_tokens.shape)
     return _prefix_len(u < ratio)
 
 

@@ -588,13 +588,11 @@ def make_spec_step(
                 target_logits,
             )
 
-        # ---- 3. Acceptance ----
-        pol_kw = dict(policy_params)
-        if per_request_sampling:
-            # Stochastic policies (rejection) draw per-row from the slot's
-            # seed stream; deterministic policies absorb the kwarg.
-            pol_kw["row_keys"] = fold_rows(sctx["row_keys"], K + 1)
-        a = policy_fn(rng_policy, d, draft_logits, target_logits, **pol_kw)
+        # ---- 3. Acceptance ---- (the stochastic `rejection` policy is
+        # build-time incompatible with per_request_sampling, so acceptance
+        # draws never need per-slot seed streams here)
+        a = policy_fn(rng_policy, d, draft_logits, target_logits,
+                      **policy_params)
         a = jnp.clip(a, 0, K)
         if adaptive:
             # Positions beyond the effective K were never really proposed.

@@ -19,6 +19,10 @@ Invariants
 from __future__ import annotations
 
 import flax.struct as struct
+
+from llm_inference_lab_tpu.constrain.runtime import (
+    STACK_DEPTH as _FSM_STACK_DEPTH,
+)
 import jax
 import jax.numpy as jnp
 
@@ -170,7 +174,7 @@ def init_state(
         min_p=jnp.broadcast_to(jnp.asarray(min_p, jnp.float32), (B,)),
         lora_ids=jnp.full((B,), lora_id, jnp.int32),
         fsm_lex=jnp.full((B,), fsm_init, jnp.int32),
-        fsm_stack=jnp.zeros((B, 32), jnp.int32),
+        fsm_stack=jnp.zeros((B, _FSM_STACK_DEPTH), jnp.int32),
         fsm_sp=jnp.zeros((B,), jnp.int32),
         slot_rng=jax.vmap(
             lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i)

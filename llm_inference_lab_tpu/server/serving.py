@@ -433,11 +433,23 @@ class InferenceServer:
                 # OpenAI `n`: independent completions of the same prompt —
                 # each rides its own batcher slot (they share the prompt's
                 # KV pages under prefix caching).
+                def _cand_sampling(i):
+                    # n/best_of candidates must differ: an explicit seed
+                    # is perturbed per candidate index (choice 0 keeps the
+                    # exact request seed), else all candidates would be
+                    # byte-identical under per-request seed streams.
+                    if not sampling or sampling[-1] is None:
+                        return sampling
+                    return sampling[:-1] + (
+                        (sampling[-1] ^ (0x9E3779B1 * i)) & 0x7FFFFFFF,
+                    )
+
                 extra = [
-                    _Pending(prompt, max_tokens, stop=stop, sampling=sampling,
+                    _Pending(prompt, max_tokens, stop=stop,
+                             sampling=_cand_sampling(i + 1),
                              add_special_tokens=not templated,
                              response_format=rf_type, lora=lora_name)
-                    for _ in range(best_of - 1)
+                    for i in range(best_of - 1)
                 ]
                 outer._incoming.put(pend)
                 for p in extra:

@@ -20,6 +20,7 @@ from llm_inference_lab_tpu.constrain.jsonfsm import (
     MAX_POP,
     MAX_PUSH,
     OBJ_COMMA_KEY,
+    STATE_MASK,
     SYM_ARR,
     SYM_OBJ,
     VALUE,
@@ -38,7 +39,7 @@ def naive_walk(text: bytes, state=VALUE, stack=()):
         e = int(t[state, ch])
         if e < 0:
             return None
-        nxt = e & 0xFF
+        nxt = e & STATE_MASK
         if e & F_PUSH_OBJ:
             stack.append(SYM_OBJ)
         if e & F_PUSH_ARR:
@@ -107,18 +108,23 @@ def _mock_vocab():
 
 def _apply_tables(tt, state, stack, tok):
     """Apply one token via the effect tables (host mirror of the device
-    logic). Returns (state, stack) or None."""
-    so = int(tt.state_out[state, tok])
+    logic, incl. top-conditioned variant row selection).
+    Returns (state, stack) or None."""
+    row = state
+    if stack:
+        vm = tt.variant_obj if stack[-1] == SYM_OBJ else tt.variant_arr
+        row = int(vm[state])
+    so = int(tt.state_out[row, tok])
     if so < 0:
         return None
-    np_, nu = int(tt.n_pop[state, tok]), int(tt.n_push[state, tok])
+    np_, nu = int(tt.n_pop[row, tok]), int(tt.n_push[row, tok])
     if np_ > len(stack):
         return None
     for j in range(np_):
-        if stack[-1 - j] != tt.pop_syms[state, tok, j]:
+        if stack[-1 - j] != tt.pop_syms[row, tok, j]:
             return None
     stack = stack[: len(stack) - np_] + tuple(
-        int(x) for x in tt.push_syms[state, tok, :nu]
+        int(x) for x in tt.push_syms[row, tok, :nu]
     )
     return so, stack
 
@@ -174,8 +180,11 @@ def test_token_tables_match_naive_walk():
                     st2 = nxt
                 over_cap = (n_below > MAX_POP
                             or len(stk2) - (depth - n_below) > MAX_PUSH)
-                has_comma = b"," in tok
-                assert over_cap or has_comma, (state, stack, tok)
+                # Since the variant-row fix, a LEADING ',' is routable;
+                # only a ',' after the token dipped below its boundary
+                # (unknown deeper symbol) may legitimately die.
+                comma_after_pop = b"," in tok and n_below > 0
+                assert over_cap or comma_after_pop, (state, stack, tok)
                 disagreements += 1
                 continue
             if naive is None:
@@ -279,3 +288,33 @@ def test_token_bytes_sentencepiece_convention():
     assert bytes(arr[2, :lens[2]]) == b"\n"
     assert bytes(arr[3, :lens[3]]) == b" {"
     assert bytes(arr[4, :lens[4]]) == b"word"
+
+
+def test_multi_member_objects_and_arrays_generable():
+    """Round-2 code-review regression: structural commas must be valid
+    (via the top-conditioned variant rows) or multi-member containers
+    could never be generated."""
+    toks, arr, lens = _mock_vocab()
+    tt = compile_token_tables(AUTO, arr, lens, eos_id=0)
+    comma = toks.index(b",")
+    # AFTER_VALUE inside an object: ',' -> OBJ_COMMA_KEY
+    assert _apply_tables(tt, 5, (SYM_OBJ,), comma) == (OBJ_COMMA_KEY,
+                                                       (SYM_OBJ,))
+    # ... inside an array: ',' -> VALUE
+    assert _apply_tables(tt, 5, (SYM_ARR,), comma) == (VALUE, (SYM_ARR,))
+    # ... at top level (empty stack): ',' stays invalid
+    assert _apply_tables(tt, 5, (), comma) is None
+    # Multi-char tokens crossing the comma work too:
+    tok = toks.index(b'", "')  # close string, comma, open key string
+    assert _apply_tables(tt, 6, (SYM_OBJ,), tok) is not None
+    tok2 = toks.index(b', ')
+    assert _apply_tables(tt, 20, (SYM_ARR,), tok2) == (VALUE, (SYM_ARR,))
+    # End-to-end: walk out a two-member object through the tables.
+    seq = [b'{"', b'a', b'":', b'1', b',', b'"', b'b', b'":', b'2', b'}']
+    state, stack = tt.initial, ()
+    for t in seq:
+        r = _apply_tables(tt, state, stack, toks.index(t))
+        assert r is not None, t
+        state, stack = r
+    assert tt.accepting[state] and not stack
+    json.loads(b"".join(seq).decode())

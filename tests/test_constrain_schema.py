@@ -35,7 +35,7 @@ def _walk(auto, text: bytes):
         e = int(auto.table[s, ch])
         if e < 0:
             return None
-        s = e & 0xFF
+        s = e & 0xFFFFFF
     return s
 
 
@@ -154,3 +154,44 @@ def test_compact_mode_rejects_whitespace():
     assert _accepts(auto, b'{"a":null}')
     assert not _accepts(auto, b'{"a": null}')
     assert not _accepts(auto, b' {"a":null}')
+
+
+def test_integer_schema_reaches_eos():
+    """Round-2 code-review regression: number-complete states inherit the
+    continuation's ACCEPTING flag, so a top-level integer schema can stop
+    instead of growing digits until the budget dies."""
+    auto = build_schema_automaton({"type": "integer"})
+    s = _walk(auto, b"42")
+    assert s is not None and auto.accepting[s]
+    s = _walk(auto, b"-0")
+    assert s is not None and auto.accepting[s]
+    assert _walk(auto, b"4.5") is None  # integer: no fraction
+
+
+def test_prefix_enum_options_generable():
+    auto = build_schema_automaton({"enum": ["ab", "abc"]})
+    assert _accepts(auto, b'"ab"')
+    assert _accepts(auto, b'"abc"')
+
+
+def test_large_schema_over_127_states():
+    """Round-2 code-review regression: >127-state DFAs need int16 state
+    tables (int8 wrapped them negative and starved generation)."""
+    from tests.test_constrain_fsm import _apply_tables, _mock_vocab
+
+    auto = build_schema_automaton(SCHEMA, whitespace=True)
+    assert auto.table.shape[0] > 127
+    toks, arr, lens = _mock_vocab()
+    tt = compile_token_tables(auto, arr, lens, eos_id=0)
+    doc = (b'{"name": "bo", "age": 3, "mood": "ok", "tags": [], '
+           b'"address": {"city": "x", "zip": "1"}, "score": -0.5e3, '
+           b'"active": true, "extra": null}')
+    # Drive the tables byte-token by byte-token through the whole doc.
+    state, stack = tt.initial, ()
+    for ch in doc:
+        tok = 1 + (ch - 0x20) if 0x20 <= ch < 0x7F else None
+        assert toks[tok] == bytes([ch])
+        r = _apply_tables(tt, state, tuple(stack), tok)
+        assert r is not None, (chr(ch), state)
+        state, stack = r
+    assert tt.accepting[state] and not stack

@@ -118,3 +118,33 @@ def test_server_seed_field():
         assert post(body) == post(body)
     finally:
         srv.stop()
+
+
+def test_best_of_candidates_differ_under_explicit_seed():
+    """Round-2 code-review regression: n/best_of fan-out perturbs an
+    explicit seed per candidate — otherwise per-request seed streams
+    would make every candidate byte-identical."""
+    import json
+    import urllib.request
+
+    from llm_inference_lab_tpu.server import InferenceServer
+
+    srv = InferenceServer(_engine(max_new_tokens=12), n_slots=4, port=0)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/completions",
+            data=json.dumps({"prompt": "spread", "max_tokens": 12,
+                             "temperature": 3.0, "seed": 7, "n": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        texts = [c["text"] for c in out["choices"]]
+        assert len(set(texts)) > 1, texts
+        # And the whole request stays reproducible: same seed -> same set.
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out2 = json.loads(r.read())
+        assert texts == [c["text"] for c in out2["choices"]]
+    finally:
+        srv.stop()
