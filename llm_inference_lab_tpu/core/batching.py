@@ -122,12 +122,24 @@ def make_admit(target_model, draft_model):
                 vs = vs.at[:, pid].set(sub.v_scale[:, 0, :, j * pg : (j + 1) * pg])
             return PagedKVCache(k, v, ks, vs, cache.table.at[slot].set(table_row))
 
-        _, t_cache, hidden = target_apply(
+        lg, t_cache, hidden = target_apply(
             target_params, prompt_row, positions, sub_cache(state.target_cache),
             zero, return_hidden=True,
             lora_ids=jnp.full((1,), lora_id, jnp.int32),
         )
         target_cache = splice(state.target_cache, t_cache)
+        # Prompt logprobs (OpenAI echo+logprobs): score each prompt token
+        # from the prefill logits; position 0 has no conditional. The
+        # slot's whole logprob lane resets (stale values from the
+        # previous tenant must not leak into echo output).
+        lg32 = lg[0, :-1].astype(jnp.float32)
+        row_lp = jnp.take_along_axis(
+            lg32, prompt_row[0, 1:, None], axis=-1
+        )[..., 0] - jax.scipy.special.logsumexp(lg32, axis=-1)
+        pos1 = jnp.arange(1, P, dtype=jnp.int32)
+        row_lp = jnp.where(pos1 < prompt_len, row_lp, 0.0)
+        lp_lane = jnp.zeros((state.tokens.shape[1],), jnp.float32)
+        lp_lane = jax.lax.dynamic_update_slice(lp_lane, row_lp, (1,))
 
         if draft_apply is not None:
             _, d_cache = draft_apply(
@@ -171,6 +183,7 @@ def make_admit(target_model, draft_model):
             fsm_lex=state.fsm_lex.at[slot].set(fsm_init),
             fsm_stack=state.fsm_stack.at[slot].set(0),
             fsm_sp=state.fsm_sp.at[slot].set(0),
+            token_logprobs=state.token_logprobs.at[slot].set(lp_lane),
         )
 
     return jax.jit(admit, donate_argnums=(2,))
@@ -205,24 +218,24 @@ def make_admit_prefix(target_model, draft_model):
                 jax.lax.dynamic_slice_in_dim(table_full, slot, 1, 0),
             )
             if want_hidden:  # target: adapters apply to the prefill too
-                _, new, hidden = apply(
+                lg, new, hidden = apply(
                     params, suffix_row, positions, view, cl,
                     return_hidden=True,
                     lora_ids=jnp.full((1,), lora_id, jnp.int32),
                 )
             else:
                 _, new = apply(params, suffix_row, positions, view, cl)
-                hidden = None
+                lg = hidden = None
             return (
                 PagedKVCache(new.k, new.v, new.k_scale, new.v_scale, table_full),
-                hidden,
+                hidden, lg,
             )
 
-        target_cache, hidden = run(
+        target_cache, hidden, lg = run(
             target_apply, target_params, state.target_cache, True
         )
         if draft_apply is not None:
-            draft_cache, _ = run(
+            draft_cache, _, _ = run(
                 draft_apply, draft_params, state.draft_cache, False
             )
         else:
@@ -230,6 +243,22 @@ def make_admit_prefix(target_model, draft_model):
 
         row = jnp.zeros((state.tokens.shape[1],), jnp.int32)
         row = jax.lax.dynamic_update_slice(row, full_row[0], (0,))
+        # Prompt logprobs: scorable for the forwarded SUFFIX only — rows
+        # served from the prefix cache were never re-forwarded (their
+        # entries stay 0; echo reports null there). Suffix row j (global
+        # position reuse+j) scores global position reuse+j+1: its target
+        # token comes from the full prompt row.
+        lg32 = lg[0].astype(jnp.float32)
+        gpos = positions[0] + 1  # [S] global positions being scored
+        nxt = jnp.take(full_row[0], jnp.clip(gpos, 0, full_row.shape[1] - 1))
+        row_lp = jnp.take_along_axis(
+            lg32, nxt[:, None], axis=-1
+        )[:, 0] - jax.scipy.special.logsumexp(lg32, axis=-1)
+        lp_lane = jnp.zeros((state.tokens.shape[1],), jnp.float32)
+        lp_lane = lp_lane.at[jnp.clip(gpos, 0, lp_lane.shape[0] - 1)].set(
+            jnp.where(gpos < prompt_len, row_lp, 0.0)
+        )
+        lp_lane = lp_lane.at[0].set(0.0)
         # Hidden-state carry for the Medusa/EAGLE heads: position plen-2,
         # which is inside the suffix because match() caps reuse at plen-2.
         h_idx = jnp.clip(prompt_len - 2 - reuse_len, 0, S - 1)
@@ -263,6 +292,7 @@ def make_admit_prefix(target_model, draft_model):
             fsm_lex=state.fsm_lex.at[slot].set(fsm_init),
             fsm_stack=state.fsm_stack.at[slot].set(0),
             fsm_sp=state.fsm_sp.at[slot].set(0),
+            token_logprobs=state.token_logprobs.at[slot].set(lp_lane),
         )
 
     return jax.jit(admit, donate_argnums=(2,))
@@ -730,6 +760,17 @@ class ContinuousBatcher:
                 "token_logprobs": [
                     round(float(x), 6)
                     for x in logprobs[slot, plen : lengths[slot]]
+                ],
+                # Prompt scoring; prefix-cache-reused positions were never
+                # re-forwarded and report None (alongside entry 0).
+                "prompt_logprobs": [None] + [
+                    # position reuse_len is scored by the LAST reused row's
+                    # logit, which was never recomputed -> None too
+                    None if i <= req.reuse_len and req.reuse_len > 0
+                    else round(float(x), 6)
+                    for i, x in enumerate(
+                        logprobs[slot, 1 : plen], start=1
+                    )
                 ],
                 "top_logprobs": (
                     [

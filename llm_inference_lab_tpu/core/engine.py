@@ -762,6 +762,13 @@ class Engine:
                         round(float(x), 6)
                         for x in logprobs[b, plens[b] : lengths[b]]
                     ],
+                    # Prompt scoring (OpenAI echo+logprobs / vLLM
+                    # prompt_logprobs): written by the prefill; entry 0 is
+                    # None (no conditional for the first token).
+                    "prompt_logprobs": [None] + [
+                        round(float(x), 6)
+                        for x in logprobs[b, 1 : plens[b]]
+                    ],
                     # Top-N alternatives per position ([{id, logprob}] * N)
                     # when EngineConfig(logprobs_topk=N).
                     "top_logprobs": (

@@ -1011,7 +1011,14 @@ def make_prefill(target_model, draft_model, prefill_draft: bool = True,
     0..i-1 already wrote plus its own freshly-written rows — activation
     memory is O(chunk * d_model) instead of O(P * d_model), which is what
     makes >=16k-token prompts fit (long-context axis; the reference has no
-    chunked prefill, hf_wrappers.py:98 runs one sdpa over the whole prompt)."""
+    chunked prefill, hf_wrappers.py:98 runs one sdpa over the whole prompt).
+
+    Prompt logprobs ride for free: the prefill logits (already computed by
+    the forward) score each prompt token given its prefix, written into
+    DecodeState.token_logprobs[1:plen] (position 0 has no conditional) —
+    the OpenAI echo+logprobs / vLLM prompt_logprobs surface. Computed as
+    gathered-logit minus logsumexp, never materializing a [B, P, V]
+    log-softmax."""
     target_apply = target_model.apply_fn
     draft_apply = draft_model.apply_fn if draft_model is not None else None
 
@@ -1034,30 +1041,46 @@ def make_prefill(target_model, draft_model, prefill_draft: bool = True,
             )  # [NC, B, C]
             arange_c = jnp.arange(chunk, dtype=jnp.int32)
 
+            # Next-token targets for prompt scoring: row j of chunk i
+            # predicts prompt position i*chunk+j+1.
+            shifted = jnp.roll(prompt_block, -1, axis=1)
+
             def body(carry, xs):
-                tc, dc, h = carry
+                tc, dc, h, lpbuf = carry
                 i, tok = xs
                 positions = i * chunk + jnp.broadcast_to(
                     arange_c[None], (B, chunk)
                 )
                 start = jnp.full((B,), i * chunk, jnp.int32)
-                _, tc, hid = target_apply(
+                lg, tc, hid = target_apply(
                     target_params, tok, positions, tc, start,
                     return_hidden=True, lora_ids=state.lora_ids,
                 )
                 if prefill_draft and draft_apply is not None:
                     _, dc = draft_apply(draft_params, tok, positions, dc, start)
+                nxt = jax.lax.dynamic_slice(
+                    shifted, (0, i * chunk), (B, chunk)
+                )
+                lg32 = lg.astype(jnp.float32)
+                row_lp = jnp.take_along_axis(
+                    lg32, nxt[..., None], axis=-1
+                )[..., 0] - jax.scipy.special.logsumexp(lg32, axis=-1)
+                valid = (positions + 1) < prompt_lens[:, None]
+                row_lp = jnp.where(valid, row_lp, 0.0)
+                lpbuf = jax.lax.dynamic_update_slice(
+                    lpbuf, row_lp, (0, i * chunk + 1)
+                )
                 local = h_idx - i * chunk
                 sel = jnp.take_along_axis(
                     hid, jnp.clip(local, 0, chunk - 1)[:, None, None], axis=1
                 )[:, 0].astype(jnp.float32)
                 in_chunk = ((local >= 0) & (local < chunk))[:, None]
-                return (tc, dc, jnp.where(in_chunk, sel, h)), None
+                return (tc, dc, jnp.where(in_chunk, sel, h), lpbuf), None
 
-            (target_cache, draft_cache, h_last), _ = jax.lax.scan(
+            (target_cache, draft_cache, h_last, lp_buf), _ = jax.lax.scan(
                 body,
                 (state.target_cache, state.draft_cache,
-                 jnp.zeros_like(state.last_hidden)),
+                 jnp.zeros_like(state.last_hidden), state.token_logprobs),
                 (jnp.arange(NC, dtype=jnp.int32), toks),
             )
         else:
@@ -1069,7 +1092,7 @@ def make_prefill(target_model, draft_model, prefill_draft: bool = True,
             # single-shot path: the block is the whole sequence, so attention
             # is pure causal self-attention (parallel/context.py).
             cp_kw = {"cp": context_parallel} if context_parallel else {}
-            _, target_cache, hidden = target_apply(
+            lg, target_cache, hidden = target_apply(
                 target_params, prompt_block, positions, state.target_cache,
                 zeros, return_hidden=True, lora_ids=state.lora_ids, **cp_kw,
             )
@@ -1083,6 +1106,15 @@ def make_prefill(target_model, draft_model, prefill_draft: bool = True,
             h_last = jnp.take_along_axis(
                 hidden, h_idx[:, None, None], axis=1
             )[:, 0].astype(jnp.float32)
+            lg32 = lg[:, :-1].astype(jnp.float32)
+            row_lp = jnp.take_along_axis(
+                lg32, prompt_block[:, 1:, None], axis=-1
+            )[..., 0] - jax.scipy.special.logsumexp(lg32, axis=-1)
+            valid = (positions[:, 1:]) < prompt_lens[:, None]
+            row_lp = jnp.where(valid, row_lp, 0.0)
+            lp_buf = jax.lax.dynamic_update_slice(
+                state.token_logprobs, row_lp, (0, 1)
+            )
         tokens = jax.lax.dynamic_update_slice(
             state.tokens, prompt_block, (0, 0)
         )
@@ -1095,6 +1127,7 @@ def make_prefill(target_model, draft_model, prefill_draft: bool = True,
             draft_cache=draft_cache,
             last_hidden=h_last,
             prev_hidden=h_last,
+            token_logprobs=lp_buf,
         )
 
     return prefill

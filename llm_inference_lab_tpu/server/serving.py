@@ -484,7 +484,13 @@ class InferenceServer:
                 usage["total_tokens"] = usage["prompt_tokens"] + usage["completion_tokens"]
 
                 def lp_of(res):
-                    if not (body.get("logprobs") and res.get("token_logprobs")):
+                    # OpenAI: completions logprobs is an int (0 = token
+                    # logprobs with no alternatives — still on); chat's is
+                    # a bool. Only null/false/absent disables.
+                    lpq = body.get("logprobs")
+                    if lpq is None or lpq is False or not res.get(
+                        "token_logprobs"
+                    ):
                         return None
                     dec = outer.engine.tokenizer.decode
                     toks = [dec([t]) for t in res["generated_ids"]]
@@ -504,6 +510,27 @@ class InferenceServer:
                         return d
 
                     top_fmt = [fmt_pos(pos) for pos in tops] if tops else None
+                    if not chat and body.get("echo"):
+                        # OpenAI echo+logprobs: the arrays cover the
+                        # prompt too (first entry null; prefix-cached
+                        # positions null as well — never re-forwarded).
+                        p_ids = outer.engine.tokenizer.encode(prompt)
+                        p_lps = res.get("prompt_logprobs") or [None] * len(
+                            p_ids
+                        )
+                        toks = [dec([t]) for t in p_ids] + toks
+                        lps = list(p_lps[: len(p_ids)]) + list(
+                            res["token_logprobs"]
+                        )
+                        return {
+                            "tokens": toks,
+                            "token_logprobs": lps,
+                            "top_logprobs": (
+                                [None] * len(p_ids) + top_fmt
+                                if top_fmt else None
+                            ),
+                            "text_offset": [],
+                        }
                     if chat:
                         return {"content": [
                             {
