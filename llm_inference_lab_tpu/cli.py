@@ -49,6 +49,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    default=None,
                    help="grammar-constrained decoding (OpenAI "
                         "response_format; serving: per-request opt-in)")
+    p.add_argument("--tools", default=None, metavar="TOOLS_JSON",
+                   help="path to a JSON file with an OpenAI `tools` list; "
+                        "compiles the tool-call grammar (serving: "
+                        "tool_choice 'required' / named functions)")
     p.add_argument("--lora", action="append", default=None,
                    metavar="PEFT_DIR",
                    help="HF PEFT adapter directory (repeatable); serving "
@@ -100,6 +104,9 @@ def _build_engine(args):
         seed=args.seed,
         profile=args.profile,
         constrain=args.constrain,
+        tools=(
+            json.load(open(args.tools)) if args.tools else None
+        ),
         lora_paths=args.lora,
         per_request_sampling=args.per_request_sampling,
     )

@@ -127,6 +127,13 @@ class EngineConfig:
     # The schema served when constrain == "json_schema" (see
     # constrain/schema.py for the supported subset).
     constrain_schema: Optional[dict] = None
+    # Tool calling (constrain/tools.py): OpenAI `tools` list compiled at
+    # engine init into a tool-call grammar ({"name":...,"arguments":...}
+    # constrained to each tool's parameters schema). Requests opt in via
+    # OpenAI tool_choice ("required" / a named function); "auto" is
+    # unconstrained with host-side parsing. Mutually exclusive with
+    # `constrain` (one grammar table per deployment).
+    tools: Optional[list] = None
     # Multi-LoRA serving (models/lora.py): HF PEFT adapter directories to
     # stack at engine init; requests select one by name (the directory
     # basename) via batcher.submit(lora=...) / the OpenAI `model` field.

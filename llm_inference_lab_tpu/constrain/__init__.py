@@ -23,3 +23,7 @@ from llm_inference_lab_tpu.constrain.jsonfsm import (  # noqa: F401
     json_char_automaton,
     token_bytes_of,
 )
+from llm_inference_lab_tpu.constrain.tools import (  # noqa: F401
+    build_tools_automaton,
+    normalize_tools,
+)

@@ -46,7 +46,8 @@ class _Request:
     frequency_penalty: Optional[float] = None
     logit_bias: Optional[Dict[int, float]] = None  # token id -> bias
     seed: Optional[int] = None  # OpenAI per-request seed; None = derived
-    response_format: Optional[str] = None  # 'json' | 'json_object'
+    response_format: Optional[str] = None  # grammar key: 'json' |
+    # 'json_object' | 'json_schema' | 'tool_call[:<name>]'
     lora: Optional[str] = None  # adapter name (multi-LoRA serving)
     submitted_at: float = field(default_factory=time.perf_counter)
     slot: Optional[int] = None
@@ -503,22 +504,12 @@ class ContinuousBatcher:
         # fixed engine seed still reproduces a whole serving trace.
         eff_seed = derive_request_seed(cfgp.seed, req.req_id, req.seed)
         pen = pen + (b_ids, b_vals, np.int32(eff_seed))
-        # Grammar constraint (OpenAI response_format): per-request opt-in;
-        # the engine must have been built with EngineConfig.constrain so
-        # the tables exist and the steps carry the masking path.
+        # Grammar constraint (OpenAI response_format / tool_choice):
+        # per-request opt-in; the engine must have been built with
+        # EngineConfig.constrain / .tools so the tables exist and the
+        # steps carry the masking path.
         if req.response_format is not None:
-            if eng._constrain_tbl is None:
-                raise ValueError(
-                    "response_format requires the engine to be built with "
-                    "EngineConfig(constrain=...)"
-                )
-            fsm_init = eng._fsm_initial_map.get(req.response_format)
-            if fsm_init is None:
-                raise ValueError(
-                    f"this deployment's grammar "
-                    f"({eng.config.constrain!r}) cannot serve "
-                    f"response_format {req.response_format!r}"
-                )
+            fsm_init = eng._resolve_fsm_initial(req.response_format)
         else:
             fsm_init = -1
         pen = pen + (np.int32(fsm_init),)

@@ -310,8 +310,15 @@ class Engine:
         # stack-effect tables ONCE (seconds for a 128k vocab, vectorized
         # numpy) and keep them on device; steps gather from them.
         self._constrain_tbl = None
-        if cfg.constrain is not None:
-            if cfg.constrain not in ("json", "json_object", "json_schema"):
+        if cfg.tools and cfg.constrain is not None:
+            raise ValueError(
+                "tools and constrain are mutually exclusive (one grammar "
+                "table per deployment)"
+            )
+        if cfg.constrain is not None or cfg.tools:
+            if cfg.constrain is not None and cfg.constrain not in (
+                "json", "json_object", "json_schema",
+            ):
                 raise ValueError(
                     f"constrain must be 'json', 'json_object', or "
                     f"'json_schema', got {cfg.constrain!r}"
@@ -327,7 +334,18 @@ class Engine:
             )
             from llm_inference_lab_tpu.constrain.runtime import device_tables
 
-            if cfg.constrain == "json_schema":
+            tool_initials = None
+            if cfg.tools:
+                # Tool calling: the grammar is the union of the tools'
+                # call shapes, with one initial per tool_choice option
+                # (constrain/tools.py). Per-request opt-in only — the
+                # default decode stays unconstrained.
+                from llm_inference_lab_tpu.constrain.tools import (
+                    build_tools_automaton,
+                )
+
+                auto, tool_initials = build_tools_automaton(cfg.tools)
+            elif cfg.constrain == "json_schema":
                 if not cfg.constrain_schema:
                     raise ValueError(
                         "constrain='json_schema' requires constrain_schema"
@@ -348,15 +366,23 @@ class Engine:
                 else 0,
             )
             self._constrain_tbl = device_tables(tt)
-            # Which response_format values this deployment's grammar can
-            # serve, and the FSM start state for each.
-            self._fsm_initial_map = (
-                {"json_schema": tt.initial}
-                if cfg.constrain == "json_schema"
-                else {"json": tt.initial,
-                      "json_object": tt.initial_objonly}
-            )
-            self._fsm_initial = self._fsm_initial_map[cfg.constrain]
+            # Which response_format / tool_choice values this deployment's
+            # grammar can serve, and the FSM start state for each. Base
+            # char-state ids survive compile_token_tables unchanged, so
+            # the tool map's extra initials are valid table rows.
+            if tool_initials is not None:
+                self._fsm_initial_map = dict(tool_initials)
+                self._fsm_initial = -1  # tools are per-request opt-in
+            else:
+                self._fsm_initial_map = (
+                    {"json_schema": tt.initial}
+                    if cfg.constrain == "json_schema"
+                    else {"json": tt.initial,
+                          "json_object": tt.initial_objonly}
+                )
+                self._fsm_initial = self._fsm_initial_map[cfg.constrain]
+        # Embedding forwards (embed()), jitted per (pooling, normalize).
+        self._embed_fns: Dict[tuple, Any] = {}
         # Multi-LoRA: stack the adapters into params["layers"] (the pack
         # rides the forward's layer scan; slots pick adapters by
         # DecodeState.lora_ids — models/lora.py).
@@ -514,6 +540,87 @@ class Engine:
         pipeline.py:893)."""
         return self.generate_batch([prompt], **kw)[0]
 
+    def embed(
+        self,
+        texts: List[str],
+        pooling: str = "mean",
+        normalize: bool = True,
+    ) -> tuple:
+        """Sentence embeddings from the target model's final hidden
+        states (OpenAI/vLLM `/v1/embeddings` parity; the reference has no
+        embeddings path). One prefill-shaped forward — no decode state,
+        no KV persistence; pooling is length-masked mean (default) or
+        last-token. Returns (embeddings [B, D] float32 np.ndarray,
+        prompt_tokens)."""
+        if pooling not in ("mean", "last"):
+            raise ValueError(f"pooling must be 'mean' or 'last', got "
+                             f"{pooling!r}")
+        cfg = self.config
+        enc = [self.tokenizer.encode(t)[: cfg.max_seq_len] for t in texts]
+        B = len(enc)
+        plens = np.array([max(len(e), 1) for e in enc], np.int32)
+        P = _round_up(int(plens.max()), 32)
+        block = np.zeros((B, P), np.int32)
+        for i, e in enumerate(enc):
+            block[i, : len(e)] = e
+        key = (pooling, normalize)
+        fn = self._embed_fns.get(key)
+        if fn is None:
+            tgt = self.target
+
+            def f(params, block, plens):
+                b, p = block.shape
+                cache = tgt.init_cache(b, p)
+                positions = jnp.broadcast_to(
+                    jnp.arange(p, dtype=jnp.int32)[None], (b, p)
+                )
+                _, _, hidden = tgt.apply_fn(
+                    params, block, positions, cache,
+                    jnp.zeros((b,), jnp.int32), return_hidden=True,
+                )
+                hidden = hidden.astype(jnp.float32)
+                if pooling == "last":
+                    idx = jnp.clip(plens - 1, 0, p - 1)
+                    emb = jnp.take_along_axis(
+                        hidden, idx[:, None, None], axis=1
+                    )[:, 0]
+                else:
+                    m = (jnp.arange(p)[None] < plens[:, None]).astype(
+                        jnp.float32
+                    )
+                    emb = (hidden * m[..., None]).sum(1) / jnp.maximum(
+                        m.sum(1), 1.0
+                    )[:, None]
+                if normalize:
+                    emb = emb / jnp.maximum(
+                        jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-9
+                    )
+                return emb
+
+            fn = self._embed_fns[key] = jax.jit(f)
+        out = fn(self.target.params, jnp.asarray(block), jnp.asarray(plens))
+        return np.asarray(out), int(plens.sum())
+
+    def _resolve_fsm_initial(self, response_format: Optional[str]) -> int:
+        """FSM start state for a grammar key ("json", "json_object",
+        "json_schema", "tool_call", "tool_call:<name>"); None selects the
+        deployment default (-1 = unconstrained, the tools-mode default)."""
+        if response_format is None:
+            return self._fsm_initial if self._constrain_tbl is not None else -1
+        if self._constrain_tbl is None:
+            raise ValueError(
+                "response_format requires the engine to be built with "
+                "EngineConfig(constrain=...) or EngineConfig(tools=...)"
+            )
+        init = self._fsm_initial_map.get(response_format)
+        if init is None:
+            raise ValueError(
+                f"this deployment's grammar cannot serve "
+                f"response_format {response_format!r} "
+                f"(available: {sorted(self._fsm_initial_map)})"
+            )
+        return init
+
     def generate_batch(
         self,
         prompts: List[str],
@@ -523,6 +630,7 @@ class Engine:
         top_k=None,
         top_p=None,
         adapter: Optional[str] = None,  # LoRA adapter name (whole batch)
+        response_format: Optional[str] = None,  # grammar key (whole batch)
     ) -> List[Dict[str, Any]]:
         """Batched generation (reference pipeline.generate_batch,
         pipeline.py:1605). Returns one result dict per prompt with the
@@ -604,9 +712,7 @@ class Engine:
             presence_penalty=cfg.presence_penalty,
             frequency_penalty=cfg.frequency_penalty,
             logprobs_topk=cfg.logprobs_topk,
-            fsm_init=(
-                self._fsm_initial if self._constrain_tbl is not None else -1
-            ),
+            fsm_init=self._resolve_fsm_initial(response_format),
             lora_id=(
                 self.lora_names[adapter] if adapter is not None else -1
             ),

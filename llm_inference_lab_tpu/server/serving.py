@@ -40,6 +40,22 @@ from llm_inference_lab_tpu.core.batching import ContinuousBatcher
 from llm_inference_lab_tpu.core.engine import Engine
 
 
+def _parse_tool_call(text: str, allowed=None):
+    """Strict parse of a generated tool call: the text must be exactly
+    {"name": <str>, "arguments": <json>} (the shape the tool grammar
+    emits); `allowed` restricts the name set. Returns (name, arguments)
+    or None."""
+    try:
+        d = json.loads(text.strip())
+    except Exception:
+        return None
+    if not isinstance(d, dict) or set(d) != {"name", "arguments"}:
+        return None
+    if allowed is not None and d["name"] not in allowed:
+        return None
+    return d["name"], d["arguments"]
+
+
 class _Pending:
     __slots__ = ("prompt", "max_tokens", "event", "result", "stream", "stop",
                  "chunks", "sent_text", "final_text", "finish_reason",
@@ -88,6 +104,9 @@ class InferenceServer:
         self.batcher = ContinuousBatcher(engine, n_slots=n_slots, poll_every=poll_every)
         self.host, self.port = host, port
         self._incoming: "queue.Queue[_Pending]" = queue.Queue()
+        # Embedding jobs ([texts, pooling, event, result-holder]): drained
+        # by the engine thread (single device owner) between decode steps.
+        self._embed_jobs: "queue.Queue[list]" = queue.Queue()
         # Cancels cross from HTTP handler threads to the engine thread here:
         # only the engine thread may touch JAX state (batcher.cancel writes
         # the device-side active flags).
@@ -104,6 +123,19 @@ class InferenceServer:
     def _engine_loop(self) -> None:
         b = self.batcher
         while not self._stop.is_set():
+            # Embedding jobs first: prefill-shaped forwards, cheap and
+            # latency-sensitive (they don't occupy batcher slots).
+            while True:
+                try:
+                    job = self._embed_jobs.get_nowait()
+                except queue.Empty:
+                    break
+                texts, pooling, event = job[0], job[1], job[2]
+                try:
+                    job[3] = self.engine.embed(texts, pooling=pooling)
+                except Exception as e:  # surface to the handler thread
+                    job[4] = str(e)
+                event.set()
             # Admit everything waiting.
             drained = False
             while True:
@@ -304,31 +336,54 @@ class InferenceServer:
                     self._json(400, {"error": "invalid JSON"})
                     return
                 templated = False  # chat-template output carries its own BOS
+                if self.path == "/v1/embeddings":
+                    self._embeddings(body)
+                    return
+                tools_req = None
                 if self.path == "/v1/completions":
                     prompt = body.get("prompt", "")
                     if isinstance(prompt, list):
                         prompt = prompt[0] if prompt else ""
                 elif self.path == "/v1/chat/completions":
                     msgs = body.get("messages", [])
+                    tools_req = body.get("tools") or None
                     # Prefer the model's own chat template when the loaded
                     # tokenizer ships one (HF apply_chat_template); fall
                     # back to a plain role-prefix transcript otherwise
-                    # (ByteTokenizer / templateless models).
+                    # (ByteTokenizer / templateless models). Tool
+                    # definitions render through the template's `tools`
+                    # support when it has one.
                     tok = outer.engine.tokenizer
                     tmpl = getattr(tok, "apply_chat_template", None)
                     templated = False
                     if tmpl is not None and getattr(tok, "chat_template", None):
-                        prompt = tmpl(
-                            msgs, tokenize=False, add_generation_prompt=True
-                        )
+                        try:
+                            prompt = tmpl(
+                                msgs, tokenize=False,
+                                add_generation_prompt=True,
+                                **({"tools": tools_req} if tools_req else {}),
+                            )
+                        except TypeError:  # template lib without tools kwarg
+                            prompt = tmpl(
+                                msgs, tokenize=False,
+                                add_generation_prompt=True,
+                            )
                         # The rendered string already contains BOS etc. —
                         # submit must not re-add special tokens.
                         templated = True
                     else:
-                        prompt = "\n".join(
-                            f"{m.get('role', 'user')}: {m.get('content', '')}"
-                            for m in msgs
-                        ) + "\nassistant:"
+                        lines = []
+                        if tools_req:
+                            lines.append(
+                                "available tools: " + json.dumps(tools_req)
+                            )
+                        for m in msgs:
+                            role = m.get("role", "user")
+                            content = m.get("content", "")
+                            if role == "assistant" and m.get("tool_calls"):
+                                content = json.dumps(m["tool_calls"])
+                            lines.append(f"{role}: {content}")
+                        prompt = "\n".join(lines) + "\nassistant:"
                 else:
                     self._json(404, {"error": "not found"})
                     return
@@ -412,6 +467,61 @@ class InferenceServer:
                     self._json(400, {
                         "error": f"unsupported response_format {rf_type!r}"})
                     return
+                # OpenAI tool calling (chat): tool_choice "required" / a
+                # named function constrains decode with the engine's
+                # precompiled tool grammar (EngineConfig(tools=...));
+                # "auto" generates unconstrained (tools rendered into the
+                # prompt) and parses a tool call from the output if one
+                # was emitted; "none" disables calling.
+                tool_parse = None
+                tool_names = []
+                if tools_req:
+                    try:
+                        tool_names = [
+                            (t.get("function", t) or {}).get("name")
+                            for t in tools_req
+                        ]
+                    except AttributeError:
+                        self._json(400, {"error": "malformed tools list"})
+                        return
+                    choice = body.get("tool_choice", "auto")
+                    avail = getattr(outer.engine, "_fsm_initial_map", None) \
+                        if outer.engine.config.tools else None
+                    if choice in (None, "none"):
+                        pass
+                    elif choice == "auto":
+                        tool_parse = "auto"
+                    elif choice == "required":
+                        compiled = {
+                            k.split(":", 1)[1]
+                            for k in (avail or {}) if ":" in k
+                        }
+                        if not compiled or not compiled <= set(tool_names):
+                            self._json(400, {
+                                "error": "tool_choice 'required' needs the "
+                                "server started with EngineConfig(tools=...) "
+                                "whose tools the request's list covers "
+                                f"(compiled: {sorted(compiled)})"})
+                            return
+                        rf_type, tool_parse = "tool_call", "force"
+                    elif (isinstance(choice, dict)
+                          and choice.get("type") == "function"):
+                        name = (choice.get("function") or {}).get("name")
+                        if not avail or f"tool_call:{name}" not in avail:
+                            self._json(400, {
+                                "error": f"tool {name!r} is not compiled "
+                                "into this server's tool grammar"})
+                            return
+                        rf_type, tool_parse = f"tool_call:{name}", "force"
+                    else:
+                        self._json(400, {
+                            "error": f"unsupported tool_choice {choice!r}"})
+                        return
+                    if tool_parse == "force" and stream:
+                        self._json(400, {
+                            "error": "constrained tool_choice with stream "
+                            "is not supported"})
+                        return
                 n = max(1, min(int(body.get("n") or 1), 16))
                 if n > 1 and stream:
                     self._json(400, {"error": "n > 1 with stream is not supported"})
@@ -587,21 +697,104 @@ class InferenceServer:
                         },
                     })
                 else:
+                    choices = []
+                    for i, p in enumerate(cands):
+                        text = text_of(p, i)
+                        finish = p.finish_reason
+                        message: Dict[str, Any] = {
+                            "role": "assistant", "content": text,
+                        }
+                        if tool_parse:
+                            # Forced mode: the grammar guarantees the shape
+                            # unless the token budget truncated mid-call
+                            # (then the parse fails and the raw text +
+                            # "length" pass through). Auto mode: a parse
+                            # hit means the model chose to call.
+                            tc = _parse_tool_call(text, allowed=tool_names)
+                            if tc is not None:
+                                message = {
+                                    "role": "assistant", "content": None,
+                                    "tool_calls": [{
+                                        "id": f"call_{uuid.uuid4().hex[:24]}",
+                                        "type": "function",
+                                        "function": {
+                                            "name": tc[0],
+                                            "arguments": json.dumps(tc[1]),
+                                        },
+                                    }],
+                                }
+                                finish = "tool_calls"
+                        choices.append({
+                            "index": i, "message": message,
+                            "finish_reason": finish,
+                            "logprobs": lp_of(p.result),
+                        })
                     self._json(200, {
                         "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
                         "object": "chat.completion",
                         "model": outer.engine.config.base_model,
-                        "choices": [{
-                            "index": i,
-                            "message": {
-                                "role": "assistant",
-                                "content": text_of(p, i),
-                            },
-                            "finish_reason": p.finish_reason,
-                            "logprobs": lp_of(p.result),
-                        } for i, p in enumerate(cands)],
+                        "choices": choices,
                         "usage": usage,
                     })
+
+            def _embeddings(self, body: dict) -> None:
+                """OpenAI /v1/embeddings: mean-pooled (default; `pooling`
+                accepts "last") normalized final hidden states of the
+                target model. encoding_format "float" (default) or
+                "base64" (little-endian float32, OpenAI convention). The
+                forward runs on the engine thread between decode steps."""
+                inp = body.get("input", "")
+                texts = (
+                    [inp] if isinstance(inp, str)
+                    else list(inp) if isinstance(inp, (list, tuple))
+                    else None
+                )
+                if not texts or not all(isinstance(t, str) for t in texts):
+                    self._json(400, {
+                        "error": "input must be a string or list of strings"})
+                    return
+                if len(texts) > 64:
+                    self._json(400, {"error": "at most 64 inputs"})
+                    return
+                fmt = body.get("encoding_format", "float")
+                if fmt not in ("float", "base64"):
+                    self._json(400, {
+                        "error": f"unsupported encoding_format {fmt!r}"})
+                    return
+                pooling = body.get("pooling", "mean")
+                if pooling not in ("mean", "last"):
+                    self._json(400, {
+                        "error": f"unsupported pooling {pooling!r}"})
+                    return
+                job = [texts, pooling, threading.Event(), None, None]
+                outer._embed_jobs.put(job)
+                if not job[2].wait(timeout=300):
+                    self._json(504, {"error": "embedding timed out"})
+                    return
+                if job[4] is not None:
+                    self._json(400, {"error": job[4]})
+                    return
+                emb, n_tok = job[3]
+
+                def enc(row):
+                    if fmt == "base64":
+                        import base64
+
+                        return base64.b64encode(
+                            row.astype("<f4").tobytes()
+                        ).decode()
+                    return [float(x) for x in row]
+
+                self._json(200, {
+                    "object": "list",
+                    "model": outer.engine.config.base_model,
+                    "data": [{
+                        "object": "embedding", "index": i,
+                        "embedding": enc(emb[i]),
+                    } for i in range(emb.shape[0])],
+                    "usage": {"prompt_tokens": n_tok,
+                              "total_tokens": n_tok},
+                })
 
             def _stream_response(self, pend: _Pending, chat: bool) -> None:
                 """OpenAI-style server-sent events: one `data: {json}` chunk
