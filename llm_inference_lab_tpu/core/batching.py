@@ -353,6 +353,31 @@ class ContinuousBatcher:
             lambda state, slot: state.replace(active=state.active.at[slot].set(False)),
             donate_argnums=(0,),
         )
+        # Retirement must clear the slot's PAGE TABLE rows on device:
+        # inactive lanes still ride every compiled step and keep writing
+        # K+1 junk KV rows at their stale (length-1) offset — through a
+        # stale table row those land in FREED pages, corrupting whichever
+        # request the allocator hands them to next (repro: stale slot's
+        # junk offsets observed overwriting a new request's prompt KV).
+        # Page 0 is the reserved dummy no allocation ever owns, so a
+        # zeroed row makes the junk writes permanently harmless.
+        def _clear_tbl(state, slot):
+            def clr(cache):
+                from llm_inference_lab_tpu.models.paged import PagedKVCache
+
+                if not isinstance(cache, PagedKVCache):
+                    return cache
+                return PagedKVCache(
+                    cache.k, cache.v, cache.k_scale, cache.v_scale,
+                    cache.table.at[slot].set(0),
+                )
+
+            return state.replace(
+                target_cache=clr(state.target_cache),
+                draft_cache=clr(state.draft_cache),
+            )
+
+        self._clear_table = jax.jit(_clear_tbl, donate_argnums=(0,))
         # Pipelined poll snapshot (poll_flags_async): one [3, B] int32.
         self._snap = jax.jit(
             lambda a, p, c: jnp.stack([a.astype(jnp.int32), p, c])
@@ -793,6 +818,9 @@ class ContinuousBatcher:
             self._done[req.req_id] = req
             self._slots[slot] = None
             if self.paged and req.pages:
+                # Order matters: clear the slot's device table rows BEFORE
+                # the allocator can reuse the pages (see _clear_table).
+                self.state = self._clear_table(self.state, np.int32(slot))
                 self.allocator.free(req.pages)
                 req.pages = None
             # Move this slot's counters into the retired accumulators (the

@@ -148,3 +148,41 @@ def test_tree_mode_rejects_paged():
         Engine(EngineConfig(
             implementation="fake", draft_mode="tree", kv_layout="paged",
         ))
+
+
+def test_retired_slot_cannot_corrupt_reused_pages():
+    """Regression: a retired slot's lane still rides every compiled step
+    and junk-writes K+1 KV rows at its stale (length-1) offset. Before the
+    fix, its stale page-table row aimed those writes into FREED pages —
+    observed overwriting a new request's prompt KV (rows at the stale
+    offsets changed mid-decode). Retirement now zeroes the slot's table
+    rows so junk lands in the reserved dummy page 0."""
+    eng = Engine(EngineConfig(
+        implementation="hf", base_model="llama-tiny",
+        draft_model="llama-tiny", max_draft=3, max_new_tokens=24,
+        kv_layout="paged", kv_page_size=16, max_seq_len=256,
+        dtype="float32", kv_pages=64,
+    ))
+    b = ContinuousBatcher(eng, n_slots=3)
+    b.submit("short one")
+    b.submit("short two here")
+    b.run()  # both retire; their pages return to the free list
+    tbl = np.asarray(b.state.target_cache.table)
+    assert (tbl[:2] == 0).all(), "retired table rows must be cleared"
+    # New request reuses the freed pages; decode must leave its prompt KV
+    # untouched by the (still-stepping) inactive lanes.
+    rid = b.submit("probe " * 10)
+    b._admit_pending()
+    slot = next(i for i, r in enumerate(b._slots) if r is not None)
+    row = np.asarray(b.state.target_cache.table)[slot]
+    first_page = int(row[0])
+    assert first_page != 0
+    before = np.asarray(b.state.target_cache.k[0, first_page]).copy()
+    b.step_chunk(2)
+    after = np.asarray(b.state.target_cache.k[0, first_page])
+    plen = len(b._slots[slot].ids)
+    guard = min(16, plen)  # page rows holding prompt KV must be stable
+    np.testing.assert_array_equal(before[:, :guard], after[:, :guard])
+    # and the request still completes correctly
+    res = {r["req_id"]: r for r in b.run()}[rid]
+    assert res["generated_tokens"] > 0
