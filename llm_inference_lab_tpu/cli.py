@@ -57,6 +57,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    metavar="PEFT_DIR",
                    help="HF PEFT adapter directory (repeatable); serving "
                         "routes the OpenAI `model` field to adapters")
+    p.add_argument("--admit-chunk", type=int, default=None,
+                   help="interleaved admission: prompts longer than this "
+                        "prefill in chunks between decode chunks (serving; "
+                        "multiple of the KV bucket)")
     p.add_argument("--per-request-sampling", action="store_true",
                    help="per-request temperature/top_k/top_p/penalties/"
                         "seed (serving)")
@@ -109,6 +113,7 @@ def _build_engine(args):
         ),
         lora_paths=args.lora,
         per_request_sampling=args.per_request_sampling,
+        admit_chunk=args.admit_chunk,
     )
     if args.dtype:
         cfg = cfg.override(dtype=args.dtype)

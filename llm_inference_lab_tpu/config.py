@@ -150,6 +150,13 @@ class EngineConfig:
     # the previous ones. Chunk sizes that are multiples of 128 route through
     # the Pallas flash-prefill kernel (ops/pallas/flash_prefill.py).
     prefill_chunk: Optional[int] = None
+    # Interleaved (chunked) admission for serving (vLLM "chunked
+    # prefill"): prompts longer than this prefill into a detached scratch
+    # this many tokens per decode chunk, so long admissions never stall
+    # decoding slots; the final splice is the only state touch. Must be a
+    # multiple of the KV bucket (page size / 32). None = one-shot
+    # admission. Not applied under prefix caching or multi-host.
+    admit_chunk: Optional[int] = None
 
     # KV cache layout: "contiguous" (one [max_seq] lane per slot) or "paged"
     # (page-pool + per-sequence page tables, models/paged.py — serving

@@ -55,6 +55,7 @@ class _Request:
     pages: Optional[List[int]] = None  # paged KV: pages owned by this request
     reuse_len: int = 0  # prompt tokens served from the prefix cache
     cancelled: bool = False  # early termination (stop sequence / client gone)
+    prefilling: bool = False  # incremental admission still in flight
 
 
 def derive_request_seed(engine_seed: int, req_id: int,
@@ -299,6 +300,140 @@ def make_admit_prefix(target_model, draft_model):
     return jax.jit(admit, donate_argnums=(2,))
 
 
+def make_admit_incremental(target_model, draft_model, chunk: int):
+    """Interleaved (chunked) admission — vLLM-style 'chunked prefill' for
+    the serving path. A long prompt's admission forward would otherwise
+    occupy the device for its full prefill (e.g. ~1 s at 6k tokens,
+    docs/RESULTS.md prefix-caching table), stalling every decoding slot.
+    Instead the prompt prefills into a DETACHED scratch cache `chunk`
+    tokens per call — the batcher interleaves these calls with decode
+    chunks — and only the final splice (no forward) touches DecodeState.
+    The live state never sees a half-prefilled slot: the slot stays
+    empty/inactive until the splice, so decode steps between chunks are
+    untouched (their junk writes land in the slot's own lane / dummy
+    page 0, both overwritten or unreachable).
+
+    Returns (chunk_fn, splice_fn):
+      chunk_fn(t_params, d_params, st, sd, lpbuf, h_carry,
+               tok [1,C], nxt [1,C], off, plen, lora_id)
+        -> (st, sd, lpbuf, h_carry): one C-token forward into the scratch
+        caches at offset `off`, accumulating prompt logprobs (same
+        gather − logsumexp scoring as every prefill path) and the
+        hidden-state carry at plen-2 (Medusa/EAGLE).
+      splice_fn(state, scratch_t, scratch_d, lp_row, h_last, prompt_row,
+                prompt_len, slot, max_new, table_row, <sampling/fsm/lora
+                scalars exactly as make_admit>) -> state."""
+    target_apply = target_model.apply_fn
+    draft_apply = draft_model.apply_fn if draft_model is not None else None
+    C = chunk
+
+    def chunk_fn(t_params, d_params, st, sd, lpbuf, h_carry,
+                 tok, nxt, off, plen, lora_id):
+        positions = off + jnp.arange(C, dtype=jnp.int32)[None]
+        start = jnp.full((1,), off, jnp.int32)
+        lg, st, hidden = target_apply(
+            t_params, tok, positions, st, start, return_hidden=True,
+            lora_ids=jnp.full((1,), lora_id, jnp.int32),
+        )
+        if draft_apply is not None:
+            _, sd = draft_apply(d_params, tok, positions, sd, start)
+        lg32 = lg[0].astype(jnp.float32)
+        row_lp = jnp.take_along_axis(
+            lg32, nxt[0, :, None], axis=-1
+        )[:, 0] - jax.scipy.special.logsumexp(lg32, axis=-1)
+        valid = (positions[0] + 1) < plen
+        lpbuf = jax.lax.dynamic_update_slice(
+            lpbuf, jnp.where(valid, row_lp, 0.0)[None], (0, off + 1)
+        )
+        local = plen - 2 - off
+        sel = hidden[0, jnp.clip(local, 0, C - 1)].astype(jnp.float32)
+        in_chunk = (local >= 0) & (local < C)
+        h_carry = jnp.where(in_chunk, sel, h_carry)
+        return st, sd, lpbuf, h_carry
+
+    def splice_fn(state, scratch_t, scratch_d, lp_row, h_last,
+                  prompt_row, prompt_len, slot, max_new, table_row,
+                  temperature, top_k, top_p, min_p, rep_penalty,
+                  presence_penalty, freq_penalty, bias_ids, bias_vals,
+                  seed, fsm_init, lora_id):
+        from llm_inference_lab_tpu.models.base import KVCache
+        from llm_inference_lab_tpu.models.paged import PagedKVCache
+
+        paged = isinstance(state.target_cache, PagedKVCache)
+        T = scratch_t.k.shape[-2]  # prompt pad (paged) / full lane
+
+        def splice(cache, sub):
+            if not paged:
+                return KVCache(
+                    jax.lax.dynamic_update_slice(
+                        cache.k, sub.k, (0, slot, 0, 0, 0)),
+                    jax.lax.dynamic_update_slice(
+                        cache.v, sub.v, (0, slot, 0, 0, 0)),
+                    jax.lax.dynamic_update_slice(
+                        cache.k_scale, sub.k_scale, (0, slot, 0, 0)),
+                    jax.lax.dynamic_update_slice(
+                        cache.v_scale, sub.v_scale, (0, slot, 0, 0)),
+                )
+            pg = cache.page_size
+            k, v, ks, vs = cache.k, cache.v, cache.k_scale, cache.v_scale
+            for j in range(T // pg):
+                pid = table_row[j]
+                k = k.at[:, pid].set(sub.k[:, 0, :, j * pg:(j + 1) * pg, :])
+                v = v.at[:, pid].set(sub.v[:, 0, :, j * pg:(j + 1) * pg, :])
+                ks = ks.at[:, pid].set(
+                    sub.k_scale[:, 0, :, j * pg:(j + 1) * pg])
+                vs = vs.at[:, pid].set(
+                    sub.v_scale[:, 0, :, j * pg:(j + 1) * pg])
+            return PagedKVCache(
+                k, v, ks, vs, cache.table.at[slot].set(table_row))
+
+        target_cache = splice(state.target_cache, scratch_t)
+        draft_cache = (
+            splice(state.draft_cache, scratch_d)
+            if scratch_d is not None else state.draft_cache
+        )
+        row = jnp.zeros((state.tokens.shape[1],), jnp.int32)
+        row = jax.lax.dynamic_update_slice(row, prompt_row[0], (0,))
+        return state.replace(
+            tokens=state.tokens.at[slot].set(row),
+            lengths=state.lengths.at[slot].set(prompt_len),
+            prompt_lens=state.prompt_lens.at[slot].set(prompt_len),
+            max_new=state.max_new.at[slot].set(max_new),
+            active=state.active.at[slot].set(prompt_len > 0),
+            target_cache=target_cache,
+            draft_cache=draft_cache,
+            proposed=state.proposed.at[slot].set(0),
+            accepted=state.accepted.at[slot].set(0),
+            bonus=state.bonus.at[slot].set(0),
+            last_hidden=state.last_hidden.at[slot].set(h_last),
+            prev_hidden=state.prev_hidden.at[slot].set(h_last),
+            temperature=state.temperature.at[slot].set(temperature),
+            top_k=state.top_k.at[slot].set(top_k),
+            top_p=state.top_p.at[slot].set(top_p),
+            min_p=state.min_p.at[slot].set(min_p),
+            rep_penalty=state.rep_penalty.at[slot].set(rep_penalty),
+            presence_penalty=state.presence_penalty.at[slot].set(
+                presence_penalty
+            ),
+            freq_penalty=state.freq_penalty.at[slot].set(freq_penalty),
+            bias_ids=state.bias_ids.at[slot].set(bias_ids),
+            bias_vals=state.bias_vals.at[slot].set(bias_vals),
+            slot_rng=state.slot_rng.at[slot].set(jax.random.PRNGKey(seed)),
+            lora_ids=state.lora_ids.at[slot].set(lora_id),
+            fsm_lex=state.fsm_lex.at[slot].set(fsm_init),
+            fsm_stack=state.fsm_stack.at[slot].set(0),
+            fsm_sp=state.fsm_sp.at[slot].set(0),
+            token_logprobs=state.token_logprobs.at[slot].set(lp_row[0]),
+        )
+
+    return (
+        jax.jit(chunk_fn, donate_argnums=(2, 3, 4, 5)),
+        # Scratch can't donate into the (differently-shaped) state
+        # buffers; only the state itself donates.
+        jax.jit(splice_fn, donate_argnums=(0,)),
+    )
+
+
 class ContinuousBatcher:
     """Drives an Engine's jitted step over a fixed slot batch with rolling
     admission/retirement. Usage:
@@ -307,6 +442,11 @@ class ContinuousBatcher:
         ids = [batcher.submit(p) for p in prompts]
         results = batcher.run()          # drain everything
     """
+
+    # MultiHostBatcher drives admission from its own synced plan; the
+    # incremental path's extra device calls would have to be replayed
+    # host-uniformly, so it opts out (long admissions stay one-shot there).
+    _supports_incremental_admit = True
 
     def __init__(
         self,
@@ -346,6 +486,24 @@ class ContinuousBatcher:
             if self.engine.config.kv_layout == "paged" and self.engine.config.prefix_caching
             else None
         )
+        # Interleaved (chunked) admission: long prompts prefill into a
+        # detached scratch C tokens per decode chunk instead of stalling
+        # the device for the whole prompt (cfg.admit_chunk; one admission
+        # in flight at a time; not under prefix caching or multi-host).
+        self._prefilling: Optional[dict] = None
+        self._admit_incr = None
+        if (cfg.admit_chunk and self._admit_prefix is None
+                and self._supports_incremental_admit):
+            C = cfg.admit_chunk
+            bucket = cfg.kv_page_size if cfg.kv_layout == "paged" else 32
+            if C % bucket != 0:
+                raise ValueError(
+                    f"admit_chunk ({C}) must be a multiple of the KV "
+                    f"bucket ({bucket})"
+                )
+            self._admit_incr = make_admit_incremental(
+                engine.target, engine.draft, C
+            )
         # Early termination (stop sequences, client disconnect): clearing a
         # slot's active flag retires it at the next poll; the freed slot is
         # immediately re-usable. One tiny jitted device write.
@@ -498,9 +656,60 @@ class ContinuousBatcher:
             table_row[: len(req.pages)] = req.pages
         else:
             table_row = np.zeros((1,), np.int32)  # ignored
-        dt, dk, dp, dmp = self._default_sampling
+        pen = self._admission_meta(req)
+        if (self._admit_incr is not None and self._prefilling is None
+                and len(req.ids) > eng.config.admit_chunk):
+            self._begin_incremental(slot, req, row, table_row, pen)
+            return
+        if self._admit_prefix is not None:
+            # Prefix-cached paged admission: forward the SUFFIX only.
+            suffix = req.ids[req.reuse_len :]
+            S = _round_up(max(len(suffix), 1), bucket)
+            suffix_row = np.zeros((1, S), np.int32)
+            suffix_row[0, : len(suffix)] = suffix
+            self.state = self._admit_prefix(
+                eng.target.params,
+                eng._draft_params,
+                self.state,
+                row,
+                suffix_row,
+                np.int32(len(req.ids)),
+                np.int32(req.reuse_len),
+                np.int32(slot),
+                np.int32(req.max_new_tokens),
+                table_row,
+                *pen,
+            )
+            self._slots[slot] = req
+            # Publish this request's own full prompt chunks for reuse.
+            self.allocator.register(req.ids, req.pages, req.reuse_len)
+            return
+        self.state = self._admit(
+            eng.target.params,
+            eng._draft_params,
+            self.state,
+            row,
+            np.int32(len(req.ids)),
+            np.int32(slot),
+            np.int32(req.max_new_tokens),
+            table_row,
+            *pen,
+        )
+        self._slots[slot] = req
+
+    def _admission_meta(self, req: _Request) -> tuple:
+        """The per-request scalar tail every admission jit takes:
+        (temperature, top_k, top_p, min_p, rep/presence/freq penalties,
+        bias ids/vals, seed, fsm initial, lora id) — host numpy, uniform
+        across controllers."""
+        eng = self.engine
         cfgp = eng.config
-        pen = (
+        dt, dk, dp, dmp = self._default_sampling
+        meta = (
+            np.float32(dt if req.temperature is None else req.temperature),
+            np.int32(dk if req.top_k is None else req.top_k),
+            np.float32(dp if req.top_p is None else req.top_p),
+            np.float32(dmp if req.min_p is None else req.min_p),
             np.float32(
                 cfgp.repetition_penalty
                 if req.repetition_penalty is None
@@ -528,7 +737,6 @@ class ContinuousBatcher:
         # per-request key from the engine seed and the request id, so a
         # fixed engine seed still reproduces a whole serving trace.
         eff_seed = derive_request_seed(cfgp.seed, req.req_id, req.seed)
-        pen = pen + (b_ids, b_vals, np.int32(eff_seed))
         # Grammar constraint (OpenAI response_format / tool_choice):
         # per-request opt-in; the engine must have been built with
         # EngineConfig.constrain / .tools so the tables exist and the
@@ -537,7 +745,6 @@ class ContinuousBatcher:
             fsm_init = eng._resolve_fsm_initial(req.response_format)
         else:
             fsm_init = -1
-        pen = pen + (np.int32(fsm_init),)
         # Multi-LoRA: resolve the adapter name against the engine's pack.
         if req.lora is not None:
             lid = getattr(eng, "lora_names", {}).get(req.lora)
@@ -548,50 +755,110 @@ class ContinuousBatcher:
                 )
         else:
             lid = -1
-        pen = pen + (np.int32(lid),)
-        if self._admit_prefix is not None:
-            # Prefix-cached paged admission: forward the SUFFIX only.
-            suffix = req.ids[req.reuse_len :]
-            S = _round_up(max(len(suffix), 1), bucket)
-            suffix_row = np.zeros((1, S), np.int32)
-            suffix_row[0, : len(suffix)] = suffix
-            self.state = self._admit_prefix(
-                eng.target.params,
-                eng._draft_params,
-                self.state,
-                row,
-                suffix_row,
-                np.int32(len(req.ids)),
-                np.int32(req.reuse_len),
-                np.int32(slot),
-                np.int32(req.max_new_tokens),
-                table_row,
-                np.float32(dt if req.temperature is None else req.temperature),
-                np.int32(dk if req.top_k is None else req.top_k),
-                np.float32(dp if req.top_p is None else req.top_p),
-                np.float32(dmp if req.min_p is None else req.min_p),
-                *pen,
+        return meta + (b_ids, b_vals, np.int32(eff_seed),
+                       np.int32(fsm_init), np.int32(lid))
+
+    def _begin_incremental(self, slot: int, req: _Request, row, table_row,
+                           meta) -> None:
+        """Start an interleaved admission: allocate the detached scratch
+        caches and park the request; _advance_admission runs one C-token
+        chunk per decode chunk until the final splice activates the slot.
+        The live state is untouched until then (the slot's lane/table row
+        is stale-but-unreachable, exactly like any retired slot)."""
+        from llm_inference_lab_tpu.models.base import KVCache
+
+        eng = self.engine
+        C = eng.config.admit_chunk
+        P = _round_up(max(len(req.ids), 1), C)
+        prow = np.zeros((1, P), np.int32)
+        prow[0, : len(req.ids)] = req.ids
+        main = self.state.target_cache
+
+        def scratch(cache):
+            L, d = cache.k.shape[0], cache.k.shape[-1]
+            kvh = cache.k.shape[-3]
+            return KVCache(
+                k=jnp.zeros((L, 1, kvh, P, d), cache.k.dtype),
+                v=jnp.zeros((L, 1, kvh, P, d), cache.v.dtype),
+                k_scale=jnp.ones((L, 1, kvh, P), jnp.float32),
+                v_scale=jnp.ones((L, 1, kvh, P), jnp.float32),
             )
-            self._slots[slot] = req
-            # Publish this request's own full prompt chunks for reuse.
-            self.allocator.register(req.ids, req.pages, req.reuse_len)
-            return
-        self.state = self._admit(
-            eng.target.params,
-            eng._draft_params,
-            self.state,
-            row,
-            np.int32(len(req.ids)),
-            np.int32(slot),
-            np.int32(req.max_new_tokens),
-            table_row,
-            np.float32(dt if req.temperature is None else req.temperature),
-            np.int32(dk if req.top_k is None else req.top_k),
-            np.float32(dp if req.top_p is None else req.top_p),
-            np.float32(dmp if req.min_p is None else req.min_p),
-            *pen,
-        )
+
+        D = eng.target.config.d_model
+        self._prefilling = {
+            "req": req, "slot": slot, "off": 0, "P": P,
+            "row": prow, "table_row": table_row, "meta": meta,
+            "st": scratch(main),
+            "sd": (scratch(self.state.draft_cache)
+                   if eng.draft is not None else None),
+            "lp": jnp.zeros((1, self.state.tokens.shape[1]), jnp.float32),
+            "h": jnp.zeros((D,), jnp.float32),
+        }
+        req.prefilling = True
         self._slots[slot] = req
+
+    def _advance_admission(self) -> None:
+        """One C-token prefill chunk of the in-flight admission (no-op
+        when none). Called once per decode chunk so a long prompt costs
+        each decoding slot at most one chunk of added latency per poll."""
+        pf = self._prefilling
+        if pf is None or pf.get("ready"):
+            return
+        req = pf["req"]
+        if req.cancelled:
+            self._abort_incremental(req)
+            return
+        eng = self.engine
+        C = eng.config.admit_chunk
+        chunk_fn, splice_fn = self._admit_incr
+        off = pf["off"]
+        tok = pf["row"][:, off:off + C]
+        nxt = np.zeros((1, C), np.int32)
+        nxt[0, : C - 1] = pf["row"][0, off + 1:off + C]
+        if off + C < pf["P"]:
+            nxt[0, C - 1] = pf["row"][0, off + C]
+        lid = pf["meta"][-1]
+        pf["st"], pf["sd"], pf["lp"], pf["h"] = chunk_fn(
+            eng.target.params, eng._draft_params, pf["st"], pf["sd"],
+            pf["lp"], pf["h"], tok, nxt, np.int32(off),
+            np.int32(len(req.ids)), lid,
+        )
+        pf["off"] = off + C
+        # The final splice is DEFERRED to _admit_pending: the serving loop
+        # pipelines its poll (flags snapshot BEFORE the chunk), so a slot
+        # activated mid-chunk would be retired by the stale snapshot as
+        # inactive-with-zero-output. _admit_pending runs after retirement,
+        # exactly where one-shot admissions activate slots.
+        pf["ready"] = pf["off"] >= pf["P"]
+
+    def _finish_admission(self) -> None:
+        pf = self._prefilling
+        if pf is None or not pf.get("ready"):
+            return
+        req = pf["req"]
+        if req.cancelled:
+            self._abort_incremental(req)
+            return
+        _, splice_fn = self._admit_incr
+        self.state = splice_fn(
+            self.state, pf["st"], pf["sd"], pf["lp"], pf["h"],
+            pf["row"], np.int32(len(req.ids)), np.int32(pf["slot"]),
+            np.int32(req.max_new_tokens), pf["table_row"], *pf["meta"],
+        )
+        req.prefilling = False
+        self._prefilling = None
+
+    def _abort_incremental(self, req: _Request) -> None:
+        """Drop a cancelled in-flight admission: nothing reached the live
+        state, so only host bookkeeping (and pages) unwind."""
+        pf = self._prefilling
+        self._prefilling = None
+        self._slots[pf["slot"]] = None
+        req.prefilling = False
+        if self.paged and req.pages:
+            self.allocator.free(req.pages)
+            req.pages = None
+        self._finish_cancelled(req)
 
     def _plan_admissions(self) -> List[_Request]:
         """Host-side admission decisions (queue order, page allocation) —
@@ -666,6 +933,7 @@ class ContinuousBatcher:
         self._done[req.req_id] = req
 
     def _admit_pending(self) -> None:
+        self._finish_admission()
         for req in self._plan_admissions():
             self._admit_one(req.slot, req)
 
@@ -745,7 +1013,8 @@ class ContinuousBatcher:
             active, proposed, accepted = f[0].astype(bool), f[1], f[2]
         else:
             active, proposed, accepted = self._fetch_flags()
-        occupied = [s for s, r in enumerate(self._slots) if r is not None]
+        occupied = [s for s, r in enumerate(self._slots)
+                    if r is not None and not r.prefilling]
         prop_total = self._done_prop + int(proposed[occupied].sum())
         acc_total = self._done_acc + int(accepted[occupied].sum())
         self.scheduler.record_step(
@@ -756,7 +1025,7 @@ class ContinuousBatcher:
             return
         tokens = None
         for slot, req in enumerate(self._slots):
-            if req is None or active[slot]:
+            if req is None or req.prefilling or active[slot]:
                 continue
             if tokens is None:
                 tokens, lengths, logprobs = self._fetch_tokens()
@@ -864,6 +1133,10 @@ class ContinuousBatcher:
         else:
             self.state = loop_fn(eng.target.params, eng._draft_params, self.state)
         self._steps += n
+        # Interleaved admission rides here: one C-token prefill chunk per
+        # decode chunk (dispatched after the loop, so the device pipeline
+        # alternates decode-chunk / prefill-chunk with no host stalls).
+        self._advance_admission()
 
     def run(self, max_steps: Optional[int] = None) -> List[dict]:
         """Drain the queue + all slots; returns results ordered by req_id."""

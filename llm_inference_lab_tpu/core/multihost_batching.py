@@ -61,6 +61,11 @@ class MultiHostBatcher(ContinuousBatcher):
     broadcast; all device work stays collective. Single-process mode (no
     jax.distributed) degenerates to the base class exactly."""
 
+    # Interleaved admission would need its chunk calls replayed
+    # host-uniformly from the synced plan; long admissions stay one-shot
+    # here (see ContinuousBatcher._supports_incremental_admit).
+    _supports_incremental_admit = False
+
     def __init__(self, engine, n_slots: int = 8, **kw):
         super().__init__(engine, n_slots=n_slots, **kw)
         self.rank = jax.process_index()
