@@ -60,12 +60,13 @@ class _Pending:
     __slots__ = ("prompt", "max_tokens", "event", "result", "stream", "stop",
                  "chunks", "sent_text", "final_text", "finish_reason",
                  "sampling", "created", "add_special_tokens",
-                 "response_format", "lora")
+                 "response_format", "lora", "tool_stream")
 
     def __init__(self, prompt: str, max_tokens: int,
                  stream: bool = False, stop=None, sampling=None,
                  add_special_tokens: bool = True,
-                 response_format=None, lora=None):
+                 response_format=None, lora=None,
+                 tool_stream: bool = False):
         self.prompt = prompt
         self.max_tokens = max_tokens
         # (temperature, top_k, top_p, min_p, repetition_penalty,
@@ -85,6 +86,10 @@ class _Pending:
         self.add_special_tokens = add_special_tokens
         self.response_format = response_format
         self.lora = lora  # adapter name (OpenAI `model` routing)
+        # Streaming a CONSTRAINED tool call: deltas are emitted as OpenAI
+        # tool_calls chunks (name once, then argument deltas) instead of
+        # content chunks.
+        self.tool_stream = tool_stream
 
 
 class InferenceServer:
@@ -517,11 +522,7 @@ class InferenceServer:
                         self._json(400, {
                             "error": f"unsupported tool_choice {choice!r}"})
                         return
-                    if tool_parse == "force" and stream:
-                        self._json(400, {
-                            "error": "constrained tool_choice with stream "
-                            "is not supported"})
-                        return
+
                 n = max(1, min(int(body.get("n") or 1), 16))
                 if n > 1 and stream:
                     self._json(400, {"error": "n > 1 with stream is not supported"})
@@ -539,7 +540,8 @@ class InferenceServer:
                 pend = _Pending(prompt, max_tokens, stream=stream, stop=stop,
                                 sampling=sampling,
                                 add_special_tokens=not templated,
-                                response_format=rf_type, lora=lora_name)
+                                response_format=rf_type, lora=lora_name,
+                                tool_stream=(stream and tool_parse == "force"))
                 # OpenAI `n`: independent completions of the same prompt —
                 # each rides its own batcher slot (they share the prompt's
                 # KV pages under prefix caching).
@@ -821,6 +823,78 @@ class InferenceServer:
                     self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
                     self.wfile.flush()
 
+                def emit_tool(delta: dict, finish: Optional[str]) -> None:
+                    payload = {"id": rid, "object": obj, "model": model,
+                               "choices": [{"index": 0, "delta": delta,
+                                            "finish_reason": finish}]}
+                    self.wfile.write(
+                        f"data: {json.dumps(payload)}\n\n".encode())
+                    self.wfile.flush()
+
+                # Constrained tool-call streaming: the grammar guarantees
+                # the text is `{"name":<json-string>,"arguments":` + args
+                # + `}` — emit the OpenAI tool_calls chunk shape (name
+                # once, then raw argument-byte deltas). One trailing char
+                # is held back while streaming: the final `}` belongs to
+                # the WRAPPER, not the arguments, and only the finish
+                # (which knows whether the call completed or hit the
+                # budget) can tell.
+                tool_full = ""
+                tool_args_at = -1  # index where the arguments value starts
+                tool_emitted = 0   # argument chars already emitted
+                call_id = f"call_{uuid.uuid4().hex[:24]}"
+
+                def tool_feed(chunk: Optional[str]) -> None:
+                    nonlocal tool_full, tool_args_at, tool_emitted
+                    if chunk is not None:
+                        tool_full += chunk
+                    if tool_args_at < 0:
+                        marker = ',"arguments":'
+                        try:
+                            name, after = json.JSONDecoder().raw_decode(
+                                tool_full, 8
+                            )
+                        except (ValueError, IndexError):
+                            name = None
+                        if name is not None and tool_full.startswith(
+                            marker, after
+                        ):
+                            tool_args_at = after + len(marker)
+                            emit_tool({"tool_calls": [{
+                                "index": 0, "id": call_id,
+                                "type": "function",
+                                "function": {"name": name,
+                                             "arguments": ""},
+                            }]}, None)
+                        elif chunk is None:  # budget died inside the name
+                            emit_tool({}, pend.finish_reason or "length")
+                            return
+                        else:
+                            return  # name still incomplete
+                    if chunk is None:  # finish: flush minus the wrapper }
+                        args = tool_full[tool_args_at:]
+                        done = _parse_tool_call(tool_full) is not None
+                        if done and args.endswith("}"):
+                            args = args[:-1]
+                        delta = args[tool_emitted:]
+                        fin = ("tool_calls" if done
+                               else pend.finish_reason or "length")
+                        tool_emitted = len(args)
+                        emit_tool({"tool_calls": [{
+                            "index": 0,
+                            "function": {"arguments": delta},
+                        }]} if delta else {}, fin)
+                        return
+                    avail = len(tool_full) - tool_args_at - 1  # hold 1 back
+                    if avail > tool_emitted:
+                        delta = tool_full[
+                            tool_args_at + tool_emitted:tool_args_at + avail
+                        ]
+                        tool_emitted = avail
+                        emit_tool({"tool_calls": [{
+                            "index": 0, "function": {"arguments": delta},
+                        }]}, None)
+
                 deadline = time.time() + 600
                 try:
                     if chat:  # role preamble chunk (OpenAI convention)
@@ -839,11 +913,17 @@ class InferenceServer:
                                 break
                             continue
                         if chunk is None:
-                            emit(None, pend.finish_reason or "stop")
+                            if pend.tool_stream:
+                                tool_feed(None)
+                            else:
+                                emit(None, pend.finish_reason or "stop")
                             self.wfile.write(b"data: [DONE]\n\n")
                             self.wfile.flush()
                             break
-                        emit(chunk, None)
+                        if pend.tool_stream:
+                            tool_feed(chunk)
+                        else:
+                            emit(chunk, None)
                 except (BrokenPipeError, ConnectionResetError):
                     # Client went away mid-stream: ask the engine thread to
                     # stop generating for them (no JAX access from here).

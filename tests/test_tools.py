@@ -233,18 +233,52 @@ def test_server_tool_choice_none_and_auto(tool_server):
     assert ch["message"]["content"] is not None
 
 
-def test_server_unknown_tool_and_stream_rejected(tool_server):
+def test_server_unknown_tool_rejected(tool_server):
     code, _ = _post(tool_server.port, "/v1/chat/completions", {
         "messages": [{"role": "user", "content": "x"}],
         "tools": GEN_TOOLS,
         "tool_choice": {"type": "function", "function": {"name": "nope"}},
     })
     assert code == 400
-    code, _ = _post(tool_server.port, "/v1/chat/completions", {
-        "messages": [{"role": "user", "content": "x"}],
-        "tools": GEN_TOOLS, "tool_choice": "required", "stream": True,
-    })
-    assert code == 400
+
+
+def test_server_streamed_tool_call(tool_server):
+    """stream + constrained tool_choice emits OpenAI tool_calls chunks:
+    the first carries id/type/name, later ones argument deltas; the
+    concatenated arguments parse as JSON conforming to the tool."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{tool_server.port}/v1/chat/completions",
+        data=json.dumps({
+            "messages": [{"role": "user", "content": "time?"}],
+            "tools": GEN_TOOLS,
+            "tool_choice": {"type": "function",
+                            "function": {"name": "get_time"}},
+            "stream": True, "max_tokens": 64,
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for line in r:
+            line = line.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            if line == "data: [DONE]":
+                break
+            chunks.append(json.loads(line[6:]))
+    deltas = [c["choices"][0]["delta"] for c in chunks]
+    tool_deltas = [d["tool_calls"][0] for d in deltas if "tool_calls" in d]
+    assert tool_deltas, chunks
+    first = tool_deltas[0]
+    assert first["id"].startswith("call_")
+    assert first["type"] == "function"
+    assert first["function"]["name"] == "get_time"
+    args = "".join(d["function"]["arguments"] for d in tool_deltas)
+    assert json.loads(args)["tz"] in ("utc", "local")
+    finishes = [c["choices"][0]["finish_reason"] for c in chunks]
+    assert finishes[-1] == "tool_calls"
 
 
 def test_server_tool_and_role_tool_messages(tool_server):
