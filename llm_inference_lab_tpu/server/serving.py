@@ -401,6 +401,9 @@ class InferenceServer:
                 if isinstance(stop, str):
                     stop = [stop]
                 stream = bool(body.get("stream", False))
+                stream_usage = bool(
+                    (body.get("stream_options") or {}).get("include_usage")
+                ) if isinstance(body.get("stream_options"), dict) else False
                 chat = self.path == "/v1/chat/completions"
                 sampling = None
                 if outer.engine.config.per_request_sampling:
@@ -567,7 +570,8 @@ class InferenceServer:
                 for p in extra:
                     outer._incoming.put(p)
                 if stream:
-                    self._stream_response(pend, chat)
+                    self._stream_response(pend, chat,
+                                          usage=stream_usage and prompt)
                     return
                 for p in [pend] + extra:
                     if not p.event.wait(timeout=600):
@@ -607,8 +611,20 @@ class InferenceServer:
                     dec = outer.engine.tokenizer.decode
                     toks = [dec([t]) for t in res["generated_ids"]]
                     # Top-N alternatives ride along when the engine captures
-                    # them (EngineConfig(logprobs_topk=N)).
+                    # them (EngineConfig(logprobs_topk=N)); the chat
+                    # `top_logprobs` count (and the completions int) trim
+                    # the captured N down per request.
                     tops = res.get("top_logprobs")
+                    want_n = body.get("top_logprobs")
+                    if want_n is None and chat is False and isinstance(
+                        lpq, int
+                    ) and not isinstance(lpq, bool):
+                        want_n = lpq
+                    if tops and want_n is not None:
+                        want_n = max(0, int(want_n))
+                        tops = [pos[:want_n] for pos in tops]
+                        if want_n == 0:
+                            tops = None
 
                     def fmt_pos(pos):
                         # The legacy completions format keys by decoded
@@ -798,7 +814,8 @@ class InferenceServer:
                               "total_tokens": n_tok},
                 })
 
-            def _stream_response(self, pend: _Pending, chat: bool) -> None:
+            def _stream_response(self, pend: _Pending, chat: bool,
+                                 usage=None) -> None:
                 """OpenAI-style server-sent events: one `data: {json}` chunk
                 per observed delta, then a finish_reason chunk and
                 `data: [DONE]`."""
@@ -917,6 +934,23 @@ class InferenceServer:
                                 tool_feed(None)
                             else:
                                 emit(None, pend.finish_reason or "stop")
+                            if usage:
+                                # OpenAI stream_options.include_usage: one
+                                # final chunk with empty choices + usage.
+                                tok = outer.engine.tokenizer
+                                np_ = len(tok.encode(usage))
+                                nc = (pend.result or {}).get(
+                                    "generated_tokens", 0)
+                                self.wfile.write((
+                                    "data: " + json.dumps({
+                                        "id": rid, "object": obj,
+                                        "model": model, "choices": [],
+                                        "usage": {
+                                            "prompt_tokens": np_,
+                                            "completion_tokens": nc,
+                                            "total_tokens": np_ + nc,
+                                        },
+                                    }) + "\n\n").encode())
                             self.wfile.write(b"data: [DONE]\n\n")
                             self.wfile.flush()
                             break

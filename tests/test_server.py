@@ -337,3 +337,54 @@ def test_best_of_stream_mismatch_rejected(server):
         _post(server, "/v1/completions",
               {"prompt": "x", "max_tokens": 4, "stream": True,
                "best_of": 3})
+
+
+def test_stream_options_include_usage(server):
+    """OpenAI stream_options.include_usage: one extra final chunk with
+    empty choices and the usage counts, before [DONE]."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/completions",
+        data=json.dumps({"prompt": "usage stream", "max_tokens": 6,
+                         "stream": True,
+                         "stream_options": {"include_usage": True}}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=60) as r:
+        for line in r:
+            line = line.decode().strip()
+            if line == "data: [DONE]":
+                break
+            if line.startswith("data: "):
+                chunks.append(json.loads(line[6:]))
+    assert chunks[-1]["choices"] == []
+    u = chunks[-1]["usage"]
+    assert u["prompt_tokens"] > 0 and u["completion_tokens"] == 6
+    assert u["total_tokens"] == u["prompt_tokens"] + u["completion_tokens"]
+    # without the option no usage chunk appears
+    assert all("usage" not in c for c in chunks[:-1])
+
+
+def test_chat_top_logprobs_trims_captured_n():
+    """The chat `top_logprobs` count (and the completions int form) trim
+    the engine-captured alternatives down per request."""
+    eng = Engine(EngineConfig(implementation="fake", base_model="fake",
+                              draft_model="fake", max_draft=2,
+                              max_new_tokens=6, max_seq_len=256,
+                              logprobs_topk=5))
+    srv = InferenceServer(eng, n_slots=2, port=0)
+    srv.start()
+    try:
+        out = _post(srv, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4, "logprobs": True, "top_logprobs": 2,
+        })
+        content = out["choices"][0]["logprobs"]["content"]
+        assert all(len(pos["top_logprobs"]) == 2 for pos in content)
+        out = _post(srv, "/v1/completions", {
+            "prompt": "hi", "max_tokens": 4, "logprobs": 3,
+        })
+        tops = out["choices"][0]["logprobs"]["top_logprobs"]
+        assert all(len(pos) <= 3 for pos in tops)
+    finally:
+        srv.stop()
