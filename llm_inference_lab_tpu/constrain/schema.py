@@ -19,6 +19,10 @@ Supported subset (v1, documented):
   {"type": "array", "items": S, "minItems"?: n, "maxItems"?: m}
       — m - n bounded unrolling; unbounded tail loops
   {"enum": [...]} / {"const": x} — trie over the exact JSON encodings
+  {"anyOf": [S1, S2]} / {"oneOf": ...} / {"type": ["string", "null"]}
+      — union of alternatives with DISJOINT first characters (distinct
+        JSON types always qualify — the nullable-field case); an
+        ambiguous union raises at compile time
 
 By default the automaton is COMPACT: no optional whitespace anywhere
 (token-minimal output, and a constrained model can't burn its budget
@@ -192,6 +196,29 @@ def _value(b: _Builder, schema: Dict, entry: int, exit_: int):
         _trie(b, [json.dumps(o) for o in options], entry, exit_)
         return
     t = schema.get("type")
+    # anyOf / oneOf / union types (["string", "null"]): alternatives
+    # build from the SAME entry into the same exit. Deterministic only
+    # when the alternatives' first characters are disjoint — true for
+    # distinct JSON types (the overwhelmingly common nullable-field
+    # case), checked below; a first-char collision (e.g. two object
+    # alternatives) raises rather than silently mis-compiling.
+    alts = schema.get("anyOf") or schema.get("oneOf")
+    if alts is None and isinstance(t, list):
+        alts = [{**schema, "type": x} for x in t]
+    if alts is not None:
+        claimed = b.rows[entry] != DEAD
+        for alt in alts:
+            before = b.rows[entry].copy()
+            _value(b, alt, entry, exit_)
+            changed = b.rows[entry] != before
+            if (claimed & changed).any():
+                chars = [chr(c) for c in np.nonzero(claimed & changed)[0]]
+                raise ValueError(
+                    f"ambiguous anyOf: alternatives share first "
+                    f"character(s) {chars!r}"
+                )
+            claimed |= b.rows[entry] != DEAD
+        return
     if t == "string":
         _string_body(b, entry, exit_)
     elif t in ("number", "integer"):

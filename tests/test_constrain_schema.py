@@ -195,3 +195,43 @@ def test_large_schema_over_127_states():
         assert r is not None, (chr(ch), state)
         state, stack = r
     assert tt.accepting[state] and not stack
+
+
+def test_anyof_nullable_and_union_types():
+    """anyOf / oneOf / list-form types: alternatives with disjoint first
+    chars (distinct JSON types — the nullable-field case) compile into
+    one union DFA; ambiguous unions raise."""
+    nullable = build_schema_automaton({
+        "type": "object",
+        "properties": {
+            "city": {"anyOf": [{"type": "string"}, {"type": "null"}]},
+            "days": {"type": ["integer", "null"]},
+            "mode": {"oneOf": [{"enum": ["a", "b"]}, {"type": "boolean"}]},
+        },
+    })
+
+    def ok(t):
+        s = _walk(nullable, t)
+        return s is not None and bool(nullable.accepting[s])
+
+    assert ok(b'{"city":"SF","days":3,"mode":"a"}')
+    assert ok(b'{"city":null,"days":null,"mode":true}')
+    assert ok(b'{"city":"x","days":null,"mode":"b"}')
+    assert _walk(nullable, b'{"city":3') is None       # not in union
+    assert _walk(nullable, b'{"city":null,"days":1.5') is None  # int only
+    assert _walk(nullable, b'{"city":null,"days":2,"mode":"c"') is None
+
+    with pytest.raises(ValueError):  # two string alternatives collide
+        build_schema_automaton({"anyOf": [
+            {"type": "string"}, {"enum": ["x"]},
+        ]})
+
+
+def test_anyof_top_level_eos():
+    """A top-level union value still unlocks EOS exactly at completion."""
+    auto = build_schema_automaton({"type": ["number", "boolean"]})
+    for good in (b"true", b"-1.5e3", b"false", b"0"):
+        s = _walk(auto, good)
+        assert s is not None and bool(auto.accepting[s]), good
+    assert not _accepts(auto, b"tru")
+    assert _walk(auto, b"truefalse") is None
