@@ -45,10 +45,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quantization", choices=["int8", "int4"], default=None)
     p.add_argument("--dtype", default=None)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--constrain", choices=["json", "json_object"],
+    p.add_argument("--constrain",
+                   choices=["json", "json_object", "regex"],
                    default=None,
                    help="grammar-constrained decoding (OpenAI "
-                        "response_format; serving: per-request opt-in)")
+                        "response_format / guided regex; serving: "
+                        "per-request opt-in)")
+    p.add_argument("--constrain-regex", default=None, metavar="PATTERN",
+                   help="the pattern for --constrain regex (anchored "
+                        "full match)")
     p.add_argument("--tools", default=None, metavar="TOOLS_JSON",
                    help="path to a JSON file with an OpenAI `tools` list; "
                         "compiles the tool-call grammar (serving: "
@@ -108,6 +113,7 @@ def _build_engine(args):
         seed=args.seed,
         profile=args.profile,
         constrain=args.constrain,
+        constrain_regex=args.constrain_regex,
         tools=(
             json.load(open(args.tools)) if args.tools else None
         ),

@@ -117,8 +117,9 @@ class EngineConfig:
     # (slightly faster). Not compatible with policy="rejection" or tree mode.
     per_request_sampling: bool = False
     # Grammar-constrained decoding (constrain/): None disables; "json"
-    # (any top-level value), "json_object" (OpenAI response_format), or
-    # "json_schema" (structured outputs — requires constrain_schema)
+    # (any top-level value), "json_object" (OpenAI response_format),
+    # "json_schema" (structured outputs — requires constrain_schema), or
+    # "regex" (guided regex — requires constrain_regex)
     # compiles the grammar's token tables at engine init and masks every
     # sampling site device-side. Serving: requests opt in per-request via
     # OpenAI response_format; the engine-level value is the default for
@@ -127,6 +128,10 @@ class EngineConfig:
     # The schema served when constrain == "json_schema" (see
     # constrain/schema.py for the supported subset).
     constrain_schema: Optional[dict] = None
+    # The pattern served when constrain == "regex" (guided-regex
+    # decoding; anchored full match — see constrain/regex.py for the
+    # supported syntax).
+    constrain_regex: Optional[str] = None
     # Tool calling (constrain/tools.py): OpenAI `tools` list compiled at
     # engine init into a tool-call grammar ({"name":...,"arguments":...}
     # constrained to each tool's parameters schema). Requests opt in via

@@ -317,11 +317,11 @@ class Engine:
             )
         if cfg.constrain is not None or cfg.tools:
             if cfg.constrain is not None and cfg.constrain not in (
-                "json", "json_object", "json_schema",
+                "json", "json_object", "json_schema", "regex",
             ):
                 raise ValueError(
-                    f"constrain must be 'json', 'json_object', or "
-                    f"'json_schema', got {cfg.constrain!r}"
+                    f"constrain must be 'json', 'json_object', "
+                    f"'json_schema', or 'regex', got {cfg.constrain!r}"
                 )
             if self.draft_mode == "tree":
                 raise ValueError(
@@ -345,6 +345,16 @@ class Engine:
                 )
 
                 auto, tool_initials = build_tools_automaton(cfg.tools)
+            elif cfg.constrain == "regex":
+                if not cfg.constrain_regex:
+                    raise ValueError(
+                        "constrain='regex' requires constrain_regex"
+                    )
+                from llm_inference_lab_tpu.constrain.regex import (
+                    build_regex_automaton,
+                )
+
+                auto = build_regex_automaton(cfg.constrain_regex)
             elif cfg.constrain == "json_schema":
                 if not cfg.constrain_schema:
                     raise ValueError(
@@ -375,8 +385,8 @@ class Engine:
                 self._fsm_initial = -1  # tools are per-request opt-in
             else:
                 self._fsm_initial_map = (
-                    {"json_schema": tt.initial}
-                    if cfg.constrain == "json_schema"
+                    {cfg.constrain: tt.initial}
+                    if cfg.constrain in ("json_schema", "regex")
                     else {"json": tt.initial,
                           "json_object": tt.initial_objonly}
                 )

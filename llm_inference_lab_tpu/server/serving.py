@@ -442,9 +442,32 @@ class InferenceServer:
                 # "json" for any top-level value). Needs an engine built
                 # with EngineConfig(constrain=...).
                 rf = body.get("response_format") or {}
+                if body.get("guided_regex") and not rf:
+                    # vLLM-style guided_regex body key.
+                    rf = {"type": "regex", "pattern": body["guided_regex"]}
                 rf_type = rf.get("type") if isinstance(rf, dict) else rf
                 if rf_type in (None, "text"):
                     rf_type = None
+                elif rf_type == "regex":
+                    avail_rx = getattr(outer.engine, "_fsm_initial_map", None)
+                    if not avail_rx or "regex" not in avail_rx:
+                        self._json(400, {
+                            "error": "this server's grammar cannot serve "
+                                     "regex (start with EngineConfig("
+                                     "constrain='regex', "
+                                     "constrain_regex=...))"})
+                        return
+                    # One precompiled pattern per deployment — reject
+                    # mismatches rather than silently constraining to a
+                    # different language (json_schema precedent).
+                    pat = rf.get("pattern") if isinstance(rf, dict) else None
+                    if (pat is not None
+                            and pat != outer.engine.config.constrain_regex):
+                        self._json(400, {
+                            "error": "request pattern does not match the "
+                                     "pattern this server was compiled "
+                                     "with"})
+                        return
                 elif rf_type in ("json", "json_object", "json_schema"):
                     fmt_map = getattr(outer.engine, "_fsm_initial_map", None)
                     if (getattr(outer.engine, "_constrain_tbl", None) is None
