@@ -38,30 +38,43 @@ def _finalize(o_ref, m_ref, l_ref, acc_ref):
     o_ref[0] = out.reshape(S, group, D).astype(o_ref.dtype)
 
 
-def _accum_tile(pos_ref, q_ref, k, v, kv_scale, m_ref, l_ref, acc_ref, kv_base):
+def _accum_tile(pos_ref, q_ref, k, v, kv_scale, m_ref, l_ref, acc_ref, kv_base,
+                scale=None, softcap=None, window=None):
     """Online-softmax accumulation of one KV tile whose first row sits at
     absolute position `kv_base`. k/v: [BT, D] (any dtype the MXU takes after
     cast); kv_scale: None for fp caches, else a pair of [1, BT] per-row int8
     scales — k's scales multiply score COLUMNS and v's scales multiply p's
-    columns, so dequantization never touches the [BT, D] tiles."""
+    columns, so dequantization never touches the [BT, D] tiles.
+
+    Static extras (compiled in, matching ops/attention.py attend_xla):
+    `scale` overrides the default D**-0.5 score scale (gemma2
+    query_pre_attn_scalar); `softcap` applies cap*tanh(s/cap) AFTER the int8
+    column dequant (both are linear, so ordering vs kv_scale is exact) and
+    BEFORE masking; `window` adds the sliding lower bound kv_pos > p - window
+    (Mistral / gemma2 local layers)."""
     BT = k.shape[0]
     S, group, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
     Sg = S * group
     q = q_ref[0].reshape(Sg, D)  # [S*group, D]
 
-    scale = 1.0 / (D**0.5)
+    sc = (1.0 / (D**0.5)) if scale is None else scale
     scores = (
         jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        * scale
+        * sc
     )  # [Sg, BT]
     if kv_scale is not None:
         scores = scores * kv_scale[0]  # [1, BT] broadcast over rows
+    if softcap is not None:
+        scores = jnp.tanh(scores / softcap) * softcap
 
     kv_pos = kv_base + jax.lax.broadcasted_iota(jnp.int32, (S, group, BT), 2)
     # pos_ref block: (1, S, 1) -> [0] is [S, 1]; broadcast over (group, BT).
-    allowed = kv_pos <= pos_ref[0][:, :, None]  # [S, group, BT]
+    p_q = pos_ref[0][:, :, None]  # [S, 1, 1]
+    allowed = kv_pos <= p_q  # [S, group, BT]
+    if window is not None:
+        allowed &= kv_pos > p_q - window
     scores = jnp.where(allowed.reshape(Sg, BT), scores, NEG_INF)
 
     m_prev = m_ref[:]  # [Sg, 1]
@@ -78,7 +91,8 @@ def _accum_tile(pos_ref, q_ref, k, v, kv_scale, m_ref, l_ref, acc_ref, kv_base):
     m_ref[:] = m_new
 
 
-def _attend_tile(pos_ref, q_ref, k, v, kv_scale, o_ref, m_ref, l_ref, acc_ref):
+def _attend_tile(pos_ref, q_ref, k, v, kv_scale, o_ref, m_ref, l_ref, acc_ref,
+                 scale=None, softcap=None, window=None):
     """Decode-grid tile body: the T sweep is grid axis 2 (shared with
     paged_flash.py, whose page sweep is also axis 2)."""
     t = pl.program_id(2)
@@ -88,30 +102,38 @@ def _attend_tile(pos_ref, q_ref, k, v, kv_scale, o_ref, m_ref, l_ref, acc_ref):
     def _():
         _init_state(m_ref, l_ref, acc_ref)
 
-    _accum_tile(pos_ref, q_ref, k, v, kv_scale, m_ref, l_ref, acc_ref, t * BT)
+    _accum_tile(pos_ref, q_ref, k, v, kv_scale, m_ref, l_ref, acc_ref, t * BT,
+                scale=scale, softcap=softcap, window=window)
 
     @pl.when(t == pl.num_programs(2) - 1)
     def _():
         _finalize(o_ref, m_ref, l_ref, acc_ref)
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            scale=None, softcap=None, window=None):
     _attend_tile(
         pos_ref, q_ref, k_ref[0].astype(q_ref.dtype), v_ref[0], None,
-        o_ref, m_ref, l_ref, acc_ref,
+        o_ref, m_ref, l_ref, acc_ref, scale=scale, softcap=softcap,
+        window=window,
     )
 
 
 def _kernel_quant(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                  o_ref, m_ref, l_ref, acc_ref):
+                  o_ref, m_ref, l_ref, acc_ref,
+                  scale=None, softcap=None, window=None):
     dt = q_ref.dtype
     _attend_tile(
         pos_ref, q_ref, k_ref[0].astype(dt), v_ref[0].astype(dt),
         (ks_ref[0], vs_ref[0]), o_ref, m_ref, l_ref, acc_ref,  # [1, BT] scales
+        scale=scale, softcap=softcap, window=window,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_t"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "block_t", "scale", "softcap", "window"),
+)
 def flash_decode_attention(
     q: jax.Array,
     k_cache: jax.Array,
@@ -121,6 +143,9 @@ def flash_decode_attention(
     v_scale: jax.Array = None,
     interpret: bool = False,
     block_t: int = 256,
+    scale: float = None,
+    softcap: float = None,
+    window: int = None,
 ) -> jax.Array:
     B, S, H, D = q.shape
     KVH, T = k_cache.shape[1], k_cache.shape[2]
@@ -162,9 +187,10 @@ def flash_decode_attention(
         ],
         interpret=interpret,
     )
+    extras = dict(scale=scale, softcap=softcap, window=window)
     if quantized:
         out = pl.pallas_call(
-            _kernel_quant,
+            functools.partial(_kernel_quant, **extras),
             in_specs=[pos_spec, q_spec, kv_spec, kv_spec, scale_spec, scale_spec],
             **common,
         )(
@@ -174,7 +200,7 @@ def flash_decode_attention(
         )
     else:
         out = pl.pallas_call(
-            _kernel,
+            functools.partial(_kernel, **extras),
             in_specs=[pos_spec, q_spec, kv_spec, kv_spec],
             **common,
         )(pos3, qg, k_cache, v_cache)
@@ -187,33 +213,27 @@ def _kernel_wrapper(q, k_cache, v_cache, positions, k_scale=None, v_scale=None,
     from llm_inference_lab_tpu.ops.pallas import interpret_mode, use_pallas
 
     T = k_cache.shape[2]
-    if softcap is not None or scale is not None or window_on is not None:
-        # Gemma2 attention (softcap / custom scale / alternating window):
-        # XLA path only — a softcapped flash variant is future work.
-        from llm_inference_lab_tpu.ops.attention import attend_xla
-
-        return attend_xla(q, k_cache, v_cache, positions, k_scale, v_scale,
-                          tree_mask, chunk_start, window=window,
-                          window_on=window_on, scale=scale, softcap=softcap)
-    if window is not None and T > window:
-        # Sliding window binds: only the XLA path implements the window mask.
-        from llm_inference_lab_tpu.ops.attention import attend_xla
-
-        return attend_xla(q, k_cache, v_cache, positions, k_scale, v_scale,
-                          tree_mask, chunk_start, window=window)
+    # Sliding window can only bind when the cache is longer than the window
+    # (kv_pos > p - window is vacuous for p < window <= T); dropping a
+    # non-binding window also makes window_on irrelevant.
+    eff_window = window if (window is not None and T > window) else None
     S, D = q.shape[1], q.shape[-1]
     group = q.shape[2] // k_cache.shape[1]
     ok = (
         tree_mask is None and T % 128 == 0 and D % 128 == 0 and use_pallas()
     )
     bt = 256 if T % 256 == 0 else 128
-    if ok and S <= 32:
-        # Decode/verify chunk: the whole q block lives in VMEM.
-        return flash_decode_attention(
-            q, k_cache, v_cache, positions, k_scale, v_scale,
-            interpret=interpret_mode(), block_t=bt,
-        )
-    if ok and S > 32:
+
+    def flash(win):
+        # scale/softcap/window are static (python floats/ints from the model
+        # config), so they compile into the tile body.
+        if S <= 32:
+            # Decode/verify chunk: the whole q block lives in VMEM.
+            return flash_decode_attention(
+                q, k_cache, v_cache, positions, k_scale, v_scale,
+                interpret=interpret_mode(), block_t=bt,
+                scale=scale, softcap=softcap, window=win,
+            )
         # Prefill-length S: sweep query blocks too (flash_prefill.py).
         from llm_inference_lab_tpu.ops.pallas.flash_prefill import (
             flash_prefill_attention,
@@ -225,15 +245,33 @@ def _kernel_wrapper(q, k_cache, v_cache, positions, k_scale=None, v_scale=None,
         # relay block_until_ready acks early): bt=512 beats 256 at every S;
         # bs=512/bt=512 is 1.73x XLA at S=8k (17.7 vs 30.6 ms), 1.39x at 4k.
         bt_pre = 512 if T % 512 == 0 else bt
-        if bs:
-            return flash_prefill_attention(
-                q, k_cache, v_cache, positions, k_scale, v_scale,
-                interpret=interpret_mode(), block_s=bs, block_t=bt_pre,
+        return flash_prefill_attention(
+            q, k_cache, v_cache, positions, k_scale, v_scale,
+            interpret=interpret_mode(), block_s=bs, block_t=bt_pre,
+            scale=scale, softcap=softcap, window=win,
+        )
+
+    from llm_inference_lab_tpu.ops.pallas.flash_prefill import pick_block_s
+
+    viable = ok and (S <= 32 or pick_block_s(S, group) != 0)  # all static
+    if viable:
+        if eff_window is not None and window_on is not None:
+            # Gemma2 alternating local/global layers: window_on is a TRACED
+            # per-layer scalar (it rides the layer scan's xs), so the window
+            # cannot be a static kernel parameter. Compile both variants and
+            # let lax.cond execute exactly one — one extra kernel compile,
+            # zero per-step host involvement.
+            return jax.lax.cond(
+                jnp.asarray(window_on, jnp.bool_),
+                lambda: flash(eff_window),
+                lambda: flash(None),
             )
+        return flash(eff_window)
     from llm_inference_lab_tpu.ops.attention import attend_xla
 
     return attend_xla(q, k_cache, v_cache, positions, k_scale, v_scale,
-                      tree_mask, chunk_start)
+                      tree_mask, chunk_start, window=window,
+                      window_on=window_on, scale=scale, softcap=softcap)
 
 
 registry.register(

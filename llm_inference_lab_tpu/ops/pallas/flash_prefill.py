@@ -33,7 +33,8 @@ from llm_inference_lab_tpu.ops.pallas.flash_decode import (
 )
 
 
-def _body(pos_ref, q_ref, k, v, kv_scale, o_ref, m_ref, l_ref, acc_ref):
+def _body(pos_ref, q_ref, k, v, kv_scale, o_ref, m_ref, l_ref, acc_ref,
+          scale=None, softcap=None, window=None):
     t = pl.program_id(3)
     BT = k.shape[0]
 
@@ -42,33 +43,45 @@ def _body(pos_ref, q_ref, k, v, kv_scale, o_ref, m_ref, l_ref, acc_ref):
         _init_state(m_ref, l_ref, acc_ref)
 
     # Causal tile skip: this query block's max position bounds the last
-    # live KV tile.
+    # live KV tile. With a sliding window, tiles entirely below every
+    # query's window start are dead too (min_pos uses >= 0 so dead rows
+    # at position -1 keep the skip conservative, not wrong).
     max_pos = jnp.max(pos_ref[0])
+    live = t * BT <= max_pos
+    if window is not None:
+        min_pos = jnp.min(jnp.maximum(pos_ref[0], 0))
+        live &= (t + 1) * BT > min_pos - window + 1
 
-    @pl.when(t * BT <= max_pos)
+    @pl.when(live)
     def _():
         _accum_tile(pos_ref, q_ref, k, v, kv_scale, m_ref, l_ref, acc_ref,
-                    t * BT)
+                    t * BT, scale=scale, softcap=softcap, window=window)
 
     @pl.when(t == pl.num_programs(3) - 1)
     def _():
         _finalize(o_ref, m_ref, l_ref, acc_ref)
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            scale=None, softcap=None, window=None):
     _body(pos_ref, q_ref, k_ref[0].astype(q_ref.dtype), v_ref[0], None,
-          o_ref, m_ref, l_ref, acc_ref)
+          o_ref, m_ref, l_ref, acc_ref, scale=scale, softcap=softcap,
+          window=window)
 
 
 def _kernel_quant(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                  o_ref, m_ref, l_ref, acc_ref):
+                  o_ref, m_ref, l_ref, acc_ref,
+                  scale=None, softcap=None, window=None):
     dt = q_ref.dtype
     _body(pos_ref, q_ref, k_ref[0].astype(dt), v_ref[0].astype(dt),
-          (ks_ref[0], vs_ref[0]), o_ref, m_ref, l_ref, acc_ref)
+          (ks_ref[0], vs_ref[0]), o_ref, m_ref, l_ref, acc_ref,
+          scale=scale, softcap=softcap, window=window)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "block_s", "block_t")
+    jax.jit,
+    static_argnames=("interpret", "block_s", "block_t", "scale", "softcap",
+                     "window"),
 )
 def flash_prefill_attention(
     q: jax.Array,  # [B, S, H, D]
@@ -80,6 +93,9 @@ def flash_prefill_attention(
     interpret: bool = False,
     block_s: int = 256,
     block_t: int = 256,
+    scale: float = None,
+    softcap: float = None,
+    window: int = None,
 ) -> jax.Array:
     B, S, H, D = q.shape
     KVH, T = k_cache.shape[1], k_cache.shape[2]
@@ -121,9 +137,10 @@ def flash_prefill_attention(
         ],
         interpret=interpret,
     )
+    extras = dict(scale=scale, softcap=softcap, window=window)
     if quantized:
         out = pl.pallas_call(
-            _kernel_quant,
+            functools.partial(_kernel_quant, **extras),
             in_specs=[pos_spec, q_spec, kv_spec, kv_spec, scale_spec,
                       scale_spec],
             **common,
@@ -134,7 +151,7 @@ def flash_prefill_attention(
         )
     else:
         out = pl.pallas_call(
-            _kernel,
+            functools.partial(_kernel, **extras),
             in_specs=[pos_spec, q_spec, kv_spec, kv_spec],
             **common,
         )(pos3, qg, k_cache, v_cache)

@@ -194,3 +194,94 @@ def test_paged_flash_matches_xla_reference(quantized):
         q, k_pool, v_pool, positions, ks, vs, table, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(window=64),
+        dict(softcap=30.0),
+        dict(scale=0.0884),
+        dict(window=64, softcap=20.0, scale=0.0884),  # gemma2 local layer
+    ],
+)
+def test_flash_decode_window_softcap_scale_matches_xla(quantized, kw):
+    """Sliding-window / softcap / custom-scale flash variants (Mistral,
+    gemma2) vs attend_xla — previously these fell back to the XLA path."""
+    rng = np.random.default_rng(7)
+    B, S, KVH, group, D, T = 2, 3, 2, 2, 128, 256
+    H = KVH * group
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    if quantized:
+        k = jnp.asarray(rng.integers(-127, 128, size=(B, KVH, T, D)), jnp.int8)
+        v = jnp.asarray(rng.integers(-127, 128, size=(B, KVH, T, D)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.02, size=(B, KVH, T)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.01, 0.02, size=(B, KVH, T)), jnp.float32)
+    else:
+        k = jnp.asarray(rng.normal(size=(B, KVH, T, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, KVH, T, D)).astype(np.float32))
+        ks = vs = None
+    # Row 0 deep enough that window=64 binds (p=200 > 64); row 1 shallow.
+    positions = jnp.asarray(
+        np.stack([200 + np.arange(S), 30 + np.arange(S)]).astype(np.int32)
+    )
+    ref = attend_xla(q, k, v, positions, ks, vs, **kw)
+    out = flash_decode_attention(
+        q, k, v, positions, ks, vs, interpret=True, block_t=128, **kw
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)
+
+
+@pytest.mark.parametrize("kw", [dict(window=100), dict(softcap=30.0)])
+def test_flash_prefill_window_softcap_matches_xla(kw):
+    """Prefill kernel with window/softcap (incl. the window tile skip) vs
+    attend_xla at S=T=512, window binding for most queries."""
+    from llm_inference_lab_tpu.ops.pallas.flash_prefill import (
+        flash_prefill_attention,
+    )
+
+    rng = np.random.default_rng(8)
+    B, KVH, group, D, S, T = 1, 2, 2, 128, 512, 512
+    H = KVH * group
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, KVH, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, KVH, T, D)).astype(np.float32))
+    positions = jnp.arange(S, dtype=jnp.int32)[None]
+    ref = attend_xla(q, k, v, positions, **kw)
+    out = flash_prefill_attention(
+        q, k, v, positions, interpret=True, block_s=128, block_t=128, **kw
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_decode_attention_dispatch_window_on_traced():
+    """The registry op must stay on the flash path for gemma2's TRACED
+    per-layer window gate: lax.cond selects the windowed or global kernel
+    under jit, matching attend_xla for both gate values."""
+    from llm_inference_lab_tpu.ops.pallas.flash_decode import _kernel_wrapper
+
+    rng = np.random.default_rng(9)
+    B, S, KVH, group, D, T = 1, 2, 2, 1, 128, 256
+    H = KVH * group
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, KVH, T, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, KVH, T, D)).astype(np.float32))
+    positions = jnp.asarray([[180, 181]], jnp.int32)
+
+    fn = jax.jit(
+        lambda won: _kernel_wrapper(
+            q, k, v, positions, window=64, window_on=won, softcap=25.0
+        )
+    )
+    for gate in (True, False):
+        ref = attend_xla(
+            q, k, v, positions, window=64,
+            window_on=jnp.asarray(gate), softcap=25.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fn(jnp.asarray(gate))), np.asarray(ref),
+            rtol=2e-3, atol=2e-3,
+        )
