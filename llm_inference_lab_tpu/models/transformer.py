@@ -162,9 +162,16 @@ def _attn_block(
         from llm_inference_lab_tpu.models.paged import update_paged_layer
 
         kv_layer = update_paged_layer(*kv_layer, k, v, cache_lens, page_table)
+        g2 = {}
+        if cfg.query_pre_attn_scalar is not None:
+            g2["scale"] = cfg.query_pre_attn_scalar**-0.5
+        if cfg.attn_logit_softcap is not None:
+            g2["softcap"] = cfg.attn_logit_softcap
+        if win_on is not None:
+            g2["window_on"] = win_on
         attn = get_op("paged_attention")(
             q, kv_layer[0], kv_layer[1], positions, kv_layer[2], kv_layer[3],
-            page_table,
+            page_table, window=cfg.sliding_window, **g2,
         )
     else:
         kv_layer = update_cache_layer(*kv_layer, k, v, cache_lens)
@@ -244,23 +251,25 @@ def forward(
     if (
         cfg.attn_logit_softcap is not None
         or cfg.query_pre_attn_scalar is not None
-    ) and (page_table is not None or cp is not None):
+    ) and cp is not None:
         raise NotImplementedError(
             "gemma2 attention (softcap / query_pre_attn_scalar) is "
-            "implemented on the contiguous chain-decode path only (paged "
-            "and ring-prefill variants are future work)"
+            "implemented on the contiguous and paged chain-decode paths "
+            "(the ring-prefill variant is future work)"
         )
     if cfg.sliding_window is not None and (
-        page_table is not None or cp is not None or tree_mask is not None
+        cp is not None or tree_mask is not None
     ):
-        # The window mask is implemented on the contiguous chain-decode path
-        # only. (With max_seq <= window the mask never binds, so any path is
-        # exact; Mistral's window is 4096 — far above typical serving caches.)
+        # The window mask is implemented on the contiguous and paged
+        # chain-decode paths. (With max_seq <= window the mask never binds,
+        # so any path is exact; attend_xla's tree branch ignores `window`,
+        # so a binding window + tree speculation must refuse, not silently
+        # decode globally.)
         max_t = cache.k.shape[-2] * (cache.table.shape[-1] if page_table is not None else 1)
         if max_t > cfg.sliding_window:
             raise NotImplementedError(
-                "sliding-window attention with paged / context-parallel / "
-                "tree caches longer than the window is not supported"
+                "sliding-window attention with context-parallel / tree "
+                "caches longer than the window is not supported"
             )
 
     embed = params["embed"]

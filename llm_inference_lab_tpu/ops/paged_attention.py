@@ -36,6 +36,10 @@ def paged_attend_xla(
     k_scale: jax.Array = None,
     v_scale: jax.Array = None,
     table: jax.Array = None,
+    window: int = None,
+    window_on: jax.Array = None,
+    scale: float = None,
+    softcap: float = None,
 ) -> jax.Array:
     k_cache = gather_pages(k_pool, table)
     v_cache = gather_pages(v_pool, table)
@@ -44,7 +48,9 @@ def paged_attend_xla(
         vs = gather_scale_pages(v_scale, table)
     else:
         ks = vs = None
-    return attend_xla(q, k_cache, v_cache, positions, ks, vs)
+    return attend_xla(q, k_cache, v_cache, positions, ks, vs,
+                      window=window, window_on=window_on, scale=scale,
+                      softcap=softcap)
 
 
 registry.register(

@@ -186,3 +186,21 @@ def test_retired_slot_cannot_corrupt_reused_pages():
     # and the request still completes correctly
     res = {r["req_id"]: r for r in b.run()}[rid]
     assert res["generated_tokens"] > 0
+
+
+def test_paged_gemma2_matches_contiguous():
+    """gemma2-tiny (BINDING sliding window 16 + softcap + alternating
+    local/global layers + query_pre_attn_scalar) through the paged layout
+    must equal the contiguous layout exactly — this config raised
+    NotImplementedError before the paged window/softcap support."""
+    common = dict(
+        base_model="gemma2-tiny", draft_model=None, implementation="hf",
+        max_new_tokens=12, max_seq_len=64, dtype="float32",
+    )
+    cont = Engine(EngineConfig(**common))
+    paged = Engine(EngineConfig(**common, kv_layout="paged", kv_page_size=16))
+    prompts = ["paged gemma2 window check", "short"]
+    r_c = cont.generate_batch(prompts)
+    r_p = paged.generate_batch(prompts)
+    for a, b in zip(r_c, r_p):
+        assert a["generated_ids"] == b["generated_ids"]

@@ -285,3 +285,74 @@ def test_decode_attention_dispatch_window_on_traced():
             np.asarray(fn(jnp.asarray(gate))), np.asarray(ref),
             rtol=2e-3, atol=2e-3,
         )
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize(
+    "kw", [dict(window=48), dict(softcap=25.0, scale=0.1), dict()]
+)
+def test_paged_flash_window_softcap_matches_xla(quantized, kw):
+    """Paged flash with the gemma2/Mistral variants + the live-page clamp
+    (start/last scalar-prefetch aux) vs the gather+attend XLA reference.
+    Sequences sit at very different depths so the clamp actually varies."""
+    from llm_inference_lab_tpu.ops.paged_attention import paged_attend_xla
+    from llm_inference_lab_tpu.ops.pallas.paged_flash import paged_flash_attention
+
+    rng = np.random.default_rng(11)
+    B, S, KVH, group, D, P, M, N = 2, 3, 2, 2, 128, 32, 6, 16
+    H = KVH * group
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    if quantized:
+        k_pool = jnp.asarray(rng.integers(-127, 128, size=(N, KVH, P, D)), jnp.int8)
+        v_pool = jnp.asarray(rng.integers(-127, 128, size=(N, KVH, P, D)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.02, size=(N, KVH, P)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.01, 0.02, size=(N, KVH, P)), jnp.float32)
+    else:
+        k_pool = jnp.asarray(rng.normal(size=(N, KVH, P, D)), jnp.float32)
+        v_pool = jnp.asarray(rng.normal(size=(N, KVH, P, D)), jnp.float32)
+        ks = vs = None
+    table = jnp.asarray(
+        rng.permutation(N - 1)[: B * M].reshape(B, M) + 1, jnp.int32
+    ) % N
+    # Row 0 deep (page 5 of 6: window=48 binds, pages 0-3 are dead for it);
+    # row 1 shallow (page 0: pages 1-5 dead above it).
+    positions = jnp.asarray(
+        np.stack([170 + np.arange(S), 5 + np.arange(S)]).astype(np.int32)
+    )
+    want = paged_attend_xla(q, k_pool, v_pool, positions, ks, vs, table, **kw)
+    got = paged_flash_attention(
+        q, k_pool, v_pool, positions, ks, vs, table, interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4,
+                               rtol=2e-3)
+
+
+def test_paged_dispatch_window_on_traced():
+    """Traced gemma2 gate on the paged op: lax.cond between windowed and
+    global paged kernels under jit, both matching the XLA reference."""
+    from llm_inference_lab_tpu.ops.paged_attention import paged_attend_xla
+    from llm_inference_lab_tpu.ops.pallas.paged_flash import _wrapper
+
+    rng = np.random.default_rng(12)
+    B, S, KVH, group, D, P, M, N = 1, 2, 2, 1, 128, 32, 4, 8
+    H = KVH * group
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    k_pool = jnp.asarray(rng.normal(size=(N, KVH, P, D)), jnp.float32)
+    v_pool = jnp.asarray(rng.normal(size=(N, KVH, P, D)), jnp.float32)
+    table = jnp.asarray([[2, 5, 1, 7]], jnp.int32)
+    positions = jnp.asarray([[100, 101]], jnp.int32)
+    fn = jax.jit(
+        lambda won: _wrapper(
+            q, k_pool, v_pool, positions, None, None, table,
+            window=40, window_on=won, softcap=25.0,
+        )
+    )
+    for gate in (True, False):
+        ref = paged_attend_xla(
+            q, k_pool, v_pool, positions, None, None, table,
+            window=40, window_on=jnp.asarray(gate), softcap=25.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fn(jnp.asarray(gate))), np.asarray(ref),
+            rtol=2e-3, atol=2e-4,
+        )
