@@ -172,6 +172,14 @@ class EngineConfig:
     # Automatic prefix caching (paged layout only): requests sharing a
     # prompt prefix reuse its KV pages — prefill computes the suffix only.
     prefix_caching: bool = False
+    # Lazy paged allocation (vLLM-grade): admission reserves pages for the
+    # prompt + a small growth margin only; decode growth allocates pages
+    # on demand at each poll, and pool exhaustion preempts the youngest
+    # slot (pages freed, request requeued and resumed by recompute). Off =
+    # worst-case reservation (prompt + max_new + K + 2) held up front.
+    # Multi-host serving forces eager reservation (growth is a host-side
+    # decision that would need its own broadcast round).
+    kv_lazy_pages: bool = True
 
     # Numerics
     dtype: str = "bfloat16"  # compute/weights dtype on TPU

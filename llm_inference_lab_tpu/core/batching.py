@@ -56,6 +56,21 @@ class _Request:
     reuse_len: int = 0  # prompt tokens served from the prefix cache
     cancelled: bool = False  # early termination (stop sequence / client gone)
     prefilling: bool = False  # incremental admission still in flight
+    # Preemption/resume (lazy paged allocation): the full context to prefill
+    # at (re)admission — original prompt + tokens generated before the slot
+    # was preempted. None = first admission (prefill req.ids).
+    resume_ids: Optional[List[int]] = None
+    admit_seq: int = -1  # admission order; preemption targets the youngest
+
+    @property
+    def admit_ids(self) -> List[int]:
+        return self.resume_ids if self.resume_ids is not None else self.ids
+
+    @property
+    def remaining_new(self) -> int:
+        """Generation budget left (shrinks across preemptions)."""
+        done = len(self.admit_ids) - len(self.ids)
+        return max(self.max_new_tokens - done, 1)
 
 
 def derive_request_seed(engine_seed: int, req_id: int,
@@ -434,6 +449,60 @@ def make_admit_incremental(target_model, draft_model, chunk: int):
     )
 
 
+@dataclass
+class BatcherStats:
+    """Always-on occupancy/throughput accounting for the serving loop.
+
+    The round-2 serving artifact (720.9 tok/s at a ~2,850 tok/s
+    16-slot bound) attributed the 75% loss to admission sharing the device
+    "plus ramp-up/down" without measuring either; these counters make the
+    attribution observable: slot_utilization = committed decode tokens /
+    (decode steps x slots), admission wall vs decode wall, retire lag.
+    """
+
+    chunks: int = 0               # step_chunk dispatches
+    steps: int = 0                # decode steps dispatched
+    polls: int = 0                # _retire_finished calls
+    committed_tokens: int = 0     # generated tokens observed via lengths
+    occupied_slot_polls: int = 0  # sum over polls of occupied (decoding) slots
+    slot_polls: int = 0           # sum over polls of n_slots
+    admitted: int = 0             # admissions executed (one-shot or splice)
+    admit_ms: float = 0.0         # host wall blocked in admission calls
+    retire_ms: float = 0.0        # host wall in _retire_finished
+    retired: int = 0              # requests retired
+    page_grows: int = 0           # lazy-page growth events
+    preemptions: int = 0          # slots preempted on pool exhaustion
+    wall_start: float = field(default_factory=time.perf_counter)
+
+    def report(self, n_slots: int) -> Dict[str, Any]:
+        wall = time.perf_counter() - self.wall_start
+        slot_steps = self.steps * n_slots
+        return {
+            "wall_s": round(wall, 3),
+            "chunks": self.chunks,
+            "steps": self.steps,
+            "polls": self.polls,
+            "committed_tokens": self.committed_tokens,
+            "tok_s": round(self.committed_tokens / wall, 1) if wall else 0.0,
+            # Fraction of dispatched slot-steps that committed a token
+            # (non-spec: 1.0 == every slot decoded usefully every step).
+            "slot_utilization": (
+                round(self.committed_tokens / slot_steps, 4)
+                if slot_steps else 0.0
+            ),
+            "mean_occupancy": (
+                round(self.occupied_slot_polls / self.polls, 2)
+                if self.polls else 0.0
+            ),
+            "admitted": self.admitted,
+            "admit_ms_total": round(self.admit_ms, 1),
+            "retire_ms_total": round(self.retire_ms, 1),
+            "retired": self.retired,
+            "page_grows": self.page_grows,
+            "preemptions": self.preemptions,
+        }
+
+
 class ContinuousBatcher:
     """Drives an Engine's jitted step over a fixed slot batch with rolling
     admission/retirement. Usage:
@@ -447,6 +516,10 @@ class ContinuousBatcher:
     # incremental path's extra device calls would have to be replayed
     # host-uniformly, so it opts out (long admissions stay one-shot there).
     _supports_incremental_admit = True
+    # Lazy page growth/preemption are host decisions that would need their
+    # own broadcast round under multi-controller execution; MultiHostBatcher
+    # keeps worst-case reservation instead.
+    _supports_lazy_pages = True
 
     def __init__(
         self,
@@ -536,10 +609,37 @@ class ContinuousBatcher:
             )
 
         self._clear_table = jax.jit(_clear_tbl, donate_argnums=(0,))
-        # Pipelined poll snapshot (poll_flags_async): one [3, B] int32.
+
+        # Lazy page growth: extend a slot's device table row in place
+        # (target + draft pools share page ids; [B, M] write, trivial).
+        def _set_tbl(state, slot, row):
+            def upd(cache):
+                from llm_inference_lab_tpu.models.paged import PagedKVCache
+
+                if not isinstance(cache, PagedKVCache):
+                    return cache
+                return PagedKVCache(
+                    cache.k, cache.v, cache.k_scale, cache.v_scale,
+                    cache.table.at[slot].set(row),
+                )
+
+            return state.replace(
+                target_cache=upd(state.target_cache),
+                draft_cache=upd(state.draft_cache),
+            )
+
+        self._set_table_row = jax.jit(_set_tbl, donate_argnums=(0,))
+        # Pipelined poll snapshot (poll_flags_async): one [4, B] int32 —
+        # active/proposed/accepted plus lengths (the occupancy accounting
+        # reads committed-token deltas off the same transfer for free).
         self._snap = jax.jit(
-            lambda a, p, c: jnp.stack([a.astype(jnp.int32), p, c])
+            lambda a, p, c, ln: jnp.stack([a.astype(jnp.int32), p, c, ln])
         )
+        self.stats = BatcherStats()
+        self.trace: Optional[List[Dict[str, Any]]] = None  # start_trace()
+        # Per-slot committed-length watermark for token accounting: set to
+        # the prompt length at admission, advanced at each poll.
+        self._counted = np.zeros(n_slots, np.int64)
         # Paged KV: page pool + host-side allocator. Pool defaults to the
         # contiguous-equivalent size; cap it with cfg.kv_pages to make
         # serving memory proportional to the LIVE token budget (admission
@@ -564,8 +664,23 @@ class ContinuousBatcher:
                 paged=True, page_size=P, n_pages=n_pages,
                 table=jnp.zeros((n_slots, self._pages_per_seq), jnp.int32),
             )
+            # Lazy allocation: decode growth is detected from the lengths
+            # already in the poll snapshot, so the margin must cover the
+            # worst case between two growth opportunities — two chunks of
+            # snapshot lag at the per-step commit bound — plus the K+2
+            # speculative scratch rows the step writes past the committed
+            # length.
+            self.lazy_pages = (
+                cfg.kv_lazy_pages and self._supports_lazy_pages
+            )
+            commit_bound = (engine._max_k + 1) if engine.is_spec else 1
+            self._grow_margin = (
+                2 * self.poll_every * commit_bound + engine._max_k + 2
+            )
+            self._admit_seq = 0
         else:
             self.allocator = None
+            self.lazy_pages = False
         self._default_sampling = (
             0.0 if cfg.greedy else cfg.temperature, cfg.top_k, cfg.top_p,
             cfg.min_p,
@@ -645,12 +760,16 @@ class ContinuousBatcher:
         under multi-controller execution (core/multihost_batching.py)."""
         eng = self.engine
         req.slot = slot
+        # admit_ids = the context to prefill: the prompt, or prompt +
+        # generated-so-far when resuming a preempted request (resume by
+        # recompute; retirement still slices results by len(req.ids)).
+        ids = req.admit_ids
         # Paged prompts round to the page size (whole pages are spliced);
         # contiguous to the usual 32-bucket.
         bucket = self.engine.config.kv_page_size if self.paged else 32
-        P = _round_up(max(len(req.ids), 1), bucket)
+        P = _round_up(max(len(ids), 1), bucket)
         row = np.zeros((1, P), np.int32)
-        row[0, : len(req.ids)] = req.ids
+        row[0, : len(ids)] = ids
         if self.paged:
             table_row = np.zeros((self._pages_per_seq,), np.int32)
             table_row[: len(req.pages)] = req.pages
@@ -658,12 +777,12 @@ class ContinuousBatcher:
             table_row = np.zeros((1,), np.int32)  # ignored
         pen = self._admission_meta(req)
         if (self._admit_incr is not None and self._prefilling is None
-                and len(req.ids) > eng.config.admit_chunk):
+                and len(ids) > eng.config.admit_chunk):
             self._begin_incremental(slot, req, row, table_row, pen)
             return
         if self._admit_prefix is not None:
             # Prefix-cached paged admission: forward the SUFFIX only.
-            suffix = req.ids[req.reuse_len :]
+            suffix = ids[req.reuse_len :]
             S = _round_up(max(len(suffix), 1), bucket)
             suffix_row = np.zeros((1, S), np.int32)
             suffix_row[0, : len(suffix)] = suffix
@@ -673,29 +792,33 @@ class ContinuousBatcher:
                 self.state,
                 row,
                 suffix_row,
-                np.int32(len(req.ids)),
+                np.int32(len(ids)),
                 np.int32(req.reuse_len),
                 np.int32(slot),
-                np.int32(req.max_new_tokens),
+                np.int32(req.remaining_new),
                 table_row,
                 *pen,
             )
             self._slots[slot] = req
+            self._counted[slot] = len(ids)
+            self.stats.admitted += 1
             # Publish this request's own full prompt chunks for reuse.
-            self.allocator.register(req.ids, req.pages, req.reuse_len)
+            self.allocator.register(ids, req.pages, req.reuse_len)
             return
         self.state = self._admit(
             eng.target.params,
             eng._draft_params,
             self.state,
             row,
-            np.int32(len(req.ids)),
+            np.int32(len(ids)),
             np.int32(slot),
-            np.int32(req.max_new_tokens),
+            np.int32(req.remaining_new),
             table_row,
             *pen,
         )
         self._slots[slot] = req
+        self._counted[slot] = len(ids)
+        self.stats.admitted += 1
 
     def _admission_meta(self, req: _Request) -> tuple:
         """The per-request scalar tail every admission jit takes:
@@ -768,10 +891,11 @@ class ContinuousBatcher:
         from llm_inference_lab_tpu.models.base import KVCache
 
         eng = self.engine
+        ids = req.admit_ids
         C = eng.config.admit_chunk
-        P = _round_up(max(len(req.ids), 1), C)
+        P = _round_up(max(len(ids), 1), C)
         prow = np.zeros((1, P), np.int32)
-        prow[0, : len(req.ids)] = req.ids
+        prow[0, : len(ids)] = ids
         main = self.state.target_cache
 
         def scratch(cache):
@@ -821,7 +945,7 @@ class ContinuousBatcher:
         pf["st"], pf["sd"], pf["lp"], pf["h"] = chunk_fn(
             eng.target.params, eng._draft_params, pf["st"], pf["sd"],
             pf["lp"], pf["h"], tok, nxt, np.int32(off),
-            np.int32(len(req.ids)), lid,
+            np.int32(len(req.admit_ids)), lid,
         )
         pf["off"] = off + C
         # The final splice is DEFERRED to _admit_pending: the serving loop
@@ -842,11 +966,13 @@ class ContinuousBatcher:
         _, splice_fn = self._admit_incr
         self.state = splice_fn(
             self.state, pf["st"], pf["sd"], pf["lp"], pf["h"],
-            pf["row"], np.int32(len(req.ids)), np.int32(pf["slot"]),
-            np.int32(req.max_new_tokens), pf["table_row"], *pf["meta"],
+            pf["row"], np.int32(len(req.admit_ids)), np.int32(pf["slot"]),
+            np.int32(req.remaining_new), pf["table_row"], *pf["meta"],
         )
         req.prefilling = False
         self._prefilling = None
+        self._counted[pf["slot"]] = len(req.admit_ids)
+        self.stats.admitted += 1
 
     def _abort_incremental(self, req: _Request) -> None:
         """Drop a cancelled in-flight admission: nothing reached the live
@@ -900,27 +1026,137 @@ class ContinuousBatcher:
             # Prefix caching: serve the longest cached prefix (full pages
             # only, capped at plen-2 so the suffix recomputes the hidden
             # states the drafting modes carry), then allocate the rest.
+            # admit_ids = the full context to prefill (original prompt, or
+            # prompt + pre-preemption tokens when resuming).
+            ids = req.admit_ids
             shared: List[int] = []
             reuse_len = 0
             if self.prefix_caching:
-                shared, reuse_len = self.allocator.match(
-                    req.ids, len(req.ids) - 2
-                )
-            need = self.allocator.pages_needed(
-                len(req.ids) + req.max_new_tokens + eng._max_k + 2
-            )
+                shared, reuse_len = self.allocator.match(ids, len(ids) - 2)
+            cap_tok = len(ids) + req.remaining_new + eng._max_k + 2
+            if self.lazy_pages:
+                # Reserve the prompt + growth margin only; decode growth
+                # allocates on demand (_grow_pages), preempting the
+                # youngest slot on pool exhaustion.
+                need_tok = min(len(ids) + self._grow_margin, cap_tok)
+            else:
+                need_tok = cap_tok  # worst-case up-front reservation
+            need = self.allocator.pages_needed(need_tok)
             pages = self.allocator.alloc(need - len(shared))
             if pages is None:
                 if shared:  # release the refcounts match() took
                     self.allocator.free(shared)
-                self.scheduler.submit(rid, len(req.ids), req.max_new_tokens)
+                self.scheduler.submit(rid, len(ids), req.remaining_new)
                 break
             req.pages = shared + pages
             req.reuse_len = reuse_len
             req.slot = slot
+            req.admit_seq = self._admit_seq
+            self._admit_seq += 1
             self._requests.pop(rid)
             plans.append(req)
         return plans
+
+    def _grow_pages(self, lengths_now, proposed=None, accepted=None) -> None:
+        """Lazy paged allocation: keep every occupied slot's page runway at
+        least _grow_margin tokens ahead of its (snapshot) length; on pool
+        exhaustion preempt the youngest slot — free its pages, requeue the
+        request with its generated-so-far context for resume-by-recompute.
+        Called once per poll from _retire_finished (the lengths ride the
+        same snapshot transfer)."""
+        if not self.lazy_pages:
+            return
+        P = self.allocator.page_size
+        eng = self.engine
+        for slot in range(self.n_slots):
+            req = self._slots[slot]
+            if req is None or req.prefilling or req.pages is None:
+                continue
+            have_tok = len(req.pages) * P
+            L = int(lengths_now[slot])
+            # Guard: a snapshot that predates this slot's admission (not
+            # possible in the stock loops, which snapshot after admitting)
+            # must not trigger growth off the previous tenant's length.
+            if L < len(req.admit_ids):
+                continue
+            if L + self._grow_margin <= have_tok:
+                continue
+            cap_tok = (
+                len(req.admit_ids) + req.remaining_new + eng._max_k + 2
+            )
+            target = min(L + 2 * self._grow_margin, cap_tok)
+            need = self.allocator.pages_needed(target) - len(req.pages)
+            if need <= 0:
+                continue
+            got = self.allocator.alloc(need)
+            while got is None:
+                victim = self._youngest_slot(exclude=slot)
+                if victim is None or victim == slot:
+                    # No other slot to preempt and the pool (after any
+                    # cache eviction) still can't serve this request:
+                    # truncate it gracefully at the current length.
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "page pool exhausted with no preemption victim; "
+                        "truncating request %d at %d tokens",
+                        req.req_id, L,
+                    )
+                    self.state = self._deactivate(self.state, np.int32(slot))
+                    break
+                self._preempt_slot(
+                    victim,
+                    int(proposed[victim]) if proposed is not None else 0,
+                    int(accepted[victim]) if accepted is not None else 0,
+                )
+                got = self.allocator.alloc(need)
+            if got is None:
+                continue
+            req.pages = req.pages + got
+            row = np.zeros((self._pages_per_seq,), np.int32)
+            row[: len(req.pages)] = req.pages
+            self.state = self._set_table_row(
+                self.state, np.int32(slot), row
+            )
+            self.stats.page_grows += 1
+
+    def _youngest_slot(self, exclude: int) -> Optional[int]:
+        """Most recently admitted occupied slot (≠ exclude) — the
+        preemption victim with the least recompute to lose."""
+        best, best_seq = None, -1
+        for s, r in enumerate(self._slots):
+            if s == exclude or r is None or r.prefilling:
+                continue
+            if r.admit_seq > best_seq:
+                best, best_seq = s, r.admit_seq
+        return best
+
+    def _preempt_slot(self, slot: int, prop: int = 0, acc: int = 0) -> None:
+        """Evict a slot: capture its committed tokens (fresh fetch — rare
+        path), free its pages, clear its device table row + active flag,
+        and requeue the request to resume by recomputing prompt+generated.
+        """
+        req = self._slots[slot]
+        tokens, lengths, _ = self._fetch_tokens()
+        L = int(lengths[slot])
+        req.resume_ids = tokens[slot, :L].tolist()
+        self.state = self._deactivate(self.state, np.int32(slot))
+        self.state = self._clear_table(self.state, np.int32(slot))
+        self.allocator.free(req.pages)
+        req.pages = None
+        req.slot = None
+        self._slots[slot] = None
+        self._counted[slot] = 0
+        # Fold the slot's (snapshot) acceptance counters into the retired
+        # accumulators — the in-flight sum no longer covers this slot, and
+        # readmission zeroes the device counters.
+        self._done_prop += prop
+        self._done_acc += acc
+        self._requests[req.req_id] = req
+        self.scheduler.submit(
+            req.req_id, len(req.resume_ids), req.remaining_new
+        )
+        self.stats.preemptions += 1
 
     def _finish_cancelled(self, req: _Request) -> None:
         req.result = {
@@ -933,18 +1169,23 @@ class ContinuousBatcher:
         self._done[req.req_id] = req
 
     def _admit_pending(self) -> None:
+        t0 = time.perf_counter()
+        n0 = self.stats.admitted
         self._finish_admission()
         for req in self._plan_admissions():
             self._admit_one(req.slot, req)
+        if self.stats.admitted != n0:
+            self.stats.admit_ms += (time.perf_counter() - t0) * 1e3
 
     def _fetch_flags(self):
-        """[B] active/proposed/accepted as host numpy (one combined fetch).
-        Multi-host serving overrides this with a process allgather so every
-        controller sees the same global values."""
+        """[B] active/proposed/accepted/lengths as host numpy (one combined
+        fetch). Multi-host serving overrides this with a process allgather
+        so every controller sees the same global values."""
         return tuple(
             np.asarray(x)
             for x in jax.device_get(
-                (self.state.active, self.state.proposed, self.state.accepted)
+                (self.state.active, self.state.proposed,
+                 self.state.accepted, self.state.lengths)
             )
         )
 
@@ -958,8 +1199,15 @@ class ContinuousBatcher:
         a slot that finishes mid-chunk idles through the next chunk, which
         its inactive lane no-ops through anyway."""
         return self._snap(
-            self.state.active, self.state.proposed, self.state.accepted
+            self.state.active, self.state.proposed, self.state.accepted,
+            self.state.lengths,
         )
+
+    def start_trace(self) -> None:
+        """Record a per-poll occupancy trace (occupied slots, committed
+        tokens, admissions) into self.trace — the attribution artifact for
+        docs/results/serving. Cheap (host lists only); on by demand."""
+        self.trace = []
 
     def _fetch_tokens(self):
         return (
@@ -1008,13 +1256,36 @@ class ContinuousBatcher:
         # the serving path previously never fed acceptance back).
         # `flags`: a poll_flags_async() handle or its [3, B] numpy value
         # (pipelined polling — the fetch overlapped the last chunk).
+        t_poll = time.perf_counter()
         if flags is not None:
             f = np.asarray(flags)
-            active, proposed, accepted = f[0].astype(bool), f[1], f[2]
+            active, proposed, accepted, lengths_now = (
+                f[0].astype(bool), f[1], f[2], f[3]
+            )
         else:
-            active, proposed, accepted = self._fetch_flags()
+            active, proposed, accepted, lengths_now = self._fetch_flags()
         occupied = [s for s, r in enumerate(self._slots)
                     if r is not None and not r.prefilling]
+        # Occupancy accounting: committed tokens = per-slot length advance
+        # past the admission watermark (rides the same snapshot transfer).
+        st = self.stats
+        st.polls += 1
+        st.occupied_slot_polls += len(occupied)
+        st.slot_polls += self.n_slots
+        delta = 0
+        for s in occupied:
+            d = int(lengths_now[s]) - int(self._counted[s])
+            if d > 0:
+                delta += d
+                self._counted[s] = int(lengths_now[s])
+        st.committed_tokens += delta
+        if self.trace is not None:
+            self.trace.append({
+                "t": round(time.perf_counter() - st.wall_start, 4),
+                "occupied": len(occupied),
+                "committed": delta,
+                "steps": st.steps,
+            })
         prop_total = self._done_prop + int(proposed[occupied].sum())
         acc_total = self._done_acc + int(accepted[occupied].sum())
         self.scheduler.record_step(
@@ -1022,6 +1293,8 @@ class ContinuousBatcher:
         )
         self._prev_prop, self._prev_acc = prop_total, acc_total
         if active.all():
+            self._grow_pages(lengths_now, proposed, accepted)
+            st.retire_ms += (time.perf_counter() - t_poll) * 1e3
             return
         tokens = None
         for slot, req in enumerate(self._slots):
@@ -1036,6 +1309,13 @@ class ContinuousBatcher:
                 )
             plen = len(req.ids)
             gen = tokens[slot, plen : lengths[slot]].tolist()
+            # Top up the commit watermark from the FRESH lengths (the poll
+            # snapshot lags one chunk; the final chunk's tokens land here).
+            tail = int(lengths[slot]) - int(self._counted[slot])
+            if tail > 0:
+                st.committed_tokens += tail
+            self._counted[slot] = 0
+            st.retired += 1
             text_ids = [t for t in gen if t != self.engine.eos_token_id]
             prop, acc = int(proposed[slot]), int(accepted[slot])
             req.result = {
@@ -1097,6 +1377,8 @@ class ContinuousBatcher:
             # and unoccupied slots are excluded from the in-flight sum).
             self._done_prop += prop
             self._done_acc += acc
+        self._grow_pages(lengths_now, proposed, accepted)
+        st.retire_ms += (time.perf_counter() - t_poll) * 1e3
 
     def step(self) -> None:
         """One decode step over all occupied slots."""
@@ -1108,6 +1390,7 @@ class ContinuousBatcher:
         else:
             self.state = step_fn(eng.target.params, eng._draft_params, self.state)
         self._steps += 1
+        self.stats.steps += 1
 
     def _current_k(self) -> int:
         # Adaptive serving: K comes from the native scheduler's EMA tracker
@@ -1133,6 +1416,8 @@ class ContinuousBatcher:
         else:
             self.state = loop_fn(eng.target.params, eng._draft_params, self.state)
         self._steps += n
+        self.stats.chunks += 1
+        self.stats.steps += n
         # Interleaved admission rides here: one C-token prefill chunk per
         # decode chunk (dispatched after the loop, so the device pipeline
         # alternates decode-chunk / prefill-chunk with no host stalls).

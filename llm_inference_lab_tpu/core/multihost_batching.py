@@ -65,6 +65,9 @@ class MultiHostBatcher(ContinuousBatcher):
     # host-uniformly from the synced plan; long admissions stay one-shot
     # here (see ContinuousBatcher._supports_incremental_admit).
     _supports_incremental_admit = False
+    # Page growth/preemption are per-poll host decisions that would need
+    # their own broadcast; multi-host serving keeps worst-case reservation.
+    _supports_lazy_pages = False
 
     def __init__(self, engine, n_slots: int = 8, **kw):
         super().__init__(engine, n_slots=n_slots, **kw)
@@ -91,7 +94,8 @@ class MultiHostBatcher(ContinuousBatcher):
         if self.n_procs == 1:
             return super()._fetch_flags()
         vals = _allgather(
-            (self.state.active, self.state.proposed, self.state.accepted)
+            (self.state.active, self.state.proposed, self.state.accepted,
+             self.state.lengths)
         )
         return tuple(np.asarray(v) for v in vals)
 

@@ -59,7 +59,12 @@ def save_params(params: Any, path: str) -> None:
 
     walk(params, "")
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    save_file(tensors, path, metadata={"quant": json.dumps(quant_meta)})
+    # int4_fmt=v2: low nibble biased +8, high nibble two's-complement
+    # (ops.quant.quantize_int4). v1 files (no marker) migrate on load.
+    save_file(
+        tensors, path,
+        metadata={"quant": json.dumps(quant_meta), "int4_fmt": "v2"},
+    )
 
 
 def load_params(path: str, dtype=None) -> Any:
@@ -71,8 +76,17 @@ def load_params(path: str, dtype=None) -> Any:
     with safe_open(path, framework="numpy") as f:
         meta = f.metadata() or {}
         quant_meta = json.loads(meta.get("quant", "{}"))
+        int4_v1 = meta.get("int4_fmt") != "v2"
         names = list(f.keys())
         loaded = {n: f.get_tensor(n) for n in names}
+    if int4_v1:
+        # v1 -> v2 nibble migration: the low nibble changes from signed
+        # two's-complement to biased (+8), which is a single XOR of bit 3.
+        for name in names:
+            if name.endswith(_QDATA):
+                base = name.rsplit("/__", 1)[0]
+                if int(quant_meta.get(base, 8)) == 4:
+                    loaded[name] = loaded[name] ^ np.int8(0x08)
 
     def put(tree: dict, keys, value):
         for k in keys[:-1]:

@@ -52,19 +52,25 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref):
 def _kernel_int4(x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref):
     """int4 split-K-halves: each packed byte tile covers rows [j*BK, j*BK+BK)
     of the LOW half and rows [half + j*BK, ...) of the HIGH half, so the
-    kernel receives the two matching x tiles and does two MXU dots."""
+    kernel receives the two matching x tiles and does two MXU dots.
+
+    Dequant is three int8 VPU ops — no shifts, no i32 expansion (the v2
+    nibble encoding in ops.quant.quantize_int4 stores lo biased +8 and hi
+    two's-complement, so ``byte - (byte & 0x0F)`` is EXACTLY 16x the signed
+    high weight). The caller pre-scales the high-half activations by 1/16.
+    """
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Mosaic can't shift i8 vectors; extract nibbles via i32 shifts.
-    w32 = w_ref[:].astype(jnp.int32)
-    lo = ((w32 << 28) >> 28).astype(jnp.bfloat16)  # sign-extended low nibble
-    hi = ((w32 << 24) >> 28).astype(jnp.bfloat16)  # sign-extended high nibble
+    w = w_ref[:]
+    t = w & 0x0F  # lo_biased in 0..15 (int8)
+    lo = (t - 8).astype(jnp.bfloat16)  # signed low-half weight
+    hi16 = (w - t).astype(jnp.bfloat16)  # 16 * signed high-half weight
     acc_ref[:] += jnp.dot(x_lo_ref[:], lo, preferred_element_type=jnp.float32)
-    acc_ref[:] += jnp.dot(x_hi_ref[:], hi, preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(x_hi_ref[:], hi16, preferred_element_type=jnp.float32)
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -125,13 +131,14 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool = False):
         )(x, qt.data, scale2d)
     else:
         half = K // 2
-        # The in-kernel int32 nibble extraction expands the weight tile ~6x
-        # in VMEM, so the int4 block budget is much tighter than int8's
-        # (a 3.67 MB tile OOMed scoped vmem on v5e).
+        # v2 dequant holds tile int8 x2 + bf16 x2 (~6 bytes/packed elem) —
+        # roomier than the old i32 expansion, but still tighter than int8.
         BK = pick_bk(half, 2 << 20)
         grid = (N // BN, half // BK)
         x_lo = x[:, :half]
-        x_hi = x[:, half:]
+        # 1/16 prescale pairs with the kernel's 16x high-nibble dequant
+        # (exact: power of two; [M, K/2] elementwise, negligible vs the dot).
+        x_hi = x[:, half:] * jnp.asarray(0.0625, x.dtype)
         out = pl.pallas_call(
             _kernel_int4,
             grid=grid,

@@ -1,0 +1,152 @@
+"""Decompose decode-step cost vs batch size on TPU.
+
+The occupancy probe (docs/results/serving/occupancy_r3_before.json) showed
+the serving loop already runs at ~86% of its true bound — but the bound
+itself is set by a B=16 step costing 14.1 ms vs 5.6 ms at B=1. For a
+weight-bandwidth-bound decode those should be nearly equal; this probe
+attributes the difference:
+
+  forward_full[B]  — logits forward (embed + body + lm_head)
+  forward_body[B]  — same with the lm_head dead-code-eliminated
+  head_ms[B]       — lm_head projection alone ([B,1,D] @ [D,V])
+  step_ms[B]       — the engine's full baseline step (sampling, commits)
+
+All dependent-chain timed (axon relay distorts single-shot timing).
+Run: python scripts/batch_scaling_probe.py [--small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def chain_ms(fn, init, iters=30):
+    """Median-of-3 dependent-chain timing of jitted fn: carry -> carry."""
+    import jax
+
+    @jax.jit
+    def chain(carry):
+        for _ in range(iters):
+            carry = fn(carry)
+        return carry
+
+    out = chain(init)
+    jax.block_until_ready(out)
+    vals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chain(init)
+        jax.block_until_ready(out)
+        vals.append((time.perf_counter() - t0) * 1e3 / iters)
+    return sorted(vals)[1]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--batches", default="1,2,4,8,16")
+    ap.add_argument("--seq", type=int, default=256)
+    ap.add_argument("--out", default="docs/results/serving/batch_scaling_r3.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from llm_inference_lab_tpu.config import EngineConfig
+    from llm_inference_lab_tpu.core.engine import Engine
+    from llm_inference_lab_tpu.core.state import init_state
+
+    small = args.small or jax.default_backend() == "cpu"
+    cfg = EngineConfig(
+        base_model="llama-tiny" if small else "llama-3.2-3b",
+        draft_model=None,
+        implementation="hf",
+        max_new_tokens=32,
+        quantization=None if small else "int8",
+        quantize_embed=not small,
+        max_seq_len=args.seq,
+    )
+    eng = Engine(cfg)
+    tgt = eng.target
+    mcfg = tgt.config
+    T = args.seq
+    rows = []
+    for B in (int(x) for x in args.batches.split(",")):
+        cache = tgt.init_cache(B, T)
+
+        def fwd_full(carry):
+            tok, cache = carry
+            logits, cache = tgt.apply_fn(
+                tgt.params, tok, jnp.full((B, 1), 8, jnp.int32), cache,
+                jnp.full((B,), 7, jnp.int32),
+            )
+            nxt = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+            return nxt, cache
+
+        def fwd_body(carry):
+            # Consume only hidden; XLA dead-code-eliminates the lm_head.
+            tok, cache = carry
+            _, cache, hidden = tgt.apply_fn(
+                tgt.params, tok, jnp.full((B, 1), 8, jnp.int32), cache,
+                jnp.full((B,), 7, jnp.int32), return_hidden=True,
+            )
+            nxt = (hidden[:, -1:, 0] > 0).astype(jnp.int32)
+            return nxt, cache
+
+        def head_only(h):
+            logits = tgt.head_fn(tgt.params, h)
+            # Feed a scalar back so the chain is dependent.
+            return h + logits[..., :1].astype(h.dtype) * 1e-9
+
+        tok0 = jnp.ones((B, 1), jnp.int32)
+        full = chain_ms(fwd_full, (tok0, tgt.init_cache(B, T)))
+        body = chain_ms(fwd_body, (tok0, tgt.init_cache(B, T)))
+        h0 = jnp.zeros((B, 1, mcfg.d_model), mcfg.dtype)
+        head = chain_ms(head_only, h0)
+
+        # Full engine baseline step on a DecodeState of this batch size.
+        state = init_state(
+            tgt, None, B, T, max_new_tokens=10_000,
+            temperature=0.0,
+        )
+        state = state.replace(
+            lengths=jnp.full((B,), 8, jnp.int32),
+            prompt_lens=jnp.full((B,), 8, jnp.int32),
+            active=jnp.ones((B,), bool),
+            tokens=state.tokens.at[:, :8].set(1),
+        )
+        step_fn = eng._get_step(1)
+
+        def step(st):
+            return step_fn(tgt.params, st)
+
+        # Not donate-safe to reuse: chain on a fresh copy.
+        step_ms = chain_ms(step, state, iters=30)
+
+        rows.append({
+            "B": B,
+            "forward_full_ms": round(full, 3),
+            "forward_body_ms": round(body, 3),
+            "head_ms": round(head, 3),
+            "step_ms": round(step_ms, 3),
+            "overhead_ms": round(step_ms - full, 3),
+        })
+        print(json.dumps(rows[-1]))
+
+    out = {"config": {"base": cfg.base_model, "seq": T,
+                      "backend": jax.default_backend()},
+           "rows": rows}
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,7 +40,10 @@ def test_quant_roundtrip_error_bounded(bits):
 
 
 @pytest.mark.parametrize("bits", [8, 4])
-@pytest.mark.parametrize("M,K,N", [(4, 256, 128), (16, 512, 256)])
+@pytest.mark.parametrize(
+    # N=512/1024 exercise the wider BN tile-selection branches (ADVICE r2).
+    "M,K,N", [(4, 256, 128), (16, 512, 256), (4, 256, 512), (4, 256, 1024)]
+)
 def test_quant_matmul_pallas_matches_xla(bits, M, K, N):
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
