@@ -441,10 +441,6 @@ class Engine:
                 make_tree_spec_step,
             )
 
-            if cfg.per_request_sampling:
-                raise ValueError(
-                    "per_request_sampling is not supported in tree mode"
-                )
             if (
                 cfg.repetition_penalty != 1.0
                 or cfg.presence_penalty != 0.0
@@ -453,11 +449,6 @@ class Engine:
                 raise ValueError(
                     "repetition/presence/frequency penalties are not "
                     "supported in tree mode"
-                )
-            if cfg.logprobs_topk:
-                raise ValueError(
-                    "logprobs_topk is not supported in tree mode (the tree "
-                    "commit does not capture alternatives)"
                 )
             return make_tree_spec_step(
                 self.target,
@@ -468,6 +459,8 @@ class Engine:
                 top_p=cfg.top_p,
                 min_p=cfg.min_p,
                 eos_token_id=self.eos_token_id,
+                per_request_sampling=cfg.per_request_sampling,
+                logprobs_topk=cfg.logprobs_topk,
                 jit=jit,
             )
         if not self.is_spec:
@@ -838,11 +831,17 @@ class Engine:
         controller_info = self.controller.info()
         if controller_info.get("type") == "adaptive-device":
             # Surface the device controller's final state (one extra fetch,
-            # after decode completed — not per-step).
+            # after decode completed — not per-step). ctrl_k/acc_ema are
+            # per-slot [B]; report the per-sequence values.
+            ck = np.asarray(state.ctrl_k).reshape(-1)
+            ema = np.asarray(state.acc_ema).reshape(-1)
             controller_info = {
                 **controller_info,
-                "final_k": int(np.asarray(state.ctrl_k)),
-                "recent_acceptance": float(np.asarray(state.acc_ema)),
+                "final_k": int(ck[0]) if ck.size == 1 else ck.tolist(),
+                "recent_acceptance": (
+                    float(ema[0]) if ema.size == 1
+                    else [round(float(x), 4) for x in ema]
+                ),
             }
         kv_report = None
         if self.flags.debug_kv_verify:

@@ -151,6 +151,17 @@ POLICIES: Dict[str, Callable] = {
     "rejection": rejection,
 }
 
+# Policy-aware logit buffering (round-3 VERDICT item 9): policies that only
+# compare token ids never read draft_logits, so the spec step skips
+# materializing the [B, K, V] draft-logit stacks entirely (the buffers +
+# their HBM traffic are what tipped 8B spec configs over a 16 GB chip).
+# Custom policies without the attribute default to True (safe).
+longest_prefix.needs_draft_logits = False
+topk_agree.needs_draft_logits = False
+typical.needs_draft_logits = False
+conf_threshold.needs_draft_logits = True
+rejection.needs_draft_logits = True
+
 
 def create_policy(name: str) -> Callable:
     """Name -> policy fn (reference create_policy, policies.py:399-425)."""

@@ -150,6 +150,14 @@ def make_spec_step(
     eagle_alpha = float((eagle_cfg or {}).get("alpha", 0.7))
     compute_dtype = target_model.config.dtype
     adaptive = adaptive_cfg is not None
+    # Policy-aware logit buffering: id-comparing policies (longest_prefix,
+    # topk_agree, typical) never read draft_logits — skip stacking the
+    # [B, K, V] buffers entirely (the stacks + traffic are what pushed 8B
+    # spec configs out of 16 GB; round-3 VERDICT item 9).
+    need_draft_logits = (
+        bool(getattr(policy_fn, "needs_draft_logits", True))
+        or use_rejection_bonus
+    )
     # Penalties (HF repetition + OpenAI presence/frequency): static scalars
     # compile in; per_request_sampling reads per-row values from the state.
     # Exactness inside a spec step: the verify row for write-slot i is
@@ -310,7 +318,7 @@ def make_spec_step(
                 nxt = sample_tokens(rng_i, logits, **_draft_samp(state, sctx, i))
                 return (
                     (nxt, cache, _bump(cnt, nxt), _fsm_step(fsm, nxt)),
-                    (nxt, logits),
+                    (nxt, logits if need_draft_logits else None),
                 )
 
             (_, draft_cache, _, _), (d, draft_logits) = jax.lax.scan(
@@ -320,17 +328,22 @@ def make_spec_step(
             )
             return (
                 jnp.moveaxis(d, 0, 1),  # [B, K]
-                jnp.moveaxis(draft_logits, 0, 1),  # [B, K, V]
+                (jnp.moveaxis(draft_logits, 0, 1)  # [B, K, V]
+                 if need_draft_logits else None),
                 draft_cache,
             )
 
         # Adaptive: dynamic trip count — only eff_k draft forwards run.
         Vd = draft_model.config.vocab_size
         d_buf = jnp.zeros((B, K), jnp.int32)
-        l_buf = jnp.zeros((B, K, Vd), jnp.float32)
+        l_buf = (
+            jnp.zeros((B, K, Vd), jnp.float32) if need_draft_logits else None
+        )
 
         def cond(c):
-            return c[0] < eff_k
+            # eff_k is per-row ([B]); the loop runs to the active max and
+            # acceptance clips each row to its own depth afterwards.
+            return c[0] < sctx["eff_k_max"]
 
         def body(c):
             i, x, cache, db, lb, cnt, fsm = c
@@ -344,7 +357,8 @@ def make_spec_step(
                 **_draft_samp(state, sctx, i)
             )
             db = jax.lax.dynamic_update_index_in_dim(db, nxt, i, 1)
-            lb = jax.lax.dynamic_update_index_in_dim(lb, logits, i, 1)
+            if lb is not None:
+                lb = jax.lax.dynamic_update_index_in_dim(lb, logits, i, 1)
             return (i + 1, nxt, cache, db, lb, _bump(cnt, nxt),
                     _fsm_step(fsm, nxt))
 
@@ -391,8 +405,13 @@ def make_spec_step(
             if use_pen:
                 counts = counts.at[jnp.arange(B), d_i].add(1)
             ds.append(d_i)
-            ls.append(logits_i)
-        return jnp.stack(ds, 1), jnp.stack(ls, 1), state.draft_cache
+            if need_draft_logits:
+                ls.append(logits_i)
+        return (
+            jnp.stack(ds, 1),
+            jnp.stack(ls, 1) if need_draft_logits else None,
+            state.draft_cache,
+        )
 
     def _draft_eagle(state, draft_params, last, base, rng_draft, eff_k,
                      sctx):
@@ -428,9 +447,14 @@ def make_spec_step(
             if use_pen:
                 counts = counts.at[jnp.arange(B), d_i].add(1)
             ds.append(d_i)
-            ls.append(logits_i)
+            if need_draft_logits:
+                ls.append(logits_i)
             h_prev, h_cur = h_cur, h_next
-        return jnp.stack(ds, 1), jnp.stack(ls, 1), state.draft_cache
+        return (
+            jnp.stack(ds, 1),
+            jnp.stack(ls, 1) if need_draft_logits else None,
+            state.draft_cache,
+        )
 
     ngram_n = int((ngram_cfg or {}).get("n", 2))
 
@@ -462,6 +486,8 @@ def make_spec_step(
         cont = jnp.take_along_axis(tokens, jnp.clip(prop_pos, 0, T - 1), axis=1)
         usable = any_hit[:, None] & (prop_pos < state.lengths[:, None])
         d = jnp.where(usable, cont, last[:, None])
+        if not need_draft_logits:
+            return d, None, state.draft_cache
         # Point-mass pseudo draft logits: the proposal is deterministic, so
         # confidence-style policies (and rejection's p_d) see certainty 1.
         V = target_model.config.vocab_size
@@ -486,13 +512,22 @@ def make_spec_step(
         rng, rng_draft, rng_policy, rng_bonus = jax.random.split(state.rng, 4)
         last = _gather_last(state.tokens, state.lengths)  # [B]
         base = state.lengths - 1  # write/read offset: cache holds [0, L-1)
-        eff_k = jnp.clip(state.ctrl_k, a_min_k, K) if adaptive else jnp.int32(K)
+        # Per-slot adaptive K: eff_k is [B]; the draft while_loop runs to
+        # the max over ACTIVE rows (inactive rows must not extend it) and
+        # each row's acceptance clips to its own depth.
+        if adaptive:
+            eff_k = jnp.clip(state.ctrl_k, a_min_k, K)  # [B]
+            eff_k_max = jnp.max(jnp.where(state.active, eff_k, a_min_k))
+        else:
+            eff_k = jnp.full((B,), K, jnp.int32)
+            eff_k_max = jnp.int32(K)
 
         # ---- 1. Draft K tokens ----
         target_params_ref[0] = target_params
         Vt = target_model.config.vocab_size
         sctx = {"counts": None, "pen_active": None,
-                "bias_active": None, "bias_row": None, "row_keys": None}
+                "bias_active": None, "bias_row": None, "row_keys": None,
+                "eff_k_max": eff_k_max}
         if per_request_sampling:
             # Per-slot seed stream: fold the slot key with the committed
             # length (strictly increases every step a slot is active), so
@@ -595,21 +630,22 @@ def make_spec_step(
                       **policy_params)
         a = jnp.clip(a, 0, K)
         if adaptive:
-            # Positions beyond the effective K were never really proposed.
+            # Positions beyond the row's effective K were never really
+            # proposed.
             a = jnp.minimum(a, eff_k)
-            # Device-side controller update (reference hysteresis rule):
-            # EMA of the batch acceptance rate; K +- step outside the band.
-            prop_step = jnp.sum(jnp.where(state.active, eff_k, 0))
-            acc_step = jnp.sum(jnp.where(state.active, a, 0))
-            rate = acc_step.astype(jnp.float32) / jnp.maximum(
-                prop_step, 1
+            # Device-side controller update, PER SLOT (reference hysteresis
+            # rule, controllers.py:109-118, applied per sequence): each
+            # active row tracks its own acceptance EMA and steps its own K
+            # — serving mixes hard and easy requests at different depths.
+            rate = a.astype(jnp.float32) / jnp.maximum(
+                eff_k, 1
             ).astype(jnp.float32)
             new_ema = jnp.where(
-                prop_step > 0,
+                state.active,
                 state.acc_ema + a_alpha * (rate - state.acc_ema),
                 state.acc_ema,
             )
-            new_ctrl_k = jnp.where(
+            stepped = jnp.where(
                 new_ema > a_target + 0.1,
                 jnp.minimum(state.ctrl_k + a_step, K),
                 jnp.where(
@@ -618,6 +654,7 @@ def make_spec_step(
                     state.ctrl_k,
                 ),
             )
+            new_ctrl_k = jnp.where(state.active, stepped, state.ctrl_k)
         else:
             new_ema, new_ctrl_k = state.acc_ema, state.ctrl_k
 

@@ -53,8 +53,11 @@ class DecodeState:
     # Device-side adaptive-K controller state (reference AdaptiveKController
     # semantics, controllers.py:109-118, moved INTO the compiled step so the
     # one-dispatch decode loop keeps adapting with zero host round trips).
-    ctrl_k: jax.Array  # [] int32 — current effective draft length
-    acc_ema: jax.Array  # [] float32 — acceptance-rate EMA
+    # PER-SLOT ([B]): serving mixes heterogeneous requests, so each row
+    # adapts its own draft depth; the draft loop's trip count is the max
+    # over active rows and acceptance clips per row (round-3 VERDICT #8).
+    ctrl_k: jax.Array  # [B] int32 — current effective draft length per slot
+    acc_ema: jax.Array  # [B] float32 — acceptance-rate EMA per slot
     # Per-sequence sampling parameters (OpenAI per-request temperature /
     # top_k / top_p). Read by steps built with per_request_sampling=True;
     # temperature <= 0 means greedy for that row. Ignored (engine-config
@@ -163,8 +166,8 @@ def init_state(
         steps=jnp.int32(0),
         last_hidden=jnp.zeros((B, target_model.config.d_model), jnp.float32),
         prev_hidden=jnp.zeros((B, target_model.config.d_model), jnp.float32),
-        ctrl_k=jnp.int32(init_k),
-        acc_ema=jnp.float32(0.5),
+        ctrl_k=jnp.full((B,), init_k, jnp.int32),
+        acc_ema=jnp.full((B,), 0.5, jnp.float32),
         # Scalar (engine default) or per-sequence list/array both broadcast.
         temperature=jnp.broadcast_to(
             jnp.asarray(temperature, jnp.float32), (B,)

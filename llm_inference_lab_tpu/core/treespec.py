@@ -107,6 +107,8 @@ def make_tree_spec_step(
     top_k: int = 0,
     top_p: float = 1.0,
     eos_token_id: Optional[int] = None,
+    per_request_sampling: bool = False,
+    logprobs_topk: int = 0,
     donate: bool = True,
     jit: bool = True,
 ):
@@ -115,6 +117,17 @@ def make_tree_spec_step(
 
     medusa_params: {"medusa_proj": [depth, D, D]} (same head params as
     draft_mode="medusa"; head d drafts depth d+1 candidates).
+
+    Production surface (round-3 VERDICT item 7): token/top-N logprobs are
+    captured at commit exactly like the chain step (the verify pass already
+    holds every predicting row), and per_request_sampling reads per-slot
+    temperature/top_k/top_p/min_p/seed/logit_bias from DecodeState for the
+    bonus draw — which is the only sampling site (drafting is deterministic
+    head top-k; acceptance is the greedy argmax walk). Together with the
+    ContinuousBatcher's mode-agnostic step dispatch this puts tree
+    speculation behind `specdx serve`. Still excluded: paged KV (path
+    compaction across page boundaries), LoRA, penalties, constrained
+    decoding, pipeline parallelism.
     """
     target_apply = target_model.apply_fn
     head_fn = target_model.head_fn
@@ -169,6 +182,20 @@ def make_tree_spec_step(
             target_params, verify_in, positions, state.target_cache, base,
             tree_mask=anc_mask, return_hidden=True,
         )  # [B, S, V], cache, [B, S, D]
+        if per_request_sampling:
+            from llm_inference_lab_tpu.ops.sampling import logit_bias_row
+
+            # OpenAI logit_bias: applied to every verify row BEFORE the
+            # acceptance walk and the bonus draw (chain-step parity);
+            # runtime-skipped when no slot carries bias.
+            target_logits = jax.lax.cond(
+                jnp.any(state.bias_ids >= 0),
+                lambda t: t + logit_bias_row(
+                    state.bias_ids, state.bias_vals, t.shape[-1]
+                )[:, None, :],
+                lambda t: t,
+                target_logits.astype(jnp.float32),
+            )
 
         # ---- 3. Acceptance: walk the deepest matching path ----
         tgt_ids = jnp.argmax(target_logits, axis=-1).astype(jnp.int32)  # [B, S]
@@ -196,11 +223,26 @@ def make_tree_spec_step(
         # ---- 4. Bonus from the deepest accepted node's logits row ----
         bonus_logits = jnp.take_along_axis(
             target_logits, cur[:, None, None], axis=1
-        )[:, 0]
-        bonus = sample_tokens(
-            rng_bonus, bonus_logits, temperature=temperature, top_k=top_k,
-            top_p=top_p, min_p=min_p, greedy=greedy,
-        )
+        )[:, 0].astype(jnp.float32)
+        if per_request_sampling:
+            from llm_inference_lab_tpu.ops.sampling import fold_rows
+
+            # Per-slot seed stream: same derivation as the chain step
+            # (slot key folded with committed length, then the site id).
+            row_keys = fold_rows(
+                jax.vmap(jax.random.fold_in)(state.slot_rng, state.lengths),
+                N,
+            )
+            bonus = sample_tokens(
+                rng_bonus, bonus_logits, temperature=state.temperature,
+                top_k=state.top_k, top_p=state.top_p, min_p=state.min_p,
+                greedy=False, row_keys=row_keys,
+            )
+        else:
+            bonus = sample_tokens(
+                rng_bonus, bonus_logits, temperature=temperature, top_k=top_k,
+                top_p=top_p, min_p=min_p, greedy=greedy,
+            )
 
         # ---- 5. Commit: tokens + KV compaction ----
         jdx = jnp.arange(D_tree + 1, dtype=jnp.int32)[None, :]  # [1, D+1]
@@ -227,6 +269,43 @@ def make_tree_spec_step(
             lambda t, v, s: jax.lax.dynamic_update_slice(t, v, (s,))
         )(state.tokens, write_vals, state.lengths)
         new_tokens = jnp.where(state.active[:, None], new_tokens, state.tokens)
+
+        # Target log-prob of every committed token (chain-step parity —
+        # powers the OpenAI logprobs field): write slot j's token was
+        # predicted by the row of its parent on the accepted path — node
+        # path[:, j-1] for j >= 1, the root row for j = 0. For the bonus at
+        # slot a that row is `cur` == pred_rows[:, a] (path freezes at cur
+        # once the walk dies). Slots beyond `commit` never matter.
+        pred_rows = (
+            jnp.concatenate([jnp.zeros((B, 1), jnp.int32), path], axis=1)
+            if D_tree else jnp.zeros((B, 1), jnp.int32)
+        )  # [B, D_tree+1]
+        rows_lp = jnp.take_along_axis(
+            target_logits, pred_rows[..., None], axis=1
+        )  # [B, D+1, V]
+        logz = jax.scipy.special.logsumexp(rows_lp, axis=-1)
+        tok_logit = jnp.take_along_axis(
+            rows_lp, write_vals[..., None], axis=-1
+        )[..., 0]
+        new_lp = jax.vmap(
+            lambda t, v, s: jax.lax.dynamic_update_slice(t, v, (s,))
+        )(state.token_logprobs, tok_logit - logz, state.lengths)
+        new_lp = jnp.where(
+            state.active[:, None], new_lp, state.token_logprobs
+        )
+        if logprobs_topk:
+            tvals, tids = jax.lax.top_k(rows_lp, logprobs_topk)
+            tlps = tvals - logz[..., None]  # [B, D+1, N]
+            w2 = jax.vmap(
+                lambda t, v, s: jax.lax.dynamic_update_slice(t, v, (s, 0))
+            )
+            new_tids = w2(state.top_ids, tids, state.lengths)
+            new_tlps = w2(state.top_lps, tlps, state.lengths)
+            act2 = state.active[:, None, None]
+            new_tids = jnp.where(act2, new_tids, state.top_ids)
+            new_tlps = jnp.where(act2, new_tlps, state.top_lps)
+        else:
+            new_tids, new_tlps = state.top_ids, state.top_lps
 
         # KV compaction: accepted path node j (tree slot base+path[:, j])
         # must live at slot base+1+j. Gather rows; mask j >= a with the row
@@ -289,6 +368,9 @@ def make_tree_spec_step(
             steps=state.steps + 1,
             last_hidden=new_last_hidden,
             prev_hidden=new_prev_hidden,
+            token_logprobs=new_lp,
+            top_ids=new_tids,
+            top_lps=new_tlps,
         )
 
     if not jit:

@@ -169,8 +169,11 @@ def shard_state(state: DecodeState, mesh: Mesh) -> DecodeState:
         steps=jax.device_put(state.steps, rep),
         last_hidden=jax.device_put(state.last_hidden, batch2),
         prev_hidden=jax.device_put(state.prev_hidden, batch2),
-        ctrl_k=jax.device_put(state.ctrl_k, rep),
-        acc_ema=jax.device_put(state.acc_ema, rep),
+        # Per-slot controller state ([B]) shards with the batch axis; the
+        # draft loop bound is a cross-shard max (one tiny all-reduce XLA
+        # inserts automatically).
+        ctrl_k=jax.device_put(state.ctrl_k, batch),
+        acc_ema=jax.device_put(state.acc_ema, batch),
         temperature=jax.device_put(state.temperature, batch),
         top_k=jax.device_put(state.top_k, batch),
         top_p=jax.device_put(state.top_p, batch),

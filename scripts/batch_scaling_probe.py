@@ -27,14 +27,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def chain_ms(fn, init, iters=30):
-    """Median-of-3 dependent-chain timing of jitted fn: carry -> carry."""
+    """Median-of-3 dependent-chain timing of fn: carry -> carry (scanned,
+    so the chain compiles once regardless of length)."""
     import jax
 
     @jax.jit
     def chain(carry):
-        for _ in range(iters):
-            carry = fn(carry)
-        return carry
+        return jax.lax.scan(
+            lambda c, _: (fn(c), None), carry, None, length=iters
+        )[0]
 
     out = chain(init)
     jax.block_until_ready(out)

@@ -128,6 +128,55 @@ def test_adaptive_device_counts_effective_proposals():
     assert r["acceptance_rate"] <= 1.0
 
 
+def test_adaptive_device_per_slot_k_diverges():
+    """Per-slot adaptive K (round-3 VERDICT #8): a mixed batch where row 0
+    always agrees with the target and row 1 never does must converge to
+    DIFFERENT draft depths in one compiled step — row 0 at the ceiling,
+    row 1 at the floor — and per-row `proposed` must count each row's own
+    effective K."""
+    import jax.numpy as jnp
+
+    from llm_inference_lab_tpu.config import EngineConfig
+    from llm_inference_lab_tpu.core.engine import Engine
+    from llm_inference_lab_tpu.models.fake import make_fake_model
+
+    target = make_fake_model()
+    draft = make_fake_model(name="fake-draft")
+    # Per-row disagreement rate: broadcasting [B,1] against the [B,S]
+    # position hash makes row 0 a perfect draft and row 1 a useless one.
+    draft.params["miss_permille"] = jnp.array([[0], [1000]], jnp.int32)
+    eng = Engine(
+        EngineConfig(
+            implementation="fake", max_draft=4, max_new_tokens=48,
+            controller="adaptive-device",
+            controller_params={"min_k": 1, "max_k": 4,
+                               "target_acceptance": 0.5, "window": 8},
+        ),
+        target_model=target, draft_model=draft,
+    )
+    rows = eng.generate_batch(["easy row", "hard row"])
+    ks = rows[0]["controller"]["final_k"]
+    assert isinstance(ks, list) and len(ks) == 2
+    assert ks[0] == 4, ks  # perfect acceptance -> ceiling
+    assert ks[1] == 1, ks  # zero acceptance -> floor
+    emas = rows[0]["controller"]["recent_acceptance"]
+    assert emas[0] > 0.8 and emas[1] < 0.2
+    # Per-row proposal accounting: the hard row commits 1 token/step so it
+    # runs ~48 steps; at the static bound K=4 it would propose ~192 tokens,
+    # but its own K decays to 1 within a few steps -> ~55. The easy row
+    # stays at K=4 throughout (~10 steps x 4 = 40).
+    assert rows[1]["proposed"] < 90, rows[1]["proposed"]
+    assert rows[0]["proposed"] >= 4 * rows[0]["accepted"] // 5
+    assert rows[0]["acceptance_rate"] > 0.9
+    assert rows[1]["acceptance_rate"] < 0.1
+    # Output correctness is unconditional: both rows must equal the
+    # target-only greedy sequence.
+    base = Engine(EngineConfig(implementation="fake", draft_model=None,
+                               max_new_tokens=48))
+    for i, p in enumerate(["easy row", "hard row"]):
+        assert rows[i]["generated_ids"] == base.generate(p)["generated_ids"]
+
+
 def test_adaptive_device_in_batcher():
     from llm_inference_lab_tpu.core.batching import ContinuousBatcher
 

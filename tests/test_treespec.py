@@ -98,3 +98,64 @@ def test_tree_shapes(branching):
     eng = make_engine(tree={"branching": branching}, max_new_tokens=8)
     r = eng.generate("shapes")
     assert r["generated_tokens"] > 0
+
+
+# ---- production surface (round-3 VERDICT item 7) ----
+
+def test_tree_logprobs_match_baseline():
+    """Tree-committed token logprobs must equal the baseline's own scores
+    (same model, same greedy tokens -> same target distribution rows)."""
+    eng = make_engine(tree={"branching": [2, 2]})
+    base = Engine(
+        EngineConfig(implementation="fake", draft_model=None,
+                     max_new_tokens=16),
+        target_model=make_fake_model(),
+    )
+    rt = eng.generate("tree logprob parity")
+    rb = base.generate("tree logprob parity")
+    assert rt["generated_ids"] == rb["generated_ids"]
+    np.testing.assert_allclose(
+        rt["token_logprobs"], rb["token_logprobs"], atol=1e-4
+    )
+
+
+def test_tree_top_logprobs():
+    eng = make_engine(tree={"branching": [2]}, logprobs_topk=3,
+                      max_new_tokens=8)
+    r = eng.generate("tree top logprobs")
+    assert r["top_logprobs"] is not None
+    assert len(r["top_logprobs"]) == r["generated_tokens"]
+    for alts in r["top_logprobs"]:
+        assert len(alts) == 3
+        # Entry 0 is the argmax the greedy walk committed -> its logprob
+        # is the max.
+        assert alts[0]["logprob"] >= alts[1]["logprob"]
+
+
+def test_tree_per_request_sampling():
+    """Tree + per_request_sampling: temperature-0 rows decode greedily and
+    match the engine-greedy output; a seeded temperature row reproduces."""
+    eng = make_engine(per_request_sampling=True, max_new_tokens=12)
+    greedy = make_engine(max_new_tokens=12)
+    p = "tree per request"
+    r0 = eng.generate_batch([p], temperature=0.0)[0]
+    assert r0["generated_ids"] == greedy.generate(p)["generated_ids"]
+    # Seeded sampling reproduces across calls.
+    a = eng.generate_batch([p], temperature=0.9, seed=7)[0]
+    b = eng.generate_batch([p], temperature=0.9, seed=7)[0]
+    assert a["generated_ids"] == b["generated_ids"]
+
+
+def test_tree_through_batcher():
+    """Tree speculation through the ContinuousBatcher (serving path) must
+    equal direct engine generation."""
+    from llm_inference_lab_tpu.core.batching import ContinuousBatcher
+
+    eng = make_engine(max_new_tokens=12)
+    single = [eng.generate(p)["generated_ids"]
+              for p in ["tree serve a", "tree serve b sixteen"]]
+    b = ContinuousBatcher(eng, n_slots=2)
+    b.submit("tree serve a")
+    b.submit("tree serve b sixteen")
+    out = b.run()
+    assert [r["generated_ids"] for r in out] == single
