@@ -172,6 +172,14 @@ class EngineConfig:
     # Automatic prefix caching (paged layout only): requests sharing a
     # prompt prefix reuse its KV pages — prefill computes the suffix only.
     prefix_caching: bool = False
+    # Rolling-buffer KV for sliding-window models (Mistral): the contiguous
+    # cache becomes a RING of window + chunk + K + slack slots (slot =
+    # position mod ring) — per-layer KV memory and the decode sweep are
+    # O(window) instead of O(max_seq_len). Requires prefill_chunk (and
+    # admit_chunk for serving): a single-shot prefill longer than the ring
+    # would overwrite rows its own queries still need. Uniform-window
+    # models only; contiguous layout only; no tree / seq-parallel.
+    kv_ring: bool = False
     # Lazy paged allocation (vLLM-grade): admission reserves pages for the
     # prompt + a small growth margin only; decode growth allocates pages
     # on demand at each poll, and pool exhaustion preempts the youngest

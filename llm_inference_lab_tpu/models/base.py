@@ -86,6 +86,17 @@ class ModelConfig:
     query_pre_attn_scalar: Optional[float] = None
     post_norms: bool = False
     alt_window: bool = False
+    # Rolling-buffer KV for sliding-window models (round-3 VERDICT item 5):
+    # when set, the contiguous cache is a RING of this many slots (slot =
+    # position mod ring) instead of max_seq — per-layer KV memory and the
+    # decode sweep become O(window), not O(T). Sized by the engine to
+    # window + prefill_chunk + K + slack so speculative scratch writes and
+    # chunked-prefill writes can never clobber a row still inside any live
+    # query's window (writes at position p clobber p - ring, which is
+    # below every window bound by construction). Uniform-window models
+    # only (Mistral); gemma-2's alternating global layers need the full
+    # cache. None = plain position-indexed cache.
+    kv_ring_len: Optional[int] = None
     # lax.scan unroll factor for the layer stack. Measured on v5e: unroll=4
     # REGRESSED 3B decode 2.6x (39.9 -> 15.4 tok/s) — larger loop bodies
     # scheduled worse than the rolled scan. Keep 1 unless re-measured.
@@ -204,6 +215,7 @@ def update_cache_layer(
     k_new: jax.Array,  # [B, S, n_kv, d] (model compute order: seq-major)
     v_new: jax.Array,
     start: jax.Array,  # [B] int32 — per-sequence write offsets
+    ring_len: Optional[int] = None,  # rolling-buffer cache: slot = pos % R
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Write S new KV rows at per-sequence offsets (quantizing on the fly
     for int8 caches — the "quantized KV append" path).
@@ -211,9 +223,49 @@ def update_cache_layer(
     vmapped dynamic_update_slice: each sequence writes at its own offset
     (sequences advance by *different* accepted lengths each spec step).
     Replaces the reference's concat-then-realign (kv_cache_manager.py:149-285).
+
+    ring_len: rolling-buffer mode for sliding-window models — row for
+    position p lands at slot p % ring_len (scatter; the slice is no longer
+    contiguous across the wrap). When S > ring_len only the LAST ring_len
+    rows land (earlier rows scatter to index R, dropped) — scatter order
+    for colliding indices is unspecified, so stale rows must never be
+    issued at all.
     """
     k_new = jnp.swapaxes(k_new, 1, 2)  # -> [B, n_kv, S, d]
     v_new = jnp.swapaxes(v_new, 1, 2)
+
+    if ring_len is not None:
+        B, _, S, _ = k_new.shape
+        R = ring_len
+        pos = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None]  # [B,S]
+        slots = pos % R
+        if S > R:  # drop rows a later row in this batch would overwrite
+            slots = jnp.where(pos >= pos[:, -1:] - (R - 1), slots, R)
+
+        def ring_upd(cache_b, new_b, s_b):
+            # cache_b [n_kv, R, d]; new_b [n_kv, S, d]; scatter on axis 1
+            # (a single advanced index between slices keeps its position,
+            # so the indexed shape is [n_kv, S, d] — new_b as-is).
+            return cache_b.at[:, s_b, :].set(new_b, mode="drop")
+
+        def ring_upd_scale(cache_b, new_b, s_b):
+            return cache_b.at[:, s_b].set(new_b, mode="drop")
+
+        if k_cache.dtype == jnp.int8:
+            kq, ks = _quantize_rows(k_new)
+            vq, vs = _quantize_rows(v_new)
+            k_cache = jax.vmap(ring_upd)(k_cache, kq, slots)
+            v_cache = jax.vmap(ring_upd)(v_cache, vq, slots)
+            ks_cache = jax.vmap(ring_upd_scale)(ks_cache, ks, slots)
+            vs_cache = jax.vmap(ring_upd_scale)(vs_cache, vs, slots)
+        else:
+            k_cache = jax.vmap(ring_upd)(
+                k_cache, k_new.astype(k_cache.dtype), slots
+            )
+            v_cache = jax.vmap(ring_upd)(
+                v_cache, v_new.astype(v_cache.dtype), slots
+            )
+        return k_cache, v_cache, ks_cache, vs_cache
 
     def upd(cache_b, new_b, s):
         return jax.lax.dynamic_update_slice(cache_b, new_b, (0, s, 0))
@@ -275,6 +327,8 @@ class Model:
                 self.config, batch_size, max_seq_len, n_pages=n_pages,
                 page_size=page_size, quantized=quantized, table=table,
             )
+        if self.config.kv_ring_len is not None:
+            max_seq_len = min(max_seq_len, self.config.kv_ring_len)
         return KVCache.create(self.config, batch_size, max_seq_len, quantized=quantized)
 
 

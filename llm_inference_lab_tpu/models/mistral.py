@@ -33,6 +33,22 @@ MISTRAL_CONFIGS = {
         sliding_window=4096,
         tie_word_embeddings=False,
     ),
+    # Test-scale variant with a BINDING window (16 << any test max_seq):
+    # exercises the sliding-window mask and the rolling-buffer (kv_ring)
+    # cache paths on CPU in milliseconds.
+    "mistral-tiny": ModelConfig(
+        name="mistral-tiny",
+        arch="llama",
+        vocab_size=256,
+        n_layers=2,
+        n_heads=4,
+        n_kv_heads=2,
+        d_model=64,
+        d_ff=128,
+        max_position_embeddings=1024,
+        sliding_window=16,
+        tie_word_embeddings=True,
+    ),
 }
 
 

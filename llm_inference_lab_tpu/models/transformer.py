@@ -174,7 +174,9 @@ def _attn_block(
             page_table, window=cfg.sliding_window, **g2,
         )
     else:
-        kv_layer = update_cache_layer(*kv_layer, k, v, cache_lens)
+        kv_layer = update_cache_layer(
+            *kv_layer, k, v, cache_lens, ring_len=cfg.kv_ring_len
+        )
         g2 = {}
         if cfg.query_pre_attn_scalar is not None:
             g2["scale"] = cfg.query_pre_attn_scalar**-0.5
@@ -182,6 +184,8 @@ def _attn_block(
             g2["softcap"] = cfg.attn_logit_softcap
         if win_on is not None:
             g2["window_on"] = win_on
+        if cfg.kv_ring_len is not None:
+            g2["ring_len"] = cfg.kv_ring_len
         attn = get_op("decode_attention")(
             q, kv_layer[0], kv_layer[1], positions, kv_layer[2], kv_layer[3],
             tree_mask, cache_lens if tree_mask is not None else None,

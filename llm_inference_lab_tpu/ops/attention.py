@@ -38,6 +38,8 @@ def attend_xla(
     window: int = None,  # sliding window (Mistral): attend to (p-window, p]
     window_on: jax.Array = None,  # [] bool: per-layer window gate (gemma2
     #   alternating local/global layers; rides the layer scan's xs)
+    ring_len: int = None,  # rolling-buffer cache (slot = pos % ring_len):
+    #   T == ring_len and the mask works in (p - slot) mod R arithmetic
     scale: float = None,  # score scale; default head_dim**-0.5 (gemma2
     #   uses query_pre_attn_scalar**-0.5 instead)
     softcap: float = None,  # attention logit softcap: cap * tanh(s / cap)
@@ -62,7 +64,23 @@ def attend_xla(
     if softcap is not None:
         scores = jnp.tanh(scores / softcap) * softcap
     kv_pos = jnp.arange(T, dtype=positions.dtype)
-    if tree_mask is None:
+    if ring_len is not None:
+        # Rolling buffer: slot s holds the LATEST position <= p congruent
+        # to s mod R, i.e. q_s = p - ((p - s) mod R). Valid iff q_s is
+        # inside the window ((p - s) mod R < window) and non-negative
+        # ((p - s) mod R <= p — also kills empty slots at p = -1). The
+        # ring is sized so rows inside any live window are never
+        # clobbered, making this exact (see ModelConfig.kv_ring_len).
+        assert window is not None and tree_mask is None
+        rel = jnp.mod(
+            positions[:, None, None, :, None]
+            - kv_pos[None, None, None, None, :],
+            ring_len,
+        )
+        mask = (rel < window) & (
+            rel <= positions[:, None, None, :, None]
+        )
+    elif tree_mask is None:
         # Chain decode: slot index == position; causal by position compare.
         mask = kv_pos[None, None, None, None, :] <= positions[:, None, None, :, None]
         if window is not None:

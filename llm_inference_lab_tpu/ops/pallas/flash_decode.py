@@ -39,7 +39,7 @@ def _finalize(o_ref, m_ref, l_ref, acc_ref):
 
 
 def _accum_tile(pos_ref, q_ref, k, v, kv_scale, m_ref, l_ref, acc_ref, kv_base,
-                scale=None, softcap=None, window=None):
+                scale=None, softcap=None, window=None, ring_len=None):
     """Online-softmax accumulation of one KV tile whose first row sits at
     absolute position `kv_base`. k/v: [BT, D] (any dtype the MXU takes after
     cast); kv_scale: None for fp caches, else a pair of [1, BT] per-row int8
@@ -72,9 +72,16 @@ def _accum_tile(pos_ref, q_ref, k, v, kv_scale, m_ref, l_ref, acc_ref, kv_base,
     kv_pos = kv_base + jax.lax.broadcasted_iota(jnp.int32, (S, group, BT), 2)
     # pos_ref block: (1, S, 1) -> [0] is [S, 1]; broadcast over (group, BT).
     p_q = pos_ref[0][:, :, None]  # [S, 1, 1]
-    allowed = kv_pos <= p_q  # [S, group, BT]
-    if window is not None:
-        allowed &= kv_pos > p_q - window
+    if ring_len is not None:
+        # Rolling-buffer cache: kv_pos is the SLOT index; slot s holds the
+        # latest position <= p congruent to s mod R (ops/attention.py ring
+        # rule). Valid iff inside the window and non-negative.
+        rel = jnp.mod(p_q - kv_pos, ring_len)
+        allowed = (rel < window) & (rel <= p_q)
+    else:
+        allowed = kv_pos <= p_q  # [S, group, BT]
+        if window is not None:
+            allowed &= kv_pos > p_q - window
     scores = jnp.where(allowed.reshape(Sg, BT), scores, NEG_INF)
 
     m_prev = m_ref[:]  # [Sg, 1]
@@ -92,7 +99,7 @@ def _accum_tile(pos_ref, q_ref, k, v, kv_scale, m_ref, l_ref, acc_ref, kv_base,
 
 
 def _attend_tile(pos_ref, q_ref, k, v, kv_scale, o_ref, m_ref, l_ref, acc_ref,
-                 scale=None, softcap=None, window=None):
+                 scale=None, softcap=None, window=None, ring_len=None):
     """Decode-grid tile body: the T sweep is grid axis 2 (shared with
     paged_flash.py, whose page sweep is also axis 2)."""
     t = pl.program_id(2)
@@ -103,7 +110,8 @@ def _attend_tile(pos_ref, q_ref, k, v, kv_scale, o_ref, m_ref, l_ref, acc_ref,
         _init_state(m_ref, l_ref, acc_ref)
 
     _accum_tile(pos_ref, q_ref, k, v, kv_scale, m_ref, l_ref, acc_ref, t * BT,
-                scale=scale, softcap=softcap, window=window)
+                scale=scale, softcap=softcap, window=window,
+                ring_len=ring_len)
 
     @pl.when(t == pl.num_programs(2) - 1)
     def _():
@@ -111,28 +119,29 @@ def _attend_tile(pos_ref, q_ref, k, v, kv_scale, o_ref, m_ref, l_ref, acc_ref,
 
 
 def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-            scale=None, softcap=None, window=None):
+            scale=None, softcap=None, window=None, ring_len=None):
     _attend_tile(
         pos_ref, q_ref, k_ref[0].astype(q_ref.dtype), v_ref[0], None,
         o_ref, m_ref, l_ref, acc_ref, scale=scale, softcap=softcap,
-        window=window,
+        window=window, ring_len=ring_len,
     )
 
 
 def _kernel_quant(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                   o_ref, m_ref, l_ref, acc_ref,
-                  scale=None, softcap=None, window=None):
+                  scale=None, softcap=None, window=None, ring_len=None):
     dt = q_ref.dtype
     _attend_tile(
         pos_ref, q_ref, k_ref[0].astype(dt), v_ref[0].astype(dt),
         (ks_ref[0], vs_ref[0]), o_ref, m_ref, l_ref, acc_ref,  # [1, BT] scales
-        scale=scale, softcap=softcap, window=window,
+        scale=scale, softcap=softcap, window=window, ring_len=ring_len,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "block_t", "scale", "softcap", "window"),
+    static_argnames=("interpret", "block_t", "scale", "softcap", "window",
+                     "ring_len"),
 )
 def flash_decode_attention(
     q: jax.Array,
@@ -146,6 +155,7 @@ def flash_decode_attention(
     scale: float = None,
     softcap: float = None,
     window: int = None,
+    ring_len: int = None,
 ) -> jax.Array:
     B, S, H, D = q.shape
     KVH, T = k_cache.shape[1], k_cache.shape[2]
@@ -187,7 +197,8 @@ def flash_decode_attention(
         ],
         interpret=interpret,
     )
-    extras = dict(scale=scale, softcap=softcap, window=window)
+    extras = dict(scale=scale, softcap=softcap, window=window,
+                  ring_len=ring_len)
     if quantized:
         out = pl.pallas_call(
             functools.partial(_kernel_quant, **extras),
@@ -209,18 +220,26 @@ def flash_decode_attention(
 
 def _kernel_wrapper(q, k_cache, v_cache, positions, k_scale=None, v_scale=None,
                     tree_mask=None, chunk_start=None, window=None,
-                    window_on=None, scale=None, softcap=None):
+                    window_on=None, scale=None, softcap=None, ring_len=None):
     from llm_inference_lab_tpu.ops.pallas import interpret_mode, use_pallas
 
     T = k_cache.shape[2]
     # Sliding window can only bind when the cache is longer than the window
     # (kv_pos > p - window is vacuous for p < window <= T); dropping a
-    # non-binding window also makes window_on irrelevant.
-    eff_window = window if (window is not None and T > window) else None
+    # non-binding window also makes window_on irrelevant. A ring cache
+    # keeps the window unconditionally (the mask is modular arithmetic).
+    eff_window = window if (
+        window is not None and (T > window or ring_len is not None)
+    ) else None
+    if ring_len is not None and eff_window is None:
+        ring_len = None  # window can't bind: plain positional mask is exact
     S, D = q.shape[1], q.shape[-1]
     group = q.shape[2] // k_cache.shape[1]
     ok = (
         tree_mask is None and T % 128 == 0 and D % 128 == 0 and use_pallas()
+        # Ring prefill chunks (S > 32) fall back to XLA: flash_prefill has
+        # no modular mask (chunks are compute-bound; decode is the win).
+        and (ring_len is None or S <= 32)
     )
     bt = 256 if T % 256 == 0 else 128
 
@@ -233,6 +252,7 @@ def _kernel_wrapper(q, k_cache, v_cache, positions, k_scale=None, v_scale=None,
                 q, k_cache, v_cache, positions, k_scale, v_scale,
                 interpret=interpret_mode(), block_t=bt,
                 scale=scale, softcap=softcap, window=win,
+                ring_len=ring_len,
             )
         # Prefill-length S: sweep query blocks too (flash_prefill.py).
         from llm_inference_lab_tpu.ops.pallas.flash_prefill import (
@@ -271,7 +291,8 @@ def _kernel_wrapper(q, k_cache, v_cache, positions, k_scale=None, v_scale=None,
 
     return attend_xla(q, k_cache, v_cache, positions, k_scale, v_scale,
                       tree_mask, chunk_start, window=window,
-                      window_on=window_on, scale=scale, softcap=softcap)
+                      window_on=window_on, scale=scale, softcap=softcap,
+                      ring_len=ring_len)
 
 
 registry.register(
