@@ -18,6 +18,19 @@ if _platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent XLA compilation cache: the suite's dominant cost is whole-engine
+# jit compiles at many config combinations; cached executables cut re-runs
+# (and CI, which restores the directory via actions/cache) dramatically.
+_cache_dir = os.path.expanduser(
+    os.environ.get("SPECDX_COMPILATION_CACHE", "~/.cache/jax_comp_cache")
+)
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
