@@ -207,6 +207,63 @@ def _quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def scatter_stack_layer(
+    k_stack: jax.Array,  # [L, B, n_kv, T, d] — the FULL stacked cache
+    v_stack: jax.Array,
+    ks_stack: jax.Array,  # [L, B, n_kv, T]
+    vs_stack: jax.Array,
+    k_new: jax.Array,  # [B, S, n_kv, d] (model compute order)
+    v_new: jax.Array,
+    start: jax.Array,  # [B] int32 per-sequence write offsets
+    layer_idx: jax.Array,  # [] int32 — TRACED layer index (scan iteration)
+    ring_len: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Write S new KV rows directly into the stacked cache at a dynamic
+    layer index — a pure scatter of S rows.
+
+    This exists because threading per-layer caches through ``lax.scan`` as
+    xs/ys makes XLA materialize a fresh stacked output every step: the
+    WHOLE cache is copied (read+write) per decode step — measured 2.7 ms
+    at B=16/T=256 on v5e for the 3B cache, the dominant batch-scaling cost
+    of the decode step (docs/results/serving/attn_b_probe.json). Carrying
+    the stacks through the scan and scattering rows in place eliminates
+    the copy; attention reads a (fusion-friendly) dynamic slice.
+    """
+    B, S = k_new.shape[:2]
+    T = k_stack.shape[3]
+    pos = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None]  # [B, S]
+    if ring_len is not None:
+        R = ring_len
+        slots = pos % R
+        if S > R:  # only the last R rows of an oversized block may land
+            slots = jnp.where(pos >= pos[:, -1:] - (R - 1), slots, R)
+        mode = "drop"
+    else:
+        # dynamic_update_slice semantics clamped writes to the buffer; the
+        # engine guarantees headroom, clip keeps stray rows at the tail.
+        slots = jnp.clip(pos, 0, T - 1)
+        mode = "clip"
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # [B, 1]
+    # stack.at[i, b, :, slot, :]: advanced indices (scalar, [B,1], [B,S])
+    # separated by the head slice -> indexed shape [B, S, n_kv, d], which
+    # is exactly the model-order row block.
+    if k_stack.dtype == jnp.int8:
+        kq, ks = _quantize_rows(k_new)
+        vq, vs = _quantize_rows(v_new)
+        k_stack = k_stack.at[layer_idx, b_idx, :, slots, :].set(kq, mode=mode)
+        v_stack = v_stack.at[layer_idx, b_idx, :, slots, :].set(vq, mode=mode)
+        ks_stack = ks_stack.at[layer_idx, b_idx, :, slots].set(ks, mode=mode)
+        vs_stack = vs_stack.at[layer_idx, b_idx, :, slots].set(vs, mode=mode)
+    else:
+        k_stack = k_stack.at[layer_idx, b_idx, :, slots, :].set(
+            k_new.astype(k_stack.dtype), mode=mode
+        )
+        v_stack = v_stack.at[layer_idx, b_idx, :, slots, :].set(
+            v_new.astype(v_stack.dtype), mode=mode
+        )
+    return k_stack, v_stack, ks_stack, vs_stack
+
+
 def update_cache_layer(
     k_cache: jax.Array,  # [B, n_kv, max_seq, d] (one layer, heads-major)
     v_cache: jax.Array,

@@ -142,6 +142,44 @@ def update_paged_layer(
     return k_pool, v_pool, ks_pool, vs_pool
 
 
+def scatter_paged_stack(
+    k_pool: jax.Array,  # [L, N_pages, KVH, P, D] — FULL stacked pool
+    v_pool: jax.Array,
+    ks_pool: jax.Array,  # [L, N_pages, KVH, P]
+    vs_pool: jax.Array,
+    k_new: jax.Array,  # [B, S, KVH, D]
+    v_new: jax.Array,
+    start: jax.Array,  # [B]
+    table: jax.Array,  # [B, max_pages]
+    layer_idx: jax.Array,  # [] int32 traced layer index
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """update_paged_layer on the STACKED pool at a dynamic layer index —
+    the scan-carry form that avoids per-step whole-pool copies (see
+    base.scatter_stack_layer)."""
+    B, S = k_new.shape[:2]
+    P = k_pool.shape[-2]
+    abs_pos = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    max_pages = table.shape[1]
+    ordinal = jnp.clip(abs_pos // P, 0, max_pages - 1)
+    pages = jnp.take_along_axis(table, ordinal, axis=1)  # [B, S]
+    offs = abs_pos % P
+    if k_pool.dtype == jnp.int8:
+        kq, ks = _quantize_rows(k_new)
+        vq, vs = _quantize_rows(v_new)
+        k_pool = k_pool.at[layer_idx, pages, :, offs, :].set(kq)
+        v_pool = v_pool.at[layer_idx, pages, :, offs, :].set(vq)
+        ks_pool = ks_pool.at[layer_idx, pages, :, offs].set(ks)
+        vs_pool = vs_pool.at[layer_idx, pages, :, offs].set(vs)
+    else:
+        k_pool = k_pool.at[layer_idx, pages, :, offs, :].set(
+            k_new.astype(k_pool.dtype)
+        )
+        v_pool = v_pool.at[layer_idx, pages, :, offs, :].set(
+            v_new.astype(v_pool.dtype)
+        )
+    return k_pool, v_pool, ks_pool, vs_pool
+
+
 def gather_pages(pool: jax.Array, table: jax.Array) -> jax.Array:
     """[N_pages, KVH, P, D] + [B, max_pages] -> contiguous [B, KVH, T, D]
     (T = max_pages * P). The XLA-reference read path; the Pallas kernel

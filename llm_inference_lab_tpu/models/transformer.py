@@ -117,6 +117,103 @@ def _lora(p: Any, site: str, lora_ids, x: jax.Array):
     return lora_delta(A, p[f"lora_B_{site}"], lora_ids, x)
 
 
+def _qkv(cfg: ModelConfig, p: Any, x: jax.Array, positions: jax.Array,
+         lora_ids) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused QKV projection + rotary. One matmul instead of three — decode
+    steps are dominated by per-matmul fixed cost, not FLOPs (HF gpt2's
+    Conv1D c_attn is fused the same way; for llama the loader concatenates
+    q/k/v projections)."""
+    B, S, _ = x.shape
+    H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    qkv = dense(x, p["w_qkv"], p.get("b_qkv")) + _lora(p, "qkv", lora_ids, x)
+    q = qkv[..., : H * Dh].reshape(B, S, H, Dh)
+    k = qkv[..., H * Dh : (H + KV) * Dh].reshape(B, S, KV, Dh)
+    v = qkv[..., (H + KV) * Dh :].reshape(B, S, KV, Dh)
+    if not cfg.use_learned_pos:  # llama: rotary on q and k
+        q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
+        k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
+    return q, k, v
+
+
+def _attn_extras(cfg: ModelConfig, win_on) -> dict:
+    g2 = {}
+    if cfg.query_pre_attn_scalar is not None:
+        g2["scale"] = cfg.query_pre_attn_scalar**-0.5
+    if cfg.attn_logit_softcap is not None:
+        g2["softcap"] = cfg.attn_logit_softcap
+    if win_on is not None:
+        g2["window_on"] = win_on
+    return g2
+
+
+def _attn_block_stacked(
+    cfg: ModelConfig,
+    p: Any,  # one layer's params
+    x: jax.Array,  # [B, S, D]
+    positions: jax.Array,  # [B, S]
+    kst: Tuple[jax.Array, jax.Array, jax.Array, jax.Array],  # FULL stacks
+    layer_idx: jax.Array,  # [] int32 — traced layer index
+    cache_lens: jax.Array,  # [B]
+    tree_mask: Optional[jax.Array] = None,
+    page_table: Optional[jax.Array] = None,
+    cp: Optional[tuple] = None,
+    win_on: Optional[jax.Array] = None,
+    lora_ids: Optional[jax.Array] = None,
+):
+    """Attention with the KV cache carried as FULL stacks: new rows
+    scatter in place at `layer_idx` and attention reads a dynamic slice.
+    This is the scan-carry form of _attn_block — threading per-layer
+    caches through the scan as xs/ys made XLA copy the whole cache every
+    step (see base.scatter_stack_layer)."""
+    from llm_inference_lab_tpu.models.base import scatter_stack_layer
+
+    B, S, _ = x.shape
+    H, Dh = cfg.n_heads, cfg.head_dim
+    q, k, v = _qkv(cfg, p, x, positions, lora_ids)
+
+    if cp is not None:
+        from llm_inference_lab_tpu.parallel.context import ring_self_attention
+
+        kst = scatter_stack_layer(
+            *kst, k, v, cache_lens, layer_idx, ring_len=cfg.kv_ring_len
+        )
+        attn = ring_self_attention(q, k, v, mesh=cp[0], axis=cp[1])
+    elif page_table is not None:
+        from llm_inference_lab_tpu.models.paged import scatter_paged_stack
+
+        kst = scatter_paged_stack(
+            *kst, k, v, cache_lens, page_table, layer_idx
+        )
+        kl = tuple(
+            jax.lax.dynamic_index_in_dim(t, layer_idx, 0, keepdims=False)
+            for t in kst
+        )
+        attn = get_op("paged_attention")(
+            q, kl[0], kl[1], positions, kl[2], kl[3],
+            page_table, window=cfg.sliding_window,
+            **_attn_extras(cfg, win_on),
+        )
+    else:
+        kst = scatter_stack_layer(
+            *kst, k, v, cache_lens, layer_idx, ring_len=cfg.kv_ring_len
+        )
+        kl = tuple(
+            jax.lax.dynamic_index_in_dim(t, layer_idx, 0, keepdims=False)
+            for t in kst
+        )
+        g2 = _attn_extras(cfg, win_on)
+        if cfg.kv_ring_len is not None:
+            g2["ring_len"] = cfg.kv_ring_len
+        attn = get_op("decode_attention")(
+            q, kl[0], kl[1], positions, kl[2], kl[3],
+            tree_mask, cache_lens if tree_mask is not None else None,
+            window=cfg.sliding_window, **g2,
+        )
+    a_flat = attn.reshape(B, S, H * Dh)
+    out = dense(a_flat, p["wo"], p.get("bo")) + _lora(p, "o", lora_ids, a_flat)
+    return out, kst
+
+
 def _attn_block(
     cfg: ModelConfig,
     p: Any,  # one layer's params
@@ -130,20 +227,11 @@ def _attn_block(
     win_on: Optional[jax.Array] = None,  # [] bool per-layer window gate (gemma2)
     lora_ids: Optional[jax.Array] = None,  # [B] adapter ids; None = no LoRA
 ):
+    """Per-layer-cache variant (pipeline parallelism's microbatch loop
+    slices its own cache rows; the main forward uses _attn_block_stacked)."""
     B, S, _ = x.shape
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-
-    # Fused QKV: one matmul instead of three — decode steps are dominated by
-    # per-matmul fixed cost, not FLOPs (HF gpt2's Conv1D c_attn is fused the
-    # same way; for llama the loader concatenates q/k/v projections).
-    qkv = dense(x, p["w_qkv"], p.get("b_qkv")) + _lora(p, "qkv", lora_ids, x)
-    q = qkv[..., : H * Dh].reshape(B, S, H, Dh)
-    k = qkv[..., H * Dh : (H + KV) * Dh].reshape(B, S, KV, Dh)
-    v = qkv[..., (H + KV) * Dh :].reshape(B, S, KV, Dh)
-
-    if not cfg.use_learned_pos:  # llama: rotary on q and k
-        q = rope(q, positions, cfg.rope_theta, cfg.rope_scaling)
-        k = rope(k, positions, cfg.rope_theta, cfg.rope_scaling)
+    q, k, v = _qkv(cfg, p, x, positions, lora_ids)
 
     # Write new KV at absolute positions BEFORE attending (see ops.attention).
     if cp is not None:
@@ -303,13 +391,19 @@ def forward(
         k.startswith("lora_") for k in params["layers"]
     ) else None
 
-    def layer(x, xs):
+    # The KV stacks are the scan CARRY, not xs/ys: per-layer ys would make
+    # XLA materialize a fresh whole-cache copy every step (measured 2.7 ms
+    # at B=16/T=256 for the 3B cache — the dominant batch-scaling cost).
+    # Each layer scatters its S new rows in place at its index and
+    # attention reads a fusion-friendly dynamic slice.
+    def layer(carry, xs):
+        x, kst = carry
         if win_flags is not None:
-            p, kv_layer, win_on = xs
+            p, li, win_on = xs
         else:
-            (p, kv_layer), win_on = xs, None
-        a, kv_layer = _attn_block(
-            cfg, p, _norm(cfg, x, p, "attn_norm"), positions, kv_layer,
+            (p, li), win_on = xs, None
+        a, kst = _attn_block_stacked(
+            cfg, p, _norm(cfg, x, p, "attn_norm"), positions, kst, li,
             cache_lens, tree_mask, page_table, cp, win_on, lids,
         )
         if cfg.post_norms:  # gemma2 sandwich norms (modeling_gemma2)
@@ -320,18 +414,19 @@ def forward(
         if cfg.post_norms:
             h = _norm(cfg, h, p, "post_mlp_norm")
         x = x + h
-        return x, kv_layer
+        return (x, kst), None
 
     unroll = max(1, min(cfg.scan_unroll, cfg.n_layers))
     if cfg.n_layers % unroll:
         unroll = 1
     kv_stack = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+    lidx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
     xs = (
-        (params["layers"], kv_stack, win_flags)
+        (params["layers"], lidx, win_flags)
         if win_flags is not None
-        else (params["layers"], kv_stack)
+        else (params["layers"], lidx)
     )
-    x, kv_new = jax.lax.scan(layer, x, xs, unroll=unroll)
+    (x, kv_new), _ = jax.lax.scan(layer, (x, kv_stack), xs, unroll=unroll)
     if page_table is not None:
         new_cache = PagedKVCache(*kv_new, table=page_table)
     else:

@@ -235,11 +235,21 @@ def _kernel_wrapper(q, k_cache, v_cache, positions, k_scale=None, v_scale=None,
         ring_len = None  # window can't bind: plain positional mask is exact
     S, D = q.shape[1], q.shape[-1]
     group = q.shape[2] // k_cache.shape[1]
+    quantized = k_cache.dtype == jnp.int8
     ok = (
         tree_mask is None and T % 128 == 0 and D % 128 == 0 and use_pallas()
         # Ring prefill chunks (S > 32) fall back to XLA: flash_prefill has
         # no modular mask (chunks are compute-bound; decode is the win).
         and (ring_len is None or S <= 32)
+        # Measured on v5e with the scan-carry cache (slope timing,
+        # docs/results/serving/batch_scaling_r3_carry.json): for bf16
+        # caches at decode shapes, XLA's fused mask/softmax einsum beats
+        # the kernel at every batch — the kernel pays a materialized
+        # dynamic-slice input plus a B x KVH-program grid (3B step at
+        # B=16: 7.41 ms pallas vs 5.72 ms XLA). The kernel keeps int8
+        # caches (its per-tile dequant avoids materializing a bf16 copy
+        # of the layer, which is what the XLA path does).
+        and (quantized or S > 32)
     )
     bt = 256 if T % 256 == 0 else 128
 

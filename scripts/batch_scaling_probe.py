@@ -26,26 +26,42 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def chain_ms(fn, init, iters=30):
-    """Median-of-3 dependent-chain timing of fn: carry -> carry (scanned,
-    so the chain compiles once regardless of length)."""
+def chain_ms(fn, params, init, lo=10, hi=40):
+    """SLOPE-timed dependent chain of fn(params, carry) -> carry:
+    (t(hi) - t(lo)) / (hi - lo) cancels the fixed ~27 ms relay RTT of the
+    completion fetch. Params are a jit ARGUMENT — closing over them would
+    embed multi-GB constants and make compilation through the axon relay
+    pathological (see perf_probe.forward_ms)."""
     import jax
 
-    @jax.jit
-    def chain(carry):
-        return jax.lax.scan(
-            lambda c, _: (fn(c), None), carry, None, length=iters
-        )[0]
+    def make(iters):
+        @jax.jit
+        def chain(params, carry):
+            return jax.lax.scan(
+                lambda c, _: (fn(params, c), None), carry, None,
+                length=iters,
+            )[0]
 
-    out = chain(init)
-    jax.block_until_ready(out)
-    vals = []
-    for _ in range(3):
+        return chain
+
+    def force(out):
+        # Scalar fetch: block_until_ready can ack early through tunneled
+        # runtimes (docs/RESULTS.md "measurement trap"); a data-dependent
+        # device_get cannot.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jax.device_get(leaf.ravel()[:1])
+
+    c_lo, c_hi = make(lo), make(hi)
+
+    def run(c):
         t0 = time.perf_counter()
-        out = chain(init)
-        jax.block_until_ready(out)
-        vals.append((time.perf_counter() - t0) * 1e3 / iters)
-    return sorted(vals)[1]
+        force(c(params, init))
+        return (time.perf_counter() - t0) * 1e3
+
+    run(c_lo), run(c_hi)  # compile
+    t_lo = sorted(run(c_lo) for _ in range(3))[1]
+    t_hi = sorted(run(c_hi) for _ in range(3))[1]
+    return (t_hi - t_lo) / (hi - lo)
 
 
 def main() -> int:
@@ -78,38 +94,38 @@ def main() -> int:
     mcfg = tgt.config
     T = args.seq
     rows = []
+    raw_step = eng._build_step(1, jit=False)
     for B in (int(x) for x in args.batches.split(",")):
-        cache = tgt.init_cache(B, T)
 
-        def fwd_full(carry):
+        def fwd_full(params, carry):
             tok, cache = carry
             logits, cache = tgt.apply_fn(
-                tgt.params, tok, jnp.full((B, 1), 8, jnp.int32), cache,
+                params, tok, jnp.full((B, 1), 8, jnp.int32), cache,
                 jnp.full((B,), 7, jnp.int32),
             )
             nxt = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
             return nxt, cache
 
-        def fwd_body(carry):
+        def fwd_body(params, carry):
             # Consume only hidden; XLA dead-code-eliminates the lm_head.
             tok, cache = carry
             _, cache, hidden = tgt.apply_fn(
-                tgt.params, tok, jnp.full((B, 1), 8, jnp.int32), cache,
+                params, tok, jnp.full((B, 1), 8, jnp.int32), cache,
                 jnp.full((B,), 7, jnp.int32), return_hidden=True,
             )
             nxt = (hidden[:, -1:, 0] > 0).astype(jnp.int32)
             return nxt, cache
 
-        def head_only(h):
-            logits = tgt.head_fn(tgt.params, h)
+        def head_only(params, h):
+            logits = tgt.head_fn(params, h)
             # Feed a scalar back so the chain is dependent.
             return h + logits[..., :1].astype(h.dtype) * 1e-9
 
         tok0 = jnp.ones((B, 1), jnp.int32)
-        full = chain_ms(fwd_full, (tok0, tgt.init_cache(B, T)))
-        body = chain_ms(fwd_body, (tok0, tgt.init_cache(B, T)))
+        full = chain_ms(fwd_full, tgt.params, (tok0, tgt.init_cache(B, T)))
+        body = chain_ms(fwd_body, tgt.params, (tok0, tgt.init_cache(B, T)))
         h0 = jnp.zeros((B, 1, mcfg.d_model), mcfg.dtype)
-        head = chain_ms(head_only, h0)
+        head = chain_ms(head_only, tgt.params, h0)
 
         # Full engine baseline step on a DecodeState of this batch size.
         state = init_state(
@@ -122,13 +138,7 @@ def main() -> int:
             active=jnp.ones((B,), bool),
             tokens=state.tokens.at[:, :8].set(1),
         )
-        step_fn = eng._get_step(1)
-
-        def step(st):
-            return step_fn(tgt.params, st)
-
-        # Not donate-safe to reuse: chain on a fresh copy.
-        step_ms = chain_ms(step, state, iters=30)
+        step_ms = chain_ms(raw_step, tgt.params, state)
 
         rows.append({
             "B": B,
