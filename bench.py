@@ -33,11 +33,16 @@ def main() -> None:
     small = os.environ.get("SPECDX_BENCH_SMALL") == "1" or jax.default_backend() == "cpu"
     base = "llama-tiny" if small else "llama-3.2-3b"
     draft = "llama-tiny" if small else "llama-3.2-1b"
-    # Default = the BASELINE.json headline config: INT8 weight-only (plus
-    # int8 embeddings). SPECDX_BENCH_QUANT=none for bf16.
-    quant_env = os.environ.get("SPECDX_BENCH_QUANT", "int8")
+    # Default = INT4 weight-only + int8 embeddings: the v2 two-dot Pallas
+    # dequant kernel made int4 the fastest config (measured on v5e,
+    # round 3: spec K=1 197.8 tok/s int4 vs 131.7 int8 — int4 runs at
+    # 69-82% of HBM speed-of-light per matmul and 1.3-1.9x int8;
+    # docs/results/serving/int4_bench_r3.json). SPECDX_BENCH_QUANT=int8 /
+    # none for the other precisions.
+    quant_env = os.environ.get("SPECDX_BENCH_QUANT", "int4")
     quant = None if quant_env in ("none", "bf16", "") else quant_env
     qembed = os.environ.get("SPECDX_BENCH_QEMBED", "1" if quant else "0") == "1"
+    qinit = quant is not None and not small
     max_new = 64
     # Default K mirrors the reference's headline config (K=1, BASELINE.md)
     # — which is also the throughput-optimal K at worst-case acceptance
@@ -68,6 +73,9 @@ def main() -> None:
             greedy=True,
             quantization=quant,
             quantize_embed=qembed,
+            # Random-init benches init directly in quantized form (no bf16
+            # intermediate); checkpoint runs quantize after loading.
+            quantized_init=qinit and find_cached_checkpoint(base) is None,
             max_seq_len=512,
         )
     )

@@ -396,12 +396,31 @@ def forward(
     # at B=16/T=256 for the 3B cache — the dominant batch-scaling cost).
     # Each layer scatters its S new rows in place at its index and
     # attention reads a fusion-friendly dynamic slice.
+    #
+    # Quantized weight leaves likewise stay OUT of the scanned xs: an xs
+    # slice feeding the Pallas dequant kernel is a materialized copy
+    # (~50 MB/layer at int4-3B). They ride the closure as full stacks and
+    # each layer binds a QuantStackRef(stack, i); the kernel reads blocks
+    # via a scalar-prefetched index map (ops/pallas/quant_matmul.py).
+    from llm_inference_lab_tpu.ops.quant import QuantStackRef, QuantTensor
+
+    scan_layers = params["layers"]
+    qstacks = {
+        k: v for k, v in scan_layers.items() if isinstance(v, QuantTensor)
+    }
+    if qstacks:
+        scan_layers = {
+            k: v for k, v in scan_layers.items() if k not in qstacks
+        }
+
     def layer(carry, xs):
         x, kst = carry
         if win_flags is not None:
             p, li, win_on = xs
         else:
             (p, li), win_on = xs, None
+        if qstacks:
+            p = {**p, **{k: QuantStackRef(v, li) for k, v in qstacks.items()}}
         a, kst = _attn_block_stacked(
             cfg, p, _norm(cfg, x, p, "attn_norm"), positions, kst, li,
             cache_lens, tree_mask, page_table, cp, win_on, lids,
@@ -422,9 +441,9 @@ def forward(
     kv_stack = (cache.k, cache.v, cache.k_scale, cache.v_scale)
     lidx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
     xs = (
-        (params["layers"], lidx, win_flags)
+        (scan_layers, lidx, win_flags)
         if win_flags is not None
-        else (params["layers"], lidx)
+        else (scan_layers, lidx)
     )
     (x, kv_new), _ = jax.lax.scan(layer, (x, kv_stack), xs, unroll=unroll)
     if page_table is not None:

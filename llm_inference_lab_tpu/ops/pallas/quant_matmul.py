@@ -49,15 +49,22 @@ def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref):
         o_ref[:] = (acc_ref[:] * s_ref[0, :].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _kernel_int4(x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref):
+def _kernel_int4(xd_ref, xh_ref, w_ref, s_ref, c_ref, o_ref, acc_ref):
     """int4 split-K-halves: each packed byte tile covers rows [j*BK, j*BK+BK)
-    of the LOW half and rows [half + j*BK, ...) of the HIGH half, so the
-    kernel receives the two matching x tiles and does two MXU dots.
+    of the LOW half and rows [half + j*BK, ...) of the HIGH half.
 
-    Dequant is three int8 VPU ops — no shifts, no i32 expansion (the v2
-    nibble encoding in ops.quant.quantize_int4 stores lo biased +8 and hi
-    two's-complement, so ``byte - (byte & 0x0F)`` is EXACTLY 16x the signed
-    high weight). The caller pre-scales the high-half activations by 1/16.
+    Per-byte dequant is ONE int8 AND and TWO i8->bf16 converts — no shifts,
+    no subtracts, no i32 expansion (Mosaic legalizes none of i8 sub/shift).
+    With the v2 nibble encoding (ops.quant.quantize_int4: byte = 16*h +
+    (l+8) as a signed int8), the contraction refactors as
+
+        x_lo . l + x_hi . h
+          = (x_lo - x_hi/16) . t  +  (x_hi/16) . byte  -  8 * sum(x_lo)
+
+    where t = byte & 0x0F. The caller passes xd = x_lo - x_hi/16 and
+    xh = x_hi/16 as the two activation tiles and the -8*rowsum(x_lo)
+    correction (c_ref, [Mp, 1]) folds into the epilogue — so the kernel
+    body is exactly two MXU dots on cheaply-converted byte tiles.
     """
     j = pl.program_id(1)
 
@@ -66,21 +73,47 @@ def _kernel_int4(x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     w = w_ref[:]
-    t = w & 0x0F  # lo_biased in 0..15 (int8)
-    lo = (t - 8).astype(jnp.bfloat16)  # signed low-half weight
-    hi16 = (w - t).astype(jnp.bfloat16)  # 16 * signed high-half weight
-    acc_ref[:] += jnp.dot(x_lo_ref[:], lo, preferred_element_type=jnp.float32)
-    acc_ref[:] += jnp.dot(x_hi_ref[:], hi16, preferred_element_type=jnp.float32)
+    tb = (w & 0x0F).astype(jnp.bfloat16)  # lo_biased in 0..15
+    wb = w.astype(jnp.bfloat16)  # 16*h + (l+8), exact in bf16
+    acc_ref[:] += jnp.dot(xd_ref[:], tb, preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(xh_ref[:], wb, preferred_element_type=jnp.float32)
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
-        o_ref[:] = (acc_ref[:] * s_ref[0, :].astype(jnp.float32)).astype(o_ref.dtype)
+        o_ref[:] = (
+            (acc_ref[:] + c_ref[:, :1].astype(jnp.float32))
+            * s_ref[0, :].astype(jnp.float32)
+        ).astype(o_ref.dtype)
+
+
+def _kernel_int8_st(li_ref, x_ref, w_ref, s_ref, o_ref, acc_ref):
+    # Stacked variant: the scalar-prefetched layer index aims the weight
+    # block DMAs (index maps below); the body is identical.
+    _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref)
+
+
+def _kernel_int4_st(li_ref, xd_ref, xh_ref, w_ref, s_ref, c_ref, o_ref,
+                    acc_ref):
+    _kernel_int4(xd_ref, xh_ref, w_ref, s_ref, c_ref, o_ref, acc_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool = False):
-    """x: [M, K(logical)] bf16/f32; qt int8 [K, N] or int4-packed [K//2, N]."""
+def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, layer_idx=None,
+                        interpret: bool = False):
+    """x: [M, K(logical)] bf16/f32; qt int8 [K, N] or int4-packed [K//2, N].
+
+    STACKED form: qt leaves carry a leading layer axis ([L, Kp, N] data,
+    [L, N] scales) and `layer_idx` (traced scalar) selects the layer via a
+    scalar-prefetched index map — the kernel DMAs blocks straight out of
+    the stacked parameter buffer. This exists because the model's layer
+    scan slices its xs per iteration, and a dynamic slice feeding a
+    pallas_call is a MATERIALIZED copy (~50 MB/layer for the int4 3B):
+    the copies cost more than the matmuls they feed.
+    """
     M, K = x.shape
+    stacked = qt.data.ndim == 3
+    if stacked:
+        K = qt.data.shape[1] * (2 if qt.bits == 4 else 1)
     N = qt.data.shape[-1]
     out_dtype = x.dtype
 
@@ -101,7 +134,6 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool = False):
         if N % 1024 == 0
         else 512 if N % 512 == 0 else 256 if N % 256 == 0 else 128
     )
-    scale2d = qt.scale.reshape(1, N)
 
     def pick_bk(k_total: int, budget: int) -> int:
         if k_total * BN <= budget and k_total % 128 == 0:
@@ -111,24 +143,63 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool = False):
                 return cand
         return k_total
 
+    def call(kernel, kernel_st, in_specs, operands, scratch):
+        common = dict(
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            interpret=interpret,
+        )
+        out_spec_flat = pl.BlockSpec(
+            (Mp, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        )
+        if not stacked:
+            return pl.pallas_call(
+                kernel, grid=grid, in_specs=in_specs,
+                out_specs=out_spec_flat, scratch_shapes=scratch, **common,
+            )(*operands)
+        li = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+        # Index maps gain the prefetch ref as a trailing arg; weight/scale
+        # maps read the layer index from it.
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (Mp, BN), lambda i, j, li: (0, i), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(kernel_st, grid_spec=grid_spec, **common)(
+            li, *operands
+        )
+
+    def xspec(shape, index_flat, index_st):
+        return pl.BlockSpec(
+            shape, index_st if stacked else index_flat,
+            memory_space=pltpu.VMEM,
+        )
+
     if qt.bits == 8:
         BK = pick_bk(K, 4 << 20)
         grid = (N // BN, K // BK)
-        out = pl.pallas_call(
-            _kernel_int8,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((Mp, BK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((BK, BN), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (Mp, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        scale_op = (
+            qt.scale.reshape(-1, 1, N) if stacked else qt.scale.reshape(1, N)
+        )
+        in_specs = [
+            xspec((Mp, BK), lambda i, j: (0, j), lambda i, j, li: (0, j)),
+            xspec(
+                ((None, BK, BN) if stacked else (BK, BN)),
+                lambda i, j: (j, i), lambda i, j, li: (li[0], j, i),
             ),
-            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
-            scratch_shapes=[pltpu.VMEM((Mp, BN), jnp.float32)],
-            interpret=interpret,
-        )(x, qt.data, scale2d)
+            xspec(
+                ((None, 1, BN) if stacked else (1, BN)),
+                lambda i, j: (0, i), lambda i, j, li: (li[0], 0, i),
+            ),
+        ]
+        out = call(
+            _kernel_int8, _kernel_int8_st, in_specs,
+            (x, qt.data, scale_op),
+            [pltpu.VMEM((Mp, BN), jnp.float32)],
+        )
     else:
         half = K // 2
         # v2 dequant holds tile int8 x2 + bf16 x2 (~6 bytes/packed elem) —
@@ -136,44 +207,56 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, interpret: bool = False):
         BK = pick_bk(half, 2 << 20)
         grid = (N // BN, half // BK)
         x_lo = x[:, :half]
-        # 1/16 prescale pairs with the kernel's 16x high-nibble dequant
-        # (exact: power of two; [M, K/2] elementwise, negligible vs the dot).
+        # 1/16 prescale + the xd/xh/corr refactoring (see _kernel_int4):
+        # all [M, K/2]-sized prep, negligible vs the dots and fused by XLA.
         x_hi = x[:, half:] * jnp.asarray(0.0625, x.dtype)
-        out = pl.pallas_call(
-            _kernel_int4,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((Mp, BK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((Mp, BK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((BK, BN), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (Mp, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        x_d = x_lo - x_hi
+        corr = (-8.0 * jnp.sum(x_lo.astype(jnp.float32), axis=-1,
+                               keepdims=True)).astype(jnp.float32)  # [Mp,1]
+        scale_op = (
+            qt.scale.reshape(-1, 1, N) if stacked else qt.scale.reshape(1, N)
+        )
+        in_specs = [
+            xspec((Mp, BK), lambda i, j: (0, j), lambda i, j, li: (0, j)),
+            xspec((Mp, BK), lambda i, j: (0, j), lambda i, j, li: (0, j)),
+            xspec(
+                ((None, BK, BN) if stacked else (BK, BN)),
+                lambda i, j: (j, i), lambda i, j, li: (li[0], j, i),
             ),
-            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
-            scratch_shapes=[pltpu.VMEM((Mp, BN), jnp.float32)],
-            interpret=interpret,
-        )(x_lo, x_hi, qt.data, scale2d)
+            xspec(
+                ((None, 1, BN) if stacked else (1, BN)),
+                lambda i, j: (0, i), lambda i, j, li: (li[0], 0, i),
+            ),
+            xspec((Mp, 1), lambda i, j: (0, 0), lambda i, j, li: (0, 0)),
+        ]
+        out = call(
+            _kernel_int4, _kernel_int4_st, in_specs,
+            (x_d, x_hi, qt.data, scale_op, corr),
+            [pltpu.VMEM((Mp, BN), jnp.float32)],
+        )
 
     return out[:M]
 
 
-def _dispatch(x: jax.Array, qt: QuantTensor) -> jax.Array:
+def _dispatch(x: jax.Array, qt) -> jax.Array:
     from llm_inference_lab_tpu.ops.pallas import interpret_mode, use_pallas
+    from llm_inference_lab_tpu.ops.quant import QuantStackRef
 
-    # Measured on v5e (1B-model decode forward, on-device dependent-chain
-    # timing): bf16 3.74 ms; int8: XLA fused dequant 2.51 ms vs this kernel
-    # 3.24 ms (XLA fuses int8->bf16 into the dot at near-roofline — it wins,
-    # so int8 defaults to XLA); int4: XLA unpack 3.69 ms (materializes int8)
-    # vs this kernel 2.82 ms — the kernel wins and is the int4 default.
+    # Measured on v5e (slope-timed, docs/results/serving/int4_bench_r3.json):
+    # int8: XLA fuses int8->bf16 into the dot at 75-92% of HBM
+    # speed-of-light — it wins, so int8 defaults to XLA. int4 v2 (two-dot
+    # mask+convert dequant): 69-82% SoL and 1.3-1.9x faster than int8 on
+    # the llama shapes — the kernel is the int4 default, reading stacked
+    # weights via scalar-prefetch under the layer scan.
     # Override with SPECDX_PALLAS_QUANT_MATMUL=1/0.
     import os
 
-    K = qt.data.shape[0] * (2 if qt.bits == 4 else 1)
-    N = qt.data.shape[-1]
+    ref = isinstance(qt, QuantStackRef)
+    inner = qt.qt if ref else qt
+    K = inner.data.shape[-2] * (2 if inner.bits == 4 else 1)
+    N = inner.data.shape[-1]
     env = os.environ.get("SPECDX_PALLAS_QUANT_MATMUL")
-    prefer_pallas = (qt.bits == 4) if env is None else env == "1"
+    prefer_pallas = (inner.bits == 4) if env is None else env == "1"
     if (
         not prefer_pallas
         or x.shape[0] > 32  # decode kernel: prefill-sized M blows VMEM
@@ -184,6 +267,10 @@ def _dispatch(x: jax.Array, qt: QuantTensor) -> jax.Array:
         from llm_inference_lab_tpu.ops.quant import quant_matmul_xla
 
         return quant_matmul_xla(x, qt)
+    if ref:
+        return quant_matmul_pallas(
+            x, qt.qt, layer_idx=qt.idx, interpret=interpret_mode()
+        )
     return quant_matmul_pallas(x, qt, interpret=interpret_mode())
 
 

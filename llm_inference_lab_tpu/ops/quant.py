@@ -132,9 +132,57 @@ def dequantize(qt: QuantTensor, dtype=jnp.bfloat16) -> jax.Array:
     return (q.astype(jnp.float32) * qt.scale[None, :]).astype(dtype)
 
 
-def quant_matmul_xla(x: jax.Array, qt: QuantTensor) -> jax.Array:
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantStackRef:
+    """A view into a LAYER-STACKED QuantTensor (data [L, Kp, N], scale
+    [L, N]) at a traced layer index.
+
+    The model's layer scan slices its xs per iteration; a dynamic slice of
+    a multi-MB quantized weight feeding a pallas_call is a materialized
+    copy that costs more than the matmul it feeds. dense() accepts this
+    ref and the Pallas kernel reads blocks straight from the stacked
+    buffer via a scalar-prefetched index map; the XLA path slices (and
+    fuses) as before."""
+
+    qt: QuantTensor  # stacked leaves
+    idx: jax.Array  # [] int32 layer index
+
+    def tree_flatten(self):
+        return (self.qt, self.idx), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def bits(self) -> int:
+        return self.qt.bits
+
+    @property
+    def shape(self):
+        mul = 2 if self.qt.bits == 4 else 1
+        return (self.qt.data.shape[1] * mul, self.qt.data.shape[2])
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16
+
+    def sliced(self) -> QuantTensor:
+        return QuantTensor(
+            jax.lax.dynamic_index_in_dim(self.qt.data, self.idx, 0,
+                                         keepdims=False),
+            jax.lax.dynamic_index_in_dim(self.qt.scale, self.idx, 0,
+                                         keepdims=False),
+            bits=self.qt.bits,
+        )
+
+
+def quant_matmul_xla(x: jax.Array, qt) -> jax.Array:
     """Reference dequant-matmul: per-output-channel scale factors out of the
     contraction, so dequantization is a cheap epilogue XLA fuses."""
+    if isinstance(qt, QuantStackRef):
+        qt = qt.sliced()  # XLA fuses the layer slice into the dot
     q = unpack_int4(qt.data) if qt.bits == 4 else qt.data
     y = jnp.dot(x, q.astype(x.dtype), preferred_element_type=jnp.float32)
     return (y * qt.scale[None, :]).astype(x.dtype)
@@ -196,9 +244,10 @@ def quantize_embed(embed: jax.Array) -> EmbedQuant:
 def dense(x: jax.Array, w: Any, b: Optional[jax.Array] = None) -> jax.Array:
     """The single matmul entry point for all model projections.
 
-    x: [..., d_in]; w: array [d_in, d_out] or QuantTensor; b: [d_out] or None.
+    x: [..., d_in]; w: array [d_in, d_out], QuantTensor, or QuantStackRef
+    (layer-stacked quantized weight at a traced layer index).
     """
-    if isinstance(w, QuantTensor):
+    if isinstance(w, (QuantTensor, QuantStackRef)):
         from llm_inference_lab_tpu.ops.registry import get_op
 
         lead = x.shape[:-1]
