@@ -142,11 +142,15 @@ def test_tree_mode_rejects_penalties():
         _engine(draft_mode="tree", repetition_penalty=1.5).generate("x")
 
 
-def test_tree_mode_rejects_logprobs_topk():
-    """Tree commit captures no alternatives — asking for them must error,
-    not return fabricated all-zero buffers (round-2 code-review finding)."""
-    with pytest.raises(ValueError):
-        _engine(draft_mode="tree", logprobs_topk=3).generate("x")
+def test_tree_mode_supports_logprobs_topk():
+    """Round 3: the tree commit now captures top-N alternatives from the
+    verify rows (treespec.py) — logprobs_topk must produce real values,
+    not error (reverses the round-2 rejection, which guarded fabricated
+    all-zero buffers)."""
+    r = _engine(draft_mode="tree", logprobs_topk=3).generate("x")
+    assert r["top_logprobs"] is not None
+    assert len(r["top_logprobs"]) == r["generated_tokens"]
+    assert all(len(alts) == 3 for alts in r["top_logprobs"])
 
 
 def test_per_request_vocab_mismatch_allowed_without_penalties():
