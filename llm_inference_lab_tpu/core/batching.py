@@ -315,6 +315,141 @@ def make_admit_prefix(target_model, draft_model):
     return jax.jit(admit, donate_argnums=(2,))
 
 
+def make_admit_many(target_model, draft_model):
+    """Jitted G-slot admission: ONE [G, P] prefill forward + one vectorized
+    splice. A retirement wave (uniform workloads finish whole slot cohorts
+    at once) previously paid G sequential [1, P] prefill dispatches — the
+    dominant term of the round-3 occupancy trace's committed=0 convoy gaps
+    (docs/results/serving/occupancy_r3_after.json, ~200 ms per wave). One
+    batched prefill amortizes both the device work (weights stream from HBM
+    once for all G prompts) and the per-dispatch relay round trips.
+
+    jax.jit caches per (G, P) shape; callers bucket G to powers of two and
+    P to power-of-two token buckets so the compile set stays tiny."""
+    target_apply = target_model.apply_fn
+    draft_apply = draft_model.apply_fn if draft_model is not None else None
+
+    def admit(target_params, draft_params, state, prompt_rows,  # [G, P]
+              prompt_lens, slots, max_news, table_rows,  # [G],[G],[G],[G,M]
+              temperature, top_k, top_p, min_p,  # [G] each
+              rep_penalty, presence_penalty, freq_penalty,  # [G] each
+              bias_ids, bias_vals, seeds, fsm_inits, lora_ids):  # [G,nb]x2,[G]x3
+        from llm_inference_lab_tpu.models.base import KVCache
+        from llm_inference_lab_tpu.models.paged import PagedKVCache
+
+        G, P = prompt_rows.shape
+        positions = jnp.broadcast_to(
+            jnp.arange(P, dtype=jnp.int32)[None], (G, P)
+        )
+        zero = jnp.zeros((G,), jnp.int32)
+        paged = isinstance(state.target_cache, PagedKVCache)
+
+        def sub_cache(cache):
+            # [L, G, KVH, P, d] prefill scratch (dtype matches the pool, so
+            # int8 caches prefill quantized exactly like the decode path).
+            L, d, kvh = cache.k.shape[0], cache.k.shape[-1], cache.k.shape[-3]
+            return KVCache(
+                k=jnp.zeros((L, G, kvh, P, d), cache.k.dtype),
+                v=jnp.zeros((L, G, kvh, P, d), cache.v.dtype),
+                k_scale=jnp.ones((L, G, kvh, P), jnp.float32),
+                v_scale=jnp.ones((L, G, kvh, P), jnp.float32),
+            )
+
+        def splice(cache, sub):
+            if not paged:
+                # Static-length slice write into each admitted lane; rows
+                # past P keep stale data, which attention masks by length
+                # (same invariant retired lanes rely on).
+                return KVCache(
+                    cache.k.at[:, slots, :, :P, :].set(sub.k),
+                    cache.v.at[:, slots, :, :P, :].set(sub.v),
+                    cache.k_scale.at[:, slots, :, :P].set(sub.k_scale),
+                    cache.v_scale.at[:, slots, :, :P].set(sub.v_scale),
+                )
+            # Paged: scatter each page-size chunk of every scratch lane into
+            # its allocated page. A request whose own allocation is shorter
+            # than the group's padded P scatters the excess into page 0 —
+            # the reserved dummy page no allocation ever owns.
+            pg = cache.page_size
+            k, v, ks, vs = cache.k, cache.v, cache.k_scale, cache.v_scale
+            for j in range(P // pg):
+                pid = table_rows[:, j]  # [G]
+                sl = slice(j * pg, (j + 1) * pg)
+                k = k.at[:, pid].set(sub.k[:, :, :, sl, :])
+                v = v.at[:, pid].set(sub.v[:, :, :, sl, :])
+                ks = ks.at[:, pid].set(sub.k_scale[:, :, :, sl])
+                vs = vs.at[:, pid].set(sub.v_scale[:, :, :, sl])
+            return PagedKVCache(
+                k, v, ks, vs, cache.table.at[slots].set(table_rows)
+            )
+
+        lg, t_cache, hidden = target_apply(
+            target_params, prompt_rows, positions,
+            sub_cache(state.target_cache), zero, return_hidden=True,
+            lora_ids=lora_ids,
+        )
+        target_cache = splice(state.target_cache, t_cache)
+        # Prompt logprobs (OpenAI echo+logprobs), vectorized over the group.
+        lg32 = lg[:, :-1].astype(jnp.float32)  # [G, P-1, V]
+        row_lp = jnp.take_along_axis(
+            lg32, prompt_rows[:, 1:, None], axis=-1
+        )[..., 0] - jax.scipy.special.logsumexp(lg32, axis=-1)
+        pos1 = jnp.arange(1, P, dtype=jnp.int32)[None]
+        row_lp = jnp.where(pos1 < prompt_lens[:, None], row_lp, 0.0)
+        lp_lanes = jnp.zeros((G, state.tokens.shape[1]), jnp.float32)
+        lp_lanes = lp_lanes.at[:, 1:P].set(row_lp)
+
+        if draft_apply is not None:
+            _, d_cache = draft_apply(
+                draft_params, prompt_rows, positions,
+                sub_cache(state.draft_cache), zero,
+            )
+            draft_cache = splice(state.draft_cache, d_cache)
+        else:
+            draft_cache = state.draft_cache
+
+        rows = jnp.zeros((G, state.tokens.shape[1]), jnp.int32)
+        rows = rows.at[:, :P].set(prompt_rows)
+        h_idx = jnp.maximum(prompt_lens - 2, 0)  # [G]
+        h_last = jnp.take_along_axis(
+            hidden, h_idx[:, None, None], axis=1
+        )[:, 0].astype(jnp.float32)  # [G, D]
+        rngs = jax.vmap(jax.random.PRNGKey)(seeds)  # [G, 2]
+        return state.replace(
+            tokens=state.tokens.at[slots].set(rows),
+            lengths=state.lengths.at[slots].set(prompt_lens),
+            prompt_lens=state.prompt_lens.at[slots].set(prompt_lens),
+            max_new=state.max_new.at[slots].set(max_news),
+            active=state.active.at[slots].set(prompt_lens > 0),
+            target_cache=target_cache,
+            draft_cache=draft_cache,
+            proposed=state.proposed.at[slots].set(0),
+            accepted=state.accepted.at[slots].set(0),
+            bonus=state.bonus.at[slots].set(0),
+            last_hidden=state.last_hidden.at[slots].set(h_last),
+            prev_hidden=state.prev_hidden.at[slots].set(h_last),
+            temperature=state.temperature.at[slots].set(temperature),
+            top_k=state.top_k.at[slots].set(top_k),
+            top_p=state.top_p.at[slots].set(top_p),
+            min_p=state.min_p.at[slots].set(min_p),
+            rep_penalty=state.rep_penalty.at[slots].set(rep_penalty),
+            presence_penalty=state.presence_penalty.at[slots].set(
+                presence_penalty
+            ),
+            freq_penalty=state.freq_penalty.at[slots].set(freq_penalty),
+            bias_ids=state.bias_ids.at[slots].set(bias_ids),
+            bias_vals=state.bias_vals.at[slots].set(bias_vals),
+            slot_rng=state.slot_rng.at[slots].set(rngs),
+            lora_ids=state.lora_ids.at[slots].set(lora_ids),
+            fsm_lex=state.fsm_lex.at[slots].set(fsm_inits),
+            fsm_stack=state.fsm_stack.at[slots].set(0),
+            fsm_sp=state.fsm_sp.at[slots].set(0),
+            token_logprobs=state.token_logprobs.at[slots].set(lp_lanes),
+        )
+
+    return jax.jit(admit, donate_argnums=(2,))
+
+
 def make_admit_incremental(target_model, draft_model, chunk: int):
     """Interleaved (chunked) admission — vLLM-style 'chunked prefill' for
     the serving path. A long prompt's admission forward would otherwise
@@ -554,6 +689,9 @@ class ContinuousBatcher:
         self._done_prop = self._done_acc = 0
         self._prev_prop = self._prev_acc = 0
         self._admit = make_admit(engine.target, engine.draft)
+        # Batched wave admission (one [G, P] prefill for a whole retirement
+        # wave); jit caches per (G, P) — callers bucket both to powers of 2.
+        self._admit_many = make_admit_many(engine.target, engine.draft)
         self._admit_prefix = (
             make_admit_prefix(engine.target, engine.draft)
             if self.engine.config.kv_layout == "paged" and self.engine.config.prefix_caching
@@ -609,6 +747,9 @@ class ContinuousBatcher:
             )
 
         self._clear_table = jax.jit(_clear_tbl, donate_argnums=(0,))
+        # Slots retired but not yet table-cleared (deferred clear: admission
+        # overwriting the row supersedes it; see _retire_finished).
+        self._stale_tables: set = set()
 
         # Lazy page growth: extend a slot's device table row in place
         # (target + draft pools share page ids; [B, M] write, trivial).
@@ -812,6 +953,7 @@ class ContinuousBatcher:
             self._slots[slot] = req
             self._counted[slot] = len(ids)
             self.stats.admitted += 1
+            self._stale_tables.discard(slot)  # admission wrote the row
             # Publish this request's own full prompt chunks for reuse.
             self.allocator.register(ids, req.pages, req.reuse_len)
             return
@@ -829,6 +971,7 @@ class ContinuousBatcher:
         self._slots[slot] = req
         self._counted[slot] = len(ids)
         self.stats.admitted += 1
+        self._stale_tables.discard(slot)  # admission wrote the row
 
     def _admission_meta(self, req: _Request) -> tuple:
         """The per-request scalar tail every admission jit takes:
@@ -996,6 +1139,7 @@ class ContinuousBatcher:
         self._prefilling = None
         self._counted[pf["slot"]] = len(req.admit_ids)
         self.stats.admitted += 1
+        self._stale_tables.discard(pf["slot"])  # splice wrote the row
 
     def _abort_incremental(self, req: _Request) -> None:
         """Drop a cancelled in-flight admission: nothing reached the live
@@ -1195,10 +1339,85 @@ class ContinuousBatcher:
         t0 = time.perf_counter()
         n0 = self.stats.admitted
         self._finish_admission()
+        group: List[_Request] = []
         for req in self._plan_admissions():
-            self._admit_one(req.slot, req)
+            # Incremental (chunked) and prefix-cached admissions keep their
+            # specialized per-slot paths; everything else batches.
+            if (
+                self._admit_prefix is not None
+                or (self._admit_incr is not None
+                    and len(req.admit_ids) > self.engine.config.admit_chunk)
+            ):
+                self._admit_one(req.slot, req)
+            else:
+                group.append(req)
+        if len(group) == 1:
+            self._admit_one(group[0].slot, group[0])
+        elif group:
+            # Sort by length so power-of-two sub-groups pad to similar P.
+            group.sort(key=lambda r: len(r.admit_ids))
+            while group:
+                n = 1
+                while n * 2 <= len(group):
+                    n *= 2
+                self._admit_group(group[:n])
+                group = group[n:]
         if self.stats.admitted != n0:
             self.stats.admit_ms += (time.perf_counter() - t0) * 1e3
+
+    def _admit_group(self, reqs: List[_Request]) -> None:
+        """Collective half of a batched wave admission: one make_admit_many
+        call for G one-shot requests (same contract as _admit_one, G at a
+        time). Inputs stay host-uniform numpy for multihost replayability."""
+        eng = self.engine
+        G = len(reqs)
+        bucket = eng.config.kv_page_size if self.paged else 32
+        need = max(_round_up(max(len(r.admit_ids), 1), bucket) for r in reqs)
+        lane = self.state.tokens.shape[1]
+        P = bucket
+        while P < need:
+            P *= 2
+        if P > lane:
+            P = need
+        M = self._pages_per_seq if self.paged else 1
+        rows = np.zeros((G, P), np.int32)
+        plens = np.zeros((G,), np.int32)
+        slots = np.zeros((G,), np.int32)
+        maxnews = np.zeros((G,), np.int32)
+        tables = np.zeros((G, M), np.int32)
+        metas = []
+        for i, req in enumerate(reqs):
+            ids = req.admit_ids
+            rows[i, : len(ids)] = ids
+            plens[i] = len(ids)
+            slots[i] = req.slot
+            maxnews[i] = req.remaining_new
+            if self.paged:
+                tables[i, : len(req.pages)] = req.pages
+            metas.append(self._admission_meta(req))
+        # Stack the per-request meta tuples into [G]-vectors (bias arrays
+        # stack to [G, nb]).
+        cols = [np.stack([m[j] for m in metas]) for j in range(len(metas[0]))]
+        self.state = self._admit_many(
+            eng.target.params, eng._draft_params, self.state,
+            rows, plens, slots, maxnews, tables, *cols,
+        )
+        for req in reqs:
+            self._slots[req.slot] = req
+            self._counted[req.slot] = len(req.admit_ids)
+            self.stats.admitted += 1
+            self._stale_tables.discard(req.slot)  # admission wrote the row
+
+    def _flush_stale_tables(self) -> None:
+        """Zero table rows of retired slots that did NOT get a new tenant
+        (deferred from _retire_finished — see comment there). Must run
+        before any decode step; in the common full-wave case admission has
+        emptied the set and this is a no-op."""
+        if self._stale_tables:
+            self.state = self._clear_table(
+                self.state, np.array(sorted(self._stale_tables), np.int32)
+            )
+            self._stale_tables.clear()
 
     def _fetch_flags(self):
         """[B] active/proposed/accepted/lengths as host numpy (one combined
@@ -1233,16 +1452,18 @@ class ContinuousBatcher:
         self.trace = []
 
     def _fetch_tokens(self):
-        return (
-            np.asarray(self.state.tokens),
-            np.asarray(self.state.lengths),
-            np.asarray(self.state.token_logprobs),
+        # ONE device_get for all three arrays — each separate np.asarray
+        # costs a full relay round trip on tunneled runtimes.
+        t, ln, lp = jax.device_get(
+            (self.state.tokens, self.state.lengths, self.state.token_logprobs)
         )
+        return np.asarray(t), np.asarray(ln), np.asarray(lp)
 
     def _fetch_tops(self):
         """Top-N alternative buffers (only fetched at retirement, and only
         when the engine captures them — EngineConfig(logprobs_topk=N))."""
-        return np.asarray(self.state.top_ids), np.asarray(self.state.top_lps)
+        a, b = jax.device_get((self.state.top_ids, self.state.top_lps))
+        return np.asarray(a), np.asarray(b)
 
     def poll_generated(self) -> Dict[int, List[int]]:
         """In-flight generated token ids per request (ONE device fetch) —
@@ -1320,16 +1541,19 @@ class ContinuousBatcher:
             st.retire_ms += (time.perf_counter() - t_poll) * 1e3
             return
         tokens = None
+        cleared: List[tuple] = []
         for slot, req in enumerate(self._slots):
             if req is None or req.prefilling or active[slot]:
                 continue
             if tokens is None:
-                tokens, lengths, logprobs = self._fetch_tokens()
-                tops = (
-                    self._fetch_tops()
-                    if self.engine.config.logprobs_topk
-                    else None
-                )
+                # ONE device_get for everything retirement reads.
+                arrs = [self.state.tokens, self.state.lengths,
+                        self.state.token_logprobs]
+                if self.engine.config.logprobs_topk:
+                    arrs += [self.state.top_ids, self.state.top_lps]
+                got = jax.device_get(tuple(arrs))
+                tokens, lengths, logprobs = (np.asarray(x) for x in got[:3])
+                tops = tuple(np.asarray(x) for x in got[3:]) or None
             plen = len(req.ids)
             gen = tokens[slot, plen : lengths[slot]].tolist()
             # Top up the commit watermark from the FRESH lengths (the poll
@@ -1390,21 +1614,31 @@ class ContinuousBatcher:
             self._done[req.req_id] = req
             self._slots[slot] = None
             if self.paged and req.pages:
-                # Order matters: clear the slot's device table rows BEFORE
-                # the allocator can reuse the pages (see _clear_table).
-                self.state = self._clear_table(self.state, np.int32(slot))
-                self.allocator.free(req.pages)
+                cleared.append((slot, req.pages))
                 req.pages = None
             # Move this slot's counters into the retired accumulators (the
             # slot's device counters stay stale until admission zeroes them,
             # and unoccupied slots are excluded from the in-flight sum).
             self._done_prop += prop
             self._done_acc += acc
+        if cleared:
+            # A retired slot's stale table row must be zeroed before the
+            # NEXT CHUNK runs (its inactive lane junk-writes through the row
+            # into freed pages — see _clear_table). No chunk runs between
+            # this poll and _admit_pending, and admission overwrites the
+            # rows of re-admitted slots, so the clear is DEFERRED: slots
+            # that get a new tenant this poll (the common full-wave case)
+            # need no clear dispatch at all; _flush_stale_tables zeroes the
+            # leftovers before the device runs again.
+            self._stale_tables.update(s for s, _ in cleared)
+            for _, pages in cleared:
+                self.allocator.free(pages)
         self._grow_pages(lengths_now, proposed, accepted)
         st.retire_ms += (time.perf_counter() - t_poll) * 1e3
 
     def step(self) -> None:
         """One decode step over all occupied slots."""
+        self._flush_stale_tables()
         eng = self.engine
         k = self._current_k()
         step_fn = eng._get_step(k)
@@ -1431,6 +1665,7 @@ class ContinuousBatcher:
         exits early when all slots drain). Keeps host round trips to one per
         admission poll instead of one per step."""
         n = n or self.poll_every
+        self._flush_stale_tables()
         eng = self.engine
         k = self._current_k()
         loop_fn = eng._get_loop(k, max_steps=n)
@@ -1465,6 +1700,7 @@ class ContinuousBatcher:
             self._retire_finished(flags)
             self._admit_pending()
         self._retire_finished()
+        self._flush_stale_tables()
         return [
             self._done[rid].result for rid in sorted(self._done)
         ]

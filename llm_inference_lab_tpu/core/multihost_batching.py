@@ -262,4 +262,5 @@ class MultiHostBatcher(ContinuousBatcher):
             self._retire_finished()
             info = self._sync_poll()
         self._retire_finished()
+        self._flush_stale_tables()
         return [self._done[rid].result for rid in sorted(self._done)]

@@ -97,9 +97,9 @@ def _kernel_int4_st(li_ref, xd_ref, xh_ref, w_ref, s_ref, c_ref, o_ref,
     _kernel_int4(xd_ref, xh_ref, w_ref, s_ref, c_ref, o_ref, acc_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "bn", "bk"))
 def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, layer_idx=None,
-                        interpret: bool = False):
+                        interpret: bool = False, bn: int = 0, bk: int = 0):
     """x: [M, K(logical)] bf16/f32; qt int8 [K, N] or int4-packed [K//2, N].
 
     STACKED form: qt leaves carry a leading layer axis ([L, Kp, N] data,
@@ -129,13 +129,21 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, layer_idx=None,
     # BN=512 by ~15% on the llama matmul shapes (fewer grid steps, larger
     # DMAs) — int4 [2048,8192] 0.0207 -> 0.0173 ms, [8192,2048]
     # 0.0189 -> 0.0163 ms; ~60% of the HBM speed-of-light per matmul.
-    BN = (
+    # Round-4 square-shape retune (docs/results/serving/int4_tiles_r4.json):
+    # K=N=4096 (the 8B attention projections) ran at 50.6% SoL with
+    # BN=1024/full-K — grid (4, 1) leaves almost no grid steps for Pallas'
+    # cross-step DMA double-buffering to hide the 2 MB weight-tile fetches.
+    # Splitting K (more, smaller grid steps) restores the overlap; the
+    # sweep (scripts/int4_tile_sweep.py) picks the per-shape winners.
+    BN = bn or (
         1024
         if N % 1024 == 0
         else 512 if N % 512 == 0 else 256 if N % 256 == 0 else 128
     )
 
     def pick_bk(k_total: int, budget: int) -> int:
+        if bk:
+            return bk
         if k_total * BN <= budget and k_total % 128 == 0:
             return k_total  # whole reduction in one block
         for cand in (2048, 1024, 512, 256, 128):

@@ -1,18 +1,24 @@
 """Serving occupancy probe: attribute the gap to the n_slots x single-lane bound.
 
 Round-2 measured 720.9 tok/s aggregate at 16 slots vs a ~2,850 tok/s bound
-(16 x 178 single-lane) and attributed the loss to "admission prefill sharing
-the device plus ramp-up/down" without measuring it. This probe drives
-ContinuousBatcher directly (no HTTP noise) with the occupancy accounting in
-core/batching.py::BatcherStats and adds synchronous micro-phases:
+and attributed the loss to admission prefill without measuring it. Round 3
+added BatcherStats occupancy accounting and a poll-by-poll trace; it found
+the retire/admit convoy (committed=0 chunks after every retirement wave).
 
-  - decode chunk wall at full occupancy (the real per-slot decode rate — the
-    bound must be computed from THIS, not the B=1 rate),
-  - one admission wall (prefill + splice, device-synced),
-  - the drain run's poll-by-poll occupancy trace.
+Round-4 fixes measured here:
+  - chunk/step at full occupancy is SLOPE-timed (t(hi chunks) - t(lo)) /
+    (hi - lo): the round-3 single-shot number (8.412 ms/step) included the
+    ~27 ms axon relay RTT per sync and disagreed 47% with the slope-timed
+    batch-scaling probe (5.72 ms, batch_scaling_r3_carry_xla.json). The
+    bound must be computed from the RTT-free number.
+  - batched wave admission (make_admit_many): one [G, P] prefill per
+    retirement wave instead of G sequential [1, P] dispatches.
+  - --workload mixed: per-request max_tokens drawn from a spread + Poisson
+    arrivals, the serving-realistic case where retirements stagger.
 
 Run: python scripts/occupancy_probe.py [--small] [--requests 96] [--slots 16]
-Artifact: docs/results/serving/occupancy_r3.json
+     [--workload uniform|mixed]
+Artifact: docs/results/serving/occupancy_r4.json
 """
 
 from __future__ import annotations
@@ -35,7 +41,11 @@ def main() -> int:
     ap.add_argument("--poll-every", type=int, default=8)
     ap.add_argument("--draft", action="store_true", help="speculative (3B+1B)")
     ap.add_argument("--k", type=int, default=2)
-    ap.add_argument("--out", default="docs/results/serving/occupancy_r3.json")
+    ap.add_argument("--workload", choices=["uniform", "mixed"],
+                    default="uniform")
+    ap.add_argument("--arrival-rate", type=float, default=0.0,
+                    help="mixed: mean Poisson arrivals/sec (0 = all at t=0)")
+    ap.add_argument("--out", default="docs/results/serving/occupancy_r4.json")
     args = ap.parse_args()
 
     import jax
@@ -63,12 +73,13 @@ def main() -> int:
 
     prompt = "Probe request: the quick brown fox jumps over the lazy dog"
 
-    # --- phase microbenchmarks (synchronous) ---------------------------
+    # --- phase microbenchmarks -----------------------------------------
     def sync():
         jax.block_until_ready(b.state.lengths)
         np.asarray(b.state.steps)
 
-    # One admission, device-synced.
+    # One admission, device-synced (includes one relay RTT — reported as-is,
+    # admission happens once per request, not once per step).
     rid = b.submit(prompt, max_new_tokens=args.max_tokens)
     b._admit_pending()
     sync()
@@ -78,69 +89,136 @@ def main() -> int:
     sync()
     admit_one_ms = (time.perf_counter() - t0) * 1e3
 
-    # Decode chunk at occupancy 2 (compile + then measure).
-    b.step_chunk(args.poll_every)
-    sync()
-    t0 = time.perf_counter()
-    b.step_chunk(args.poll_every)
-    sync()
-    chunk_lo_ms = (time.perf_counter() - t0) * 1e3
-
-    # Fill all slots, measure chunk at full occupancy.
-    for _ in range(args.slots - 2):
+    # Batched wave admission (G=8 in one make_admit_many dispatch).
+    for _ in range(8):
         b.submit(prompt, max_new_tokens=args.max_tokens)
+    b._admit_pending()  # compile the (8, P) admit
+    sync()
+    for s in range(b.n_slots):
+        if b._slots[s] is not None:
+            b.cancel(b._slots[s].req_id)
+    b._retire_finished()
+    for _ in range(8):
+        b.submit(prompt, max_new_tokens=args.max_tokens)
+    t0 = time.perf_counter()
     b._admit_pending()
     sync()
-    n_occ = sum(s is not None for s in b._slots)
-    t0 = time.perf_counter()
-    b.step_chunk(args.poll_every)
-    sync()
-    chunk_full_ms = (time.perf_counter() - t0) * 1e3
-    t0 = time.perf_counter()
-    for _ in range(4):
-        b.step_chunk(args.poll_every)
-    sync()
-    chunk_full_ms = min(
-        chunk_full_ms, (time.perf_counter() - t0) * 1e3 / 4
-    )
-    # Admission wall while the batch is full-minus-one (the serving regime):
-    # retire everything first by draining.
+    admit_wave8_ms = (time.perf_counter() - t0) * 1e3
+
+    # SLOPE-time the decode chunk at full occupancy. Budgets are bounded by
+    # max_seq_len, so each timed run starts from a FRESH full batch (the
+    # fill happens outside the timed window); slope (hi - lo) cancels the
+    # relay RTT and any fixed per-measurement overhead.
+    budget = b.max_seq_len - 48  # lanes stay active through every rep
+    n_occ = 0
+
+    def drain_all():
+        for s in range(b.n_slots):
+            if b._slots[s] is not None:
+                b.cancel(b._slots[s].req_id)
+        b.run()
+
+    def chunks_ms(n):
+        nonlocal n_occ
+        drain_all()
+        for _ in range(args.slots):
+            b.submit(prompt, max_new_tokens=budget)
+        b._admit_pending()
+        b.step_chunk(args.poll_every)  # warm
+        sync()
+        n_occ = sum(
+            r is not None and not r.prefilling for r in b._slots
+        )
+        assert all(np.asarray(b.state.active)[: b.n_slots]), "lanes died"
+        t0 = time.perf_counter()
+        for _ in range(n):
+            b.step_chunk(args.poll_every)
+        sync()
+        return (time.perf_counter() - t0) * 1e3
+
+    chunks_ms(2)  # compile every shape
+    lo = sorted(chunks_ms(2) for _ in range(3))[1]
+    hi = sorted(chunks_ms(10) for _ in range(3))[1]
+    chunk_full_ms = (hi - lo) / 8  # slope: RTT + fixed overhead cancel
+    drain_all()
+
+    # Precompile the full-wave admission shapes the drain will hit (a wave
+    # of n_slots retires together under the uniform workload), so the timed
+    # drain measures steady-state serving, not one-time jit compiles.
+    for i in range(args.slots):
+        b.submit(f"{prompt} #{i}", max_new_tokens=8)
+    b._admit_pending()
     b.run()
 
     # --- the drain run with trace --------------------------------------
+    rng = np.random.default_rng(0)
+    if args.workload == "mixed":
+        # Length spread (16..128, mean ~ max_tokens) + optional Poisson
+        # arrivals: the regime where retirements stagger.
+        budgets = rng.integers(16, 2 * args.max_tokens, args.requests)
+        budgets = np.minimum(budgets, 128)
+    else:
+        budgets = np.full(args.requests, args.max_tokens)
     b.stats.__init__()  # reset counters
     b.start_trace()
-    for i in range(args.requests):
-        b.submit(f"{prompt} #{i}", max_new_tokens=args.max_tokens)
-    t0 = time.perf_counter()
-    b.run()
-    wall = time.perf_counter() - t0
+    if args.workload == "mixed" and args.arrival_rate > 0:
+        gaps = rng.exponential(1.0 / args.arrival_rate, args.requests)
+        arrivals = np.cumsum(gaps)
+        arrivals[: 2 * args.slots] = 0.0  # warm start: fill the slots
+        t0 = time.perf_counter()
+        nxt = 0
+        while nxt < args.requests or any(
+            s is not None for s in b._slots
+        ) or b.scheduler.pending():
+            now = time.perf_counter() - t0
+            while nxt < args.requests and arrivals[nxt] <= now:
+                b.submit(f"{prompt} #{nxt}",
+                         max_new_tokens=int(budgets[nxt]))
+                nxt += 1
+            flags = b.poll_flags_async()
+            b.step_chunk(args.poll_every)
+            b._retire_finished(flags)
+            b._admit_pending()
+        b._retire_finished()
+        wall = time.perf_counter() - t0
+    else:
+        for i in range(args.requests):
+            b.submit(f"{prompt} #{i}", max_new_tokens=int(budgets[i]))
+        t0 = time.perf_counter()
+        b.run()
+        wall = time.perf_counter() - t0
     rep = b.stats.report(args.slots)
     toks = rep["committed_tokens"]
 
     step_ms_full = chunk_full_ms / args.poll_every
     lane_tok_s = 1e3 / step_ms_full  # per-slot decode rate at full occupancy
     bound = lane_tok_s * args.slots
+    zero_chunks = sum(
+        1 for row in b.trace if row["committed"] == 0 and row["occupied"] > 0
+    )
     out = {
         "config": {
             "base": cfg.base_model, "draft": cfg.draft_model,
             "slots": args.slots, "poll_every": args.poll_every,
             "requests": args.requests, "max_tokens": args.max_tokens,
+            "workload": args.workload, "arrival_rate": args.arrival_rate,
             "backend": jax.default_backend(),
         },
         "micro": {
             "admit_one_ms": round(admit_one_ms, 2),
-            "chunk_ms_occupancy2": round(chunk_lo_ms, 2),
+            "admit_wave8_ms": round(admit_wave8_ms, 2),
             "chunk_ms_full": round(chunk_full_ms, 2),
             "step_ms_full": round(step_ms_full, 3),
             "lane_tok_s_full": round(lane_tok_s, 1),
             "bound_tok_s": round(bound, 1),
+            "occupancy_at_measure": n_occ,
         },
         "drain": {
             "wall_s": round(wall, 3),
             "tokens": toks,
             "aggregate_tok_s": round(toks / wall, 1),
             "pct_of_bound": round(100 * toks / wall / bound, 1),
+            "zero_commit_chunks": zero_chunks,
             **rep,
         },
         "trace": b.trace,

@@ -36,6 +36,8 @@ def main() -> int:
     ap.add_argument("--base", default=None, help="override base model")
     ap.add_argument("--poll-every", type=int, default=8,
                     help="decode steps per device dispatch between host polls")
+    ap.add_argument("--out", default=None,
+                    help="write the result JSON to this path")
     args = ap.parse_args()
 
     import jax
@@ -63,9 +65,12 @@ def main() -> int:
     server.start()
     url = f"http://127.0.0.1:{server.port}/v1/completions"
 
+    # Same prompt family as scripts/occupancy_probe.py so the HTTP number
+    # is directly comparable to the direct-drive drain artifact.
     def one(i):
         body = json.dumps({
-            "prompt": f"Request number {i}: the quick brown fox",
+            "prompt": "Probe request: the quick brown fox jumps over the "
+                      f"lazy dog #{i}",
             "max_tokens": args.max_tokens,
         }).encode()
         req = urllib.request.Request(url, data=body,
@@ -75,22 +80,37 @@ def main() -> int:
             out = json.loads(resp.read())
         return time.perf_counter() - t0, out["usage"]["completion_tokens"]
 
-    one(0)  # warm/compile
+    # Warm/compile: one request (decode loop + single admission), then one
+    # full concurrent wave (the batched make_admit_many shapes a wave of
+    # retirements hits) — so the timed run measures steady-state serving.
+    one(0)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=args.slots) as ex:
+        list(ex.map(one, range(args.slots)))
     t0 = time.perf_counter()
     with concurrent.futures.ThreadPoolExecutor(max_workers=args.slots) as ex:
         results = list(ex.map(one, range(args.requests)))
     wall = time.perf_counter() - t0
     lats = sorted(r[0] for r in results)
     toks = sum(r[1] for r in results)
-    print(json.dumps({
+    out = {
         "requests": args.requests,
         "slots": args.slots,
-        "mode": "baseline" if args.no_draft else f"{args.mode}_k{args.k}",
+        "max_tokens": args.max_tokens,
+        "poll_every": args.poll_every,
+        "base": cfg.base_model,
+        "quant": cfg.quantization,
+        "mode": "baseline" if no_draft else f"{args.mode}_k{args.k}",
         "wall_s": round(wall, 2),
+        "tokens": toks,
         "aggregate_tok_s": round(toks / wall, 1),
         "latency_p50_s": round(lats[len(lats) // 2], 2),
         "latency_p95_s": round(lats[int(len(lats) * 0.95)], 2),
-    }))
+    }
+    print(json.dumps(out))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
     server.stop()
     return 0
 

@@ -186,3 +186,49 @@ def test_batcher_per_request_min_p():
     # min_p ~1 leaves only argmax-tied tokens: deterministic fake model
     # means the output equals the greedy one.
     assert out[r1]["generated_ids"] == plain
+
+
+def test_wave_admission_matches_single_slot():
+    """A wave of simultaneous admissions goes through make_admit_many (one
+    [G, P] prefill + vectorized splice); every request must decode exactly
+    the tokens the per-slot admission path produces (round-4: batched wave
+    admission replacing G sequential [1, P] prefills)."""
+    eng = make_engine(max_new_tokens=6)
+    prompts = ["wave a", "wave prompt bb " * 4, "w", "wave dddd " * 9]
+    singles = [eng.generate(p)["generated_ids"] for p in prompts]
+    b = ContinuousBatcher(eng, n_slots=4)
+    ids = [b.submit(p) for p in prompts]
+    assert all(s is None for s in b._slots)
+    b._admit_pending()  # all four admit in one wave -> group path
+    assert all(s is not None for s in b._slots)
+    out = {r["req_id"]: r for r in b.run()}
+    for rid, want in zip(ids, singles):
+        assert out[rid]["generated_ids"] == want
+
+
+def test_wave_admission_matches_single_slot_paged():
+    """Same parity through the paged splice (page-chunk scatter + table
+    rows set as a batch; excess padded pages land in dummy page 0):
+    group admission vs the per-slot _admit_one path, same engine. (The
+    fake model has no paged write path, so this uses llama-tiny.)"""
+    eng = make_engine(
+        max_new_tokens=6, implementation="hf", base_model="llama-tiny",
+        draft_model=None, kv_layout="paged", kv_page_size=16,
+        dtype="float32",
+    )
+    prompts = ["paged wave a", "paged wave prompt bb " * 4, "pw",
+               "paged wave dddd " * 9, "paged five"]
+
+    def run(batched):
+        b = ContinuousBatcher(eng, n_slots=5)
+        if not batched:  # force the sequential per-slot path
+            b._admit_group = lambda reqs: [
+                b._admit_one(r.slot, r) for r in reqs
+            ]
+        ids = [b.submit(p) for p in prompts]
+        b._admit_pending()
+        assert all(s is not None for s in b._slots)
+        out = {r["req_id"]: r for r in b.run()}
+        return [out[rid]["generated_ids"] for rid in ids]
+
+    assert run(batched=True) == run(batched=False)
