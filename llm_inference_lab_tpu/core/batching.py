@@ -778,6 +778,7 @@ class ContinuousBatcher:
         )
         self.stats = BatcherStats()
         self.trace: Optional[List[Dict[str, Any]]] = None  # start_trace()
+        self._retire_prefetch = None  # see _prefetch_retire
         # Per-slot committed-length watermark for token accounting: set to
         # the prompt length at admission, advanced at each poll.
         self._counted = np.zeros(n_slots, np.int64)
@@ -1230,9 +1231,23 @@ class ContinuousBatcher:
         exhaustion preempt the youngest slot — free its pages, requeue the
         request with its generated-so-far context for resume-by-recompute.
         Called once per poll from _retire_finished (the lengths ride the
-        same snapshot transfer)."""
+        same snapshot transfer). Split into _plan_growth (host decisions:
+        allocator + slot bookkeeping) and _apply_growth (device effects) so
+        MultiHostBatcher can plan on the coordinator, broadcast the ops,
+        and apply collectively everywhere."""
+        self._apply_growth(self._plan_growth(lengths_now, proposed, accepted))
+
+    def _plan_growth(self, lengths_now, proposed=None,
+                     accepted=None) -> List[tuple]:
+        """Decide lazy growth/preemption — NO device calls. Returns an
+        ORDERED op list (a preemption frees the pages the growth after it
+        takes): ("grow", slot, table_row) | ("truncate", slot) |
+        ("preempt", slot, req, prop, acc). Host bookkeeping (allocator,
+        req.pages, slot emptying) happens HERE so later decisions in the
+        same plan see it; device state and requeue happen in apply."""
+        ops: List[tuple] = []
         if not self.lazy_pages:
-            return
+            return ops
         P = self.allocator.page_size
         eng = self.engine
         for slot in range(self.n_slots):
@@ -1269,23 +1284,68 @@ class ContinuousBatcher:
                         "truncating request %d at %d tokens",
                         req.req_id, L,
                     )
-                    self.state = self._deactivate(self.state, np.int32(slot))
+                    ops.append(("truncate", slot))
                     break
-                self._preempt_slot(
-                    victim,
+                vr = self._slots[victim]
+                ops.append((
+                    "preempt", victim, vr,
                     int(proposed[victim]) if proposed is not None else 0,
                     int(accepted[victim]) if accepted is not None else 0,
-                )
+                ))
+                self.allocator.free(vr.pages)
+                self._slots[victim] = None
+                self._counted[victim] = 0
                 got = self.allocator.alloc(need)
             if got is None:
                 continue
             req.pages = req.pages + got
             row = np.zeros((self._pages_per_seq,), np.int32)
             row[: len(req.pages)] = req.pages
-            self.state = self._set_table_row(
-                self.state, np.int32(slot), row
-            )
-            self.stats.page_grows += 1
+            ops.append(("grow", slot, row))
+        return ops
+
+    def _apply_growth(self, ops: List[tuple]) -> None:
+        """Device effects + request requeue for a growth plan. Under
+        multihost every host applies the SAME op list in the same order
+        (the jitted table/flag writes are collectives on sharded state);
+        requeue bookkeeping stays coordinator-side."""
+        tokens = lengths = None
+        for op in ops:
+            kind, slot = op[0], op[1]
+            if kind == "grow":
+                self.state = self._set_table_row(
+                    self.state, np.int32(slot), op[2]
+                )
+                self.stats.page_grows += 1
+            elif kind == "truncate":
+                self.state = self._deactivate(self.state, np.int32(slot))
+            else:  # preempt
+                req, prop, acc = op[2], op[3], op[4]
+                if req is None:  # defensive: slot already empty
+                    continue
+                if tokens is None:
+                    # Fresh fetch (rare path) — a collective allgather
+                    # under multihost, so every host must reach it.
+                    tokens, lengths, _ = self._fetch_tokens()
+                L = int(lengths[slot])
+                self.state = self._deactivate(self.state, np.int32(slot))
+                self.state = self._clear_table(self.state, np.int32(slot))
+                req.pages = None
+                req.slot = None
+                # Fold the slot's (snapshot) acceptance counters into the
+                # retired accumulators — the in-flight sum no longer covers
+                # this slot, and readmission zeroes the device counters.
+                self._done_prop += prop
+                self._done_acc += acc
+                self.stats.preemptions += 1
+                if getattr(self, "is_coordinator", True):
+                    # Resume-by-recompute: the full context generated so
+                    # far goes back to the queue (coordinator owns it).
+                    req.resume_ids = tokens[slot, :L].tolist()
+                    self._requests[req.req_id] = req
+                    self.scheduler.submit(
+                        req.req_id, len(req.resume_ids), req.remaining_new
+                    )
 
     def _youngest_slot(self, exclude: int) -> Optional[int]:
         """Most recently admitted occupied slot (≠ exclude) — the
@@ -1408,6 +1468,46 @@ class ContinuousBatcher:
             self.stats.admitted += 1
             self._stale_tables.discard(req.slot)  # admission wrote the row
 
+    def _prefetch_retire(self, flags):
+        """Predictive early retirement. The poll snapshot is lagged one
+        chunk, so a retirement wave normally costs a whole wasted poll
+        cycle: the lagged flags still say "active", one more (early-exiting)
+        chunk is dispatched, and only the NEXT poll retires and re-admits —
+        the committed=0 convoy row in every round-3 trace. Budget-bound
+        finishes are exactly predictable from the lagged lengths, so when
+        any occupied slot can hit its budget within the chunk just
+        dispatched, take a FRESH post-chunk snapshot (returned for
+        _retire_finished to poll on instead of the lagged one) and start
+        the token-buffer host copies now — they ride the chunk, and the
+        wave retires + re-admits one full poll cycle earlier. EOS-bound
+        finishes (real weights) are caught by this too when the budget is
+        also near; otherwise they retire via the normal lagged poll."""
+        lengths = np.asarray(flags)[3]
+        bound = (self.engine._max_k + 1) if self.engine.is_spec else 1
+        horizon = self.poll_every * bound
+        n_fin = 0
+        for slot, req in enumerate(self._slots):
+            if req is None or req.prefilling:
+                continue
+            target = len(req.admit_ids) + req.remaining_new
+            if int(lengths[slot]) + horizon >= target:
+                n_fin += 1
+        # Cost gate: the fresh poll is SYNCHRONOUS (chunk wall + relay RTT,
+        # ~27 ms here), while a slot retiring one poll late idles its lane
+        # for ~1.5 chunks (~12 decode-steps' worth of one lane, a few ms of
+        # aggregate). Early retirement only pays for WAVES — staggered
+        # single retirements (the mixed-workload common case) thrash the
+        # pipeline if every near-budget slot triggers a sync.
+        if n_fin <= max(1, self.n_slots // 3):
+            return None
+        fresh = self.poll_flags_async()  # post-chunk state
+        arrs = (self.state.tokens, self.state.lengths,
+                self.state.token_logprobs)
+        for a in arrs:
+            a.copy_to_host_async()
+        self._retire_prefetch = arrs
+        return fresh
+
     def _flush_stale_tables(self) -> None:
         """Zero table rows of retired slots that did NOT get a new tenant
         (deferred from _retire_finished — see comment there). Must run
@@ -1452,6 +1552,14 @@ class ContinuousBatcher:
         self.trace = []
 
     def _fetch_tokens(self):
+        # Predictive prefetch (see _prefetch_retire): the copies already
+        # rode the wave's chunk; np.asarray just materializes them. The
+        # handles are only valid if the state hasn't been replaced since
+        # the prefetch — callers prefetch right after the chunk dispatch.
+        pf = self._retire_prefetch
+        self._retire_prefetch = None
+        if pf is not None and pf[0] is self.state.tokens:
+            return tuple(np.asarray(a) for a in pf)
         # ONE device_get for all three arrays — each separate np.asarray
         # costs a full relay round trip on tunneled runtimes.
         t, ln, lp = jax.device_get(
@@ -1546,14 +1654,15 @@ class ContinuousBatcher:
             if req is None or req.prefilling or active[slot]:
                 continue
             if tokens is None:
-                # ONE device_get for everything retirement reads.
-                arrs = [self.state.tokens, self.state.lengths,
-                        self.state.token_logprobs]
-                if self.engine.config.logprobs_topk:
-                    arrs += [self.state.top_ids, self.state.top_lps]
-                got = jax.device_get(tuple(arrs))
-                tokens, lengths, logprobs = (np.asarray(x) for x in got[:3])
-                tops = tuple(np.asarray(x) for x in got[3:]) or None
+                # Through the overridable fetchers: _fetch_tokens is ONE
+                # combined device_get here and a process allgather under
+                # MultiHostBatcher (host-uniform values).
+                tokens, lengths, logprobs = self._fetch_tokens()
+                tops = (
+                    self._fetch_tops()
+                    if self.engine.config.logprobs_topk
+                    else None
+                )
             plen = len(req.ids)
             gen = tokens[slot, plen : lengths[slot]].tolist()
             # Top up the commit watermark from the FRESH lengths (the poll
@@ -1697,7 +1806,8 @@ class ContinuousBatcher:
             flags = self.poll_flags_async()
             self.step_chunk(self.poll_every)
             steps += self.poll_every
-            self._retire_finished(flags)
+            fresh = self._prefetch_retire(flags)
+            self._retire_finished(fresh if fresh is not None else flags)
             self._admit_pending()
         self._retire_finished()
         self._flush_stale_tables()

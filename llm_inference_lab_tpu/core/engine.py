@@ -305,11 +305,6 @@ class Engine:
             self.target, self.draft, prefill_draft=self.draft is not None,
             chunk=cfg.prefill_chunk, context_parallel=self._cp,
         )
-        if cfg.kv_layout == "paged" and self.draft_mode == "tree":
-            raise ValueError(
-                "tree speculation requires kv_layout='contiguous' (path "
-                "compaction across page boundaries is not supported)"
-            )
         if cfg.kv_layout == "paged" and 128 % cfg.kv_page_size != 0:
             raise ValueError("kv_page_size must divide 128 (buffer bucketing)")
         # Grammar-constrained decoding: compile the tokenizer's

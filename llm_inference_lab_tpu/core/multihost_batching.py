@@ -65,9 +65,11 @@ class MultiHostBatcher(ContinuousBatcher):
     # host-uniformly from the synced plan; long admissions stay one-shot
     # here (see ContinuousBatcher._supports_incremental_admit).
     _supports_incremental_admit = False
-    # Page growth/preemption are per-poll host decisions that would need
-    # their own broadcast; multi-host serving keeps worst-case reservation.
-    _supports_lazy_pages = False
+    # Round-4: lazy page growth/preemption IS supported — the coordinator
+    # plans (_plan_growth: allocator + slot bookkeeping) and the fixed-shape
+    # op list is broadcast; every host applies the same device effects in
+    # the same order (_apply_growth's table writes are collectives).
+    _supports_lazy_pages = True
 
     def __init__(self, engine, n_slots: int = 8, **kw):
         super().__init__(engine, n_slots=n_slots, **kw)
@@ -112,6 +114,58 @@ class MultiHostBatcher(ContinuousBatcher):
             return super()._fetch_tops()
         vals = _allgather((self.state.top_ids, self.state.top_lps))
         return np.asarray(vals[0]), np.asarray(vals[1])
+
+    def _grow_pages(self, lengths_now, proposed=None, accepted=None) -> None:
+        """Round-4: lazy growth/preemption under multi-controller execution.
+        The coordinator plans (its allocator is the only source of truth);
+        the ordered op list rides ONE fixed-shape broadcast; every host
+        applies the same device effects in the same order (_apply_growth's
+        jitted table/flag writes are collectives on the sharded state).
+        Costs one extra DCN broadcast per poll — same cadence as
+        _sync_poll, never per decode step."""
+        if self.n_procs == 1:
+            return super()._grow_pages(lengths_now, proposed, accepted)
+        if not self.lazy_pages:
+            return
+        from jax.experimental import multihost_utils
+
+        B, M = self.n_slots, self._pages_per_seq
+        # Rows: (kind, slot, prop, acc, table_row[M]); kind 0 ends the
+        # list. Bound: one grow per slot + one preempt per occupied slot.
+        buf = np.zeros((2 * B, 4 + M), np.int32)
+        ops: List[tuple] = []
+        if self.is_coordinator:
+            ops = self._plan_growth(lengths_now, proposed, accepted)
+            for i, op in enumerate(ops):
+                kind = {"grow": 1, "truncate": 2, "preempt": 3}[op[0]]
+                buf[i, 0], buf[i, 1] = kind, op[1]
+                if kind == 1:
+                    buf[i, 4:] = op[2]
+                elif kind == 3:
+                    buf[i, 2], buf[i, 3] = op[3], op[4]
+        buf = multihost_utils.broadcast_one_to_all(buf)
+        if not self.is_coordinator:
+            # Reconstruct the plan against the local placeholders, applying
+            # the same host bookkeeping _plan_growth did on the coordinator.
+            for row in buf:
+                kind = int(row[0])
+                if kind == 0:
+                    break
+                slot = int(row[1])
+                if kind == 1:
+                    ops.append(("grow", slot, np.array(row[4:], np.int32)))
+                elif kind == 2:
+                    ops.append(("truncate", slot))
+                else:
+                    req = self._slots[slot]
+                    self._slots[slot] = None
+                    self._counted[slot] = 0
+                    if req is not None and req.pages:
+                        self.allocator.free(req.pages)
+                    ops.append(
+                        ("preempt", slot, req, int(row[2]), int(row[3]))
+                    )
+        self._apply_growth(ops)
 
     def _current_k(self) -> int:
         # K is a compile-cache key: it must be identical on every host or
@@ -162,8 +216,12 @@ class MultiHostBatcher(ContinuousBatcher):
                 req.seed = derive_request_seed(
                     cfgp.seed, req.req_id, req.seed
                 )
+                # admit_ids / remaining_new (not ids / max_new_tokens):
+                # a preempted request resumes by recomputing its full
+                # prompt+generated context with its shrunken budget.
                 header[i] = (
-                    req.slot, len(req.ids), req.max_new_tokens, req.req_id,
+                    req.slot, len(req.admit_ids), req.remaining_new,
+                    req.req_id,
                     dk if req.top_k is None else req.top_k, req.reuse_len,
                     req.seed,
                     {None: 0, "json": 1, "json_object": 2,
@@ -187,7 +245,7 @@ class MultiHostBatcher(ContinuousBatcher):
                     if req.frequency_penalty is None
                     else req.frequency_penalty,
                 )
-                rows[i, : len(req.ids)] = req.ids
+                rows[i, : len(req.admit_ids)] = req.admit_ids
                 if req.logit_bias:
                     for j, (tid, bv) in enumerate(
                         list(req.logit_bias.items())[:nb]

@@ -125,9 +125,12 @@ def make_tree_spec_step(
     bonus draw — which is the only sampling site (drafting is deterministic
     head top-k; acceptance is the greedy argmax walk). Together with the
     ContinuousBatcher's mode-agnostic step dispatch this puts tree
-    speculation behind `specdx serve`. Still excluded: paged KV (path
-    compaction across page boundaries), LoRA, penalties, constrained
-    decoding, pipeline parallelism.
+    speculation behind `specdx serve`. Round-4: paged KV is supported —
+    verify rows scatter through the page table like the chain step, the
+    ancestry mask transfers unchanged (slot == page ordinal * P + offset),
+    and path compaction is a page-indexed gather/scatter (compact_paged).
+    Still excluded: LoRA, penalties, constrained decoding, pipeline
+    parallelism, kv_ring.
     """
     target_apply = target_model.apply_fn
     head_fn = target_model.head_fn
@@ -310,13 +313,13 @@ def make_tree_spec_step(
         # KV compaction: accepted path node j (tree slot base+path[:, j])
         # must live at slot base+1+j. Gather rows; mask j >= a with the row
         # already at the destination (no-op).
+        dst = base[:, None] + 1 + jnp.arange(D_tree, dtype=jnp.int32)[None, :]
+        use = jdx[:, 1:] <= a[:, None] if D_tree else jnp.zeros((B, 0), bool)
+        src = base[:, None] + path if D_tree else dst
+        take_from = jnp.where(use, src, dst)  # no-op where not accepted
+
         def compact(cache: KVCache) -> KVCache:
             # [L, B, H, T, Dh]; gather along T per batch lane.
-            src = base[:, None] + path  # [B, D_tree] source slots
-            dst = base[:, None] + 1 + jnp.arange(D_tree, dtype=jnp.int32)[None, :]
-            use = jdx[:, 1:] <= a[:, None] if D_tree else jnp.zeros((B, 0), bool)
-            take_from = jnp.where(use, src, dst)  # no-op where not accepted
-
             def per_lane(k_b, v_b, ks_b, vs_b, idx_b, dst_b):
                 # k_b: [L, H, T, Dh]
                 rows_k = k_b[:, :, idx_b, :]  # [L, H, D_tree, Dh]
@@ -333,7 +336,47 @@ def make_tree_spec_step(
             )
             return KVCache(k, v, ks, vs)
 
-        target_cache = compact(target_cache) if D_tree else target_cache
+        def compact_paged(cache):
+            # Paged pool: slot t of lane b lives at pool page
+            # table[b, t // P], row t % P — compaction is a page-indexed
+            # gather + scatter over the whole batch at once (pages are
+            # shared pool rows, so no per-lane vmap). Ordinals clip to the
+            # table width like the write path (scatter_paged_stack); lanes
+            # near the end of their allocation land in their own last page,
+            # which the no_room deactivation makes unreachable.
+            from llm_inference_lab_tpu.models.paged import PagedKVCache
+
+            P = cache.page_size
+            M = cache.table.shape[1]
+
+            def rowcol(slots):
+                ordinal = jnp.clip(slots // P, 0, M - 1)
+                pages = jnp.take_along_axis(cache.table, ordinal, axis=1)
+                return pages, slots % P
+
+            sp, so = rowcol(take_from)  # [B, D_tree] x2
+            dp, do = rowcol(dst)
+            # Advanced-index dims (B, D_tree) lead in both gather and
+            # scatter, so the row block round-trips shape-identically:
+            # [B, D_tree, L, KVH, Dh].
+            rows_k = cache.k[:, sp, :, so, :]
+            rows_v = cache.v[:, sp, :, so, :]
+            rows_ks = cache.k_scale[:, sp, :, so]
+            rows_vs = cache.v_scale[:, sp, :, so]
+            return PagedKVCache(
+                cache.k.at[:, dp, :, do, :].set(rows_k),
+                cache.v.at[:, dp, :, do, :].set(rows_v),
+                cache.k_scale.at[:, dp, :, do].set(rows_ks),
+                cache.v_scale.at[:, dp, :, do].set(rows_vs),
+                cache.table,
+            )
+
+        if D_tree:
+            is_paged = not isinstance(target_cache, KVCache)
+            target_cache = (
+                compact_paged(target_cache) if is_paged
+                else compact(target_cache)
+            )
 
         new_lengths = state.lengths + commit
         hit_eos = (

@@ -191,6 +191,8 @@ def _attn_block_stacked(
         attn = get_op("paged_attention")(
             q, kl[0], kl[1], positions, kl[2], kl[3],
             page_table, window=cfg.sliding_window,
+            tree_mask=tree_mask,
+            chunk_start=cache_lens if tree_mask is not None else None,
             **_attn_extras(cfg, win_on),
         )
     else:
@@ -259,7 +261,10 @@ def _attn_block(
             g2["window_on"] = win_on
         attn = get_op("paged_attention")(
             q, kv_layer[0], kv_layer[1], positions, kv_layer[2], kv_layer[3],
-            page_table, window=cfg.sliding_window, **g2,
+            page_table, window=cfg.sliding_window,
+            tree_mask=tree_mask,
+            chunk_start=cache_lens if tree_mask is not None else None,
+            **g2,
         )
     else:
         kv_layer = update_cache_layer(
@@ -335,11 +340,6 @@ def forward(
     from llm_inference_lab_tpu.ops.quant import EmbedQuant
 
     page_table = cache.table if isinstance(cache, PagedKVCache) else None
-    if page_table is not None and tree_mask is not None:
-        raise NotImplementedError(
-            "tree speculation requires a contiguous KV cache (compaction "
-            "gathers across page boundaries are future work)"
-        )
     if (
         cfg.attn_logit_softcap is not None
         or cfg.query_pre_attn_scalar is not None

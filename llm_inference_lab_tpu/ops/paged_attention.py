@@ -40,6 +40,8 @@ def paged_attend_xla(
     window_on: jax.Array = None,
     scale: float = None,
     softcap: float = None,
+    tree_mask: jax.Array = None,  # [S, S] intra-chunk ancestry (tree spec)
+    chunk_start: jax.Array = None,  # [B] chunk base SLOT (with tree_mask)
 ) -> jax.Array:
     k_cache = gather_pages(k_pool, table)
     v_cache = gather_pages(v_pool, table)
@@ -48,7 +50,11 @@ def paged_attend_xla(
         vs = gather_scale_pages(v_scale, table)
     else:
         ks = vs = None
+    # Tree speculation transfers unchanged: gathered slot index == logical
+    # slot (page ordinal * P + offset), so attend_xla's ancestry-window
+    # masking over [chunk_start, chunk_start + S) applies verbatim.
     return attend_xla(q, k_cache, v_cache, positions, ks, vs,
+                      tree_mask=tree_mask, chunk_start=chunk_start,
                       window=window, window_on=window_on, scale=scale,
                       softcap=softcap)
 

@@ -179,7 +179,7 @@ def paged_flash_attention(
 
 def _wrapper(q, k_pool, v_pool, positions, k_scale=None, v_scale=None,
              table=None, window=None, window_on=None, scale=None,
-             softcap=None):
+             softcap=None, tree_mask=None, chunk_start=None):
     from llm_inference_lab_tpu.ops.pallas import interpret_mode, use_pallas
 
     D = q.shape[-1]
@@ -190,11 +190,14 @@ def _wrapper(q, k_pool, v_pool, positions, k_scale=None, v_scale=None,
     # the window_on gate.
     eff_window = window if (window is not None and M * P > window) else None
     # Decode-shaped chunks only (same guard rationale as flash_decode);
-    # P and D must satisfy Mosaic tiling (int8 sublane = 32).
+    # P and D must satisfy Mosaic tiling (int8 sublane = 32). Tree-spec
+    # verify chunks (ancestry masking) take the XLA gather path — the
+    # kernel's sweep masks by position ordering only.
     if (
         q.shape[1] > 32
         or D % 128 != 0
         or P % 32 != 0
+        or tree_mask is not None
         or not use_pallas()
     ):
         from llm_inference_lab_tpu.ops.paged_attention import paged_attend_xla
@@ -202,7 +205,8 @@ def _wrapper(q, k_pool, v_pool, positions, k_scale=None, v_scale=None,
         return paged_attend_xla(q, k_pool, v_pool, positions, k_scale,
                                 v_scale, table, window=window,
                                 window_on=window_on, scale=scale,
-                                softcap=softcap)
+                                softcap=softcap, tree_mask=tree_mask,
+                                chunk_start=chunk_start)
 
     def flash(win):
         return paged_flash_attention(

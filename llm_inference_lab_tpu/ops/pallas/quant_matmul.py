@@ -31,6 +31,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# int4 (BN, BK) winners from scripts/int4_tile_sweep.py on TPU v5e
+# (docs/results/serving/int4_tiles_r4.json, M=16 decode rows) — keyed by
+# the LOGICAL (K, N) of every llama-3B/8B fused projection. The round-3
+# weak spot was the square 8B attention shapes: BN=1024 + whole-K gave
+# grid (4, 1), too few steps for cross-step DMA double-buffering to hide
+# the 2 MB weight-tile fetches (50.6% of HBM speed-of-light); the swept
+# tiles put every shape at 70-87%. Shapes not listed fall back to the
+# heuristic below.
+_INT4_TILES = {
+    (3072, 5120): (1024, 1536),   # 3B w_qkv    70.7% SoL
+    (3072, 3072): (3072, 768),    # 3B wo       72.1%
+    (3072, 16384): (1024, 1536),  # 3B gate_up  78.9%
+    (8192, 3072): (512, 2048),    # 3B w_down   76.7%
+    (4096, 6144): (1024, 2048),   # 8B w_qkv    75.9%
+    (4096, 4096): (2048, 1024),   # 8B wo       72.0%
+    (4096, 28672): (1024, 2048),  # 8B gate_up  86.9%
+    (14336, 4096): (2048, 1024),  # 8B w_down   79.7%
+}
+
+
 def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref):
     j = pl.program_id(1)
 
@@ -129,12 +149,8 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, layer_idx=None,
     # BN=512 by ~15% on the llama matmul shapes (fewer grid steps, larger
     # DMAs) — int4 [2048,8192] 0.0207 -> 0.0173 ms, [8192,2048]
     # 0.0189 -> 0.0163 ms; ~60% of the HBM speed-of-light per matmul.
-    # Round-4 square-shape retune (docs/results/serving/int4_tiles_r4.json):
-    # K=N=4096 (the 8B attention projections) ran at 50.6% SoL with
-    # BN=1024/full-K — grid (4, 1) leaves almost no grid steps for Pallas'
-    # cross-step DMA double-buffering to hide the 2 MB weight-tile fetches.
-    # Splitting K (more, smaller grid steps) restores the overlap; the
-    # sweep (scripts/int4_tile_sweep.py) picks the per-shape winners.
+    if not bn and not bk and qt.bits == 4 and (K, N) in _INT4_TILES:
+        bn, bk = _INT4_TILES[(K, N)]
     BN = bn or (
         1024
         if N % 1024 == 0

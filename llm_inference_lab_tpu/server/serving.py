@@ -174,7 +174,8 @@ class InferenceServer:
             # Pipelined poll: flags snapshot transfers while the chunk runs.
             flags = b.poll_flags_async()
             b.step_chunk(b.poll_every)
-            b._retire_finished(flags)
+            fresh = b._prefetch_retire(flags)
+            b._retire_finished(fresh if fresh is not None else flags)
             b._admit_pending()
             while True:  # client-disconnect cancels from handler threads
                 try:

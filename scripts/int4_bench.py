@@ -84,8 +84,8 @@ def main() -> int:
 
     # -- perf: llama int4 shapes (8B: d=4096, ffn=14336; 3B: 3072/8192) ---
     rows = []
-    for K, N in [(4096, 4096), (4096, 14336), (14336, 4096),
-                 (3072, 8192), (8192, 3072)]:
+    for K, N in [(3072, 5120), (3072, 3072), (3072, 16384), (8192, 3072),
+                 (4096, 6144), (4096, 4096), (4096, 28672), (14336, 4096)]:
         x = jnp.ones((16, K), jnp.bfloat16)
         q4 = quantize_int4(jnp.asarray(
             rng.normal(size=(K, N)).astype(np.float32)
@@ -107,7 +107,7 @@ def main() -> int:
             "vs_int8": round(t8 / t4, 2),
         })
         print(json.dumps(rows[-1]))
-    out = "docs/results/serving/int4_bench_r3.json"
+    out = "docs/results/serving/int4_bench_r4.json"
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(rows, f, indent=1)

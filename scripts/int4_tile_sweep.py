@@ -54,17 +54,19 @@ def slope_ms(fn, args, lo=200, hi=1200):
     return (t_hi - t_lo) / (hi - lo)
 
 
-# llama-3.2-3B (d=3072, ffn=8192, kv 1024) and llama-3.1-8B (d=4096,
-# ffn=14336, kv 1024) projection shapes, M=16.
+# The ACTUAL quantized matmul shapes the decode step runs (the loader
+# fuses q/k/v into w_qkv and gate+up into w_gate_up — transformer._qkv,
+# _mlp_block): llama-3.2-3B (D=3072, FF=8192, fused qkv 5120) and
+# llama-3.1-8B (D=4096, FF=14336, fused qkv 6144), M=16.
 SHAPES = [
-    (4096, 4096),    # 8B q/o proj (the round-3 weak spot)
-    (4096, 1024),    # 8B kv proj
-    (4096, 14336),   # 8B gate/up
-    (14336, 4096),   # 8B down
-    (3072, 3072),    # 3B q/o
-    (3072, 1024),    # 3B kv
-    (3072, 8192),    # 3B gate/up
-    (8192, 3072),    # 3B down
+    (3072, 5120),    # 3B w_qkv
+    (3072, 3072),    # 3B wo
+    (3072, 16384),   # 3B w_gate_up (fused)
+    (8192, 3072),    # 3B w_down
+    (4096, 6144),    # 8B w_qkv
+    (4096, 4096),    # 8B wo (the round-3 weak spot)
+    (4096, 28672),   # 8B w_gate_up (fused)
+    (14336, 4096),   # 8B w_down
 ]
 
 
@@ -92,7 +94,7 @@ def main() -> int:
         for BN in (2048, 1024, 512, 256):
             if N % BN:
                 continue
-            for BK in (half, 2048, 1024, 512, 256):
+            for BK in dict.fromkeys((half, 2048, 1024, 512, 256)):
                 if half % BK or BK * BN > budget:
                     continue
                 grid = (N // BN, half // BK)

@@ -32,6 +32,12 @@ def main(argv=None):
     ap.add_argument("--local-devices", type=int, default=2)
     ap.add_argument("--n-slots", type=int, default=4)
     ap.add_argument("--paged", action="store_true")
+    ap.add_argument("--lazy", action="store_true",
+                    help="paged + tiny page pool: forces lazy growth AND "
+                    "pool-exhaustion preemption/resume (round-4: the "
+                    "growth plan is coordinator-decided and broadcast)")
+    ap.add_argument("--adaptive-device", action="store_true",
+                    help="per-slot device-side adaptive K controller")
     args = ap.parse_args(argv)
 
     import jax
@@ -69,10 +75,22 @@ def main(argv=None):
 
     # model axis within one host's devices; data axis spans hosts.
     mesh = make_multihost_mesh(model_per_host=args.local_devices)
+    overrides = {}
+    if args.paged or args.lazy:
+        overrides.update(kv_layout="paged", kv_page_size=32)
+    if args.lazy:
+        # 10 pages for 4 slots x up to ~5 pages each: admission is
+        # memory-aware, decode growth must allocate on demand, and the
+        # pool exhausts -> youngest-slot preemption + resume-by-recompute
+        # (verified: 10 pages -> exactly 1 grow + 1 preemption on this
+        # workload; 12 never exhausts, 9 never even needs the victim).
+        overrides.update(kv_pages=10, max_new_tokens=48)
+    if args.adaptive_device:
+        overrides.update(controller="adaptive-device")
     cfg = EngineConfig(
-        implementation="hf", max_draft=3, max_new_tokens=16, dtype="float32",
-        max_seq_len=256, shard_draft=True,
-        **({"kv_layout": "paged", "kv_page_size": 32} if args.paged else {}),
+        implementation="hf", max_draft=3,
+        max_new_tokens=overrides.pop("max_new_tokens", 16),
+        dtype="float32", max_seq_len=256, shard_draft=True, **overrides,
     )
     eng = Engine(cfg, target_model=tiny(1, 2), draft_model=tiny(2, 1),
                  mesh=mesh)
@@ -88,8 +106,19 @@ def main(argv=None):
     ]
     if batcher.is_coordinator:
         for i, p in enumerate(prompts):
-            batcher.submit(p, max_new_tokens=8 + 4 * (i % 3))
+            batcher.submit(
+                p,
+                max_new_tokens=(
+                    cfg.max_new_tokens - 8 * (i % 2) if args.lazy
+                    else 8 + 4 * (i % 3)
+                ),
+            )
     results = batcher.run()
+    if args.lazy and batcher.is_coordinator:
+        # The point of the mode: the tiny pool must actually have forced
+        # growth and preemption (otherwise the test proves nothing).
+        assert batcher.stats.page_grows > 0, "no lazy growth happened"
+        assert batcher.stats.preemptions > 0, "no preemption happened"
 
     if batcher.is_coordinator and args.out:
         payload = [

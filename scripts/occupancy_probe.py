@@ -142,13 +142,15 @@ def main() -> int:
     chunk_full_ms = (hi - lo) / 8  # slope: RTT + fixed overhead cancel
     drain_all()
 
-    # Precompile the full-wave admission shapes the drain will hit (a wave
-    # of n_slots retires together under the uniform workload), so the timed
-    # drain measures steady-state serving, not one-time jit compiles.
-    for i in range(args.slots):
-        b.submit(f"{prompt} #{i}", max_new_tokens=8)
-    b._admit_pending()
-    b.run()
+    # Precompile the wave-admission shapes the drain will hit (power-of-two
+    # group sizes; staggered mixed-workload retirements produce every
+    # bucket), so the timed drain measures steady-state serving, not
+    # one-time jit compiles — a long-running server pays these once.
+    for g in (args.slots, 4, 2):
+        for i in range(g):
+            b.submit(f"{prompt} #{i}", max_new_tokens=8)
+        b._admit_pending()
+        b.run()
 
     # --- the drain run with trace --------------------------------------
     rng = np.random.default_rng(0)
@@ -177,7 +179,8 @@ def main() -> int:
                 nxt += 1
             flags = b.poll_flags_async()
             b.step_chunk(args.poll_every)
-            b._retire_finished(flags)
+            fresh = b._prefetch_retire(flags)
+            b._retire_finished(fresh if fresh is not None else flags)
             b._admit_pending()
         b._retire_finished()
         wall = time.perf_counter() - t0

@@ -80,3 +80,46 @@ def test_benchmark_runner_compare():
     assert out["specdec"]["tokens_per_sec"]["mean"] > 0
     assert out["baseline"]["tokens_per_sec"]["mean"] > 0
     assert out["speedup"] > 0
+
+
+def test_bench_real_weights_branch(tmp_path):
+    """bench.py's real-checkpoint branch (round-3 VERDICT task 10): with a
+    seeded HF cache, the bench must report weights=real-checkpoint, assert
+    acceptance > 0, and emit the quantized-vs-fp perplexity delta — so the
+    acceptance-parity claim closes itself the moment real weights exist."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import transformers
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=1024, tie_word_embeddings=True,
+    )
+    m = transformers.LlamaForCausalLM(hf_cfg).eval()
+    snap = tmp_path / "hub" / "models--llama-tiny" / "snapshots" / "s0"
+    snap.mkdir(parents=True)
+    m.save_pretrained(snap, safe_serialization=True)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ, HF_HOME=str(tmp_path), SPECDX_BENCH_SMALL="1",
+        SPECDX_BENCH_QUANT="int8", SPECDX_BENCH_K="2",
+    )
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import runpy; runpy.run_path('bench.py', run_name='__main__')"],
+        env=env, capture_output=True, text=True, cwd=root, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["weights"] == "real-checkpoint"
+    # Same checkpoint drafts for itself: acceptance must be ~1, and the
+    # bench's own nonzero-acceptance assertion already ran.
+    assert out["acceptance_rate"] > 0.9
+    assert "perplexity_delta" in out
+    assert out["perplexity_quant"] > 0

@@ -78,3 +78,30 @@ def test_two_process_paged(tmp_path):
     _run_fleet(2, str(multi), extra=("--paged",))
     _single_process(str(single), extra=("--paged",))
     assert json.loads(multi.read_text()) == json.loads(single.read_text())
+
+
+@pytest.mark.slow
+def test_two_process_lazy_preemption(tmp_path):
+    """Round-4 (VERDICT task 9): lazy paged allocation with POOL-EXHAUSTION
+    PREEMPTION under two real jax.distributed processes. The coordinator
+    plans growth/preemption; the op list is broadcast; all hosts apply the
+    same device effects. The worker asserts growth AND preemption actually
+    fired (tiny 12-page pool); results must equal the single-process run,
+    preemption/resume included."""
+    multi = tmp_path / "multi_lazy.json"
+    single = tmp_path / "single_lazy.json"
+    _run_fleet(2, str(multi), extra=("--lazy",))
+    _single_process(str(single), extra=("--lazy",))
+    assert json.loads(multi.read_text()) == json.loads(single.read_text())
+
+
+@pytest.mark.slow
+def test_two_process_adaptive_device_k(tmp_path):
+    """Per-slot device-side adaptive K across two processes: K adapts in
+    the sharded DecodeState (a collective), so fleets can never diverge on
+    the compiled program; results must equal single-process."""
+    multi = tmp_path / "multi_adk.json"
+    single = tmp_path / "single_adk.json"
+    _run_fleet(2, str(multi), extra=("--adaptive-device",))
+    _single_process(str(single), extra=("--adaptive-device",))
+    assert json.loads(multi.read_text()) == json.loads(single.read_text())

@@ -143,11 +143,17 @@ def test_allocator():
     assert a.pages_needed(1) == 1 and a.pages_needed(65) == 2
 
 
-def test_tree_mode_rejects_paged():
-    with pytest.raises(ValueError):
-        Engine(EngineConfig(
-            implementation="fake", draft_mode="tree", kv_layout="paged",
-        ))
+def test_tree_mode_accepts_paged():
+    """Round-4: tree speculation composes with paged KV (the engine used
+    to refuse; correctness parity lives in tests/test_treespec.py
+    test_tree_paged_matches_contiguous). The FAKE model still has no paged
+    write path, so construction must succeed with the hf implementation."""
+    eng = Engine(EngineConfig(
+        implementation="hf", base_model="llama-tiny", draft_model=None,
+        draft_mode="tree", kv_layout="paged", kv_page_size=16,
+        dtype="float32", max_seq_len=128, max_new_tokens=4,
+    ))
+    assert eng.generate("tree paged ok")["generated_tokens"] > 0
 
 
 def test_retired_slot_cannot_corrupt_reused_pages():
