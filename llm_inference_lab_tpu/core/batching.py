@@ -18,6 +18,7 @@ between steps).
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
@@ -603,7 +604,10 @@ class BatcherStats:
     slot_polls: int = 0           # sum over polls of n_slots
     admitted: int = 0             # admissions executed (one-shot or splice)
     admit_ms: float = 0.0         # host wall blocked in admission calls
+    admit_plan_ms: float = 0.0    # ... of which: host-side planning
+    admit_dispatch_ms: float = 0.0  # ... of which: jit dispatch calls
     retire_ms: float = 0.0        # host wall in _retire_finished
+    poll_wait_ms: float = 0.0     # ... of which: waiting on the flags copy
     retired: int = 0              # requests retired
     page_grows: int = 0           # lazy-page growth events
     preemptions: int = 0          # slots preempted on pool exhaustion
@@ -631,7 +635,10 @@ class BatcherStats:
             ),
             "admitted": self.admitted,
             "admit_ms_total": round(self.admit_ms, 1),
+            "admit_plan_ms": round(self.admit_plan_ms, 1),
+            "admit_dispatch_ms": round(self.admit_dispatch_ms, 1),
             "retire_ms_total": round(self.retire_ms, 1),
+            "poll_wait_ms": round(self.poll_wait_ms, 1),
             "retired": self.retired,
             "page_grows": self.page_grows,
             "preemptions": self.preemptions,
@@ -773,12 +780,25 @@ class ContinuousBatcher:
         # Pipelined poll snapshot (poll_flags_async): one [4, B] int32 —
         # active/proposed/accepted plus lengths (the occupancy accounting
         # reads committed-token deltas off the same transfer for free).
+        # The snapshot also carries the token/logprob buffers as FRESH jit
+        # outputs: the decode loop donates DecodeState, which deletes the
+        # state's own arrays mid-flight — a copy_to_host_async started on
+        # them would raise at materialization. Jit outputs are distinct
+        # buffers that survive the donation, so they can ride the chunk to
+        # the host and make staggered retirement fetch-free.
         self._snap = jax.jit(
-            lambda a, p, c, ln: jnp.stack([a.astype(jnp.int32), p, c, ln])
+            lambda a, p, c, ln, tok, lp: (
+                jnp.stack([a.astype(jnp.int32), p, c, ln]), tok, lp,
+            )
         )
         self.stats = BatcherStats()
         self.trace: Optional[List[Dict[str, Any]]] = None  # start_trace()
-        self._retire_prefetch = None  # see _prefetch_retire
+        self._retire_prefetch = None  # (handle, future) — poll_flags_async
+        # One background fetcher thread: pays the relay RTT of the per-poll
+        # snapshot device_get concurrently with the decode chunk.
+        self._fetcher = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="specdx-poll-fetch"
+        )
         # Per-slot committed-length watermark for token accounting: set to
         # the prompt length at admission, advanced at each poll.
         self._counted = np.zeros(n_slots, np.int64)
@@ -958,6 +978,7 @@ class ContinuousBatcher:
             # Publish this request's own full prompt chunks for reuse.
             self.allocator.register(ids, req.pages, req.reuse_len)
             return
+        t_d = time.perf_counter()
         self.state = self._admit(
             eng.target.params,
             eng._draft_params,
@@ -969,6 +990,7 @@ class ContinuousBatcher:
             table_row,
             *pen,
         )
+        self.stats.admit_dispatch_ms += (time.perf_counter() - t_d) * 1e3
         self._slots[slot] = req
         self._counted[slot] = len(ids)
         self.stats.admitted += 1
@@ -1398,9 +1420,16 @@ class ContinuousBatcher:
     def _admit_pending(self) -> None:
         t0 = time.perf_counter()
         n0 = self.stats.admitted
+        # Admission splices new tenants into slots: any un-consumed poll
+        # snapshot no longer describes the slot map (poll_generated would
+        # attribute the OLD tenant's rows to the new request).
+        self._retire_prefetch = None
         self._finish_admission()
+        t_plan = time.perf_counter()
+        planned = self._plan_admissions()
+        self.stats.admit_plan_ms += (time.perf_counter() - t_plan) * 1e3
         group: List[_Request] = []
-        for req in self._plan_admissions():
+        for req in planned:
             # Incremental (chunked) and prefix-cached admissions keep their
             # specialized per-slot paths; everything else batches.
             if (
@@ -1458,10 +1487,12 @@ class ContinuousBatcher:
         # Stack the per-request meta tuples into [G]-vectors (bias arrays
         # stack to [G, nb]).
         cols = [np.stack([m[j] for m in metas]) for j in range(len(metas[0]))]
+        t_d = time.perf_counter()
         self.state = self._admit_many(
             eng.target.params, eng._draft_params, self.state,
             rows, plens, slots, maxnews, tables, *cols,
         )
+        self.stats.admit_dispatch_ms += (time.perf_counter() - t_d) * 1e3
         for req in reqs:
             self._slots[req.slot] = req
             self._counted[req.slot] = len(req.admit_ids)
@@ -1482,7 +1513,8 @@ class ContinuousBatcher:
         wave retires + re-admits one full poll cycle earlier. EOS-bound
         finishes (real weights) are caught by this too when the budget is
         also near; otherwise they retire via the normal lagged poll."""
-        lengths = np.asarray(flags)[3]
+        got = self._prefetched(flags)
+        lengths = got[0][3] if got is not None else np.asarray(flags)[3]
         bound = (self.engine._max_k + 1) if self.engine.is_spec else 1
         horizon = self.poll_every * bound
         n_fin = 0
@@ -1500,13 +1532,9 @@ class ContinuousBatcher:
         # pipeline if every near-budget slot triggers a sync.
         if n_fin <= max(1, self.n_slots // 3):
             return None
-        fresh = self.poll_flags_async()  # post-chunk state
-        arrs = (self.state.tokens, self.state.lengths,
-                self.state.token_logprobs)
-        for a in arrs:
-            a.copy_to_host_async()
-        self._retire_prefetch = arrs
-        return fresh
+        # poll_flags_async re-snapshots from the POST-chunk state and starts
+        # the token-buffer host copies keyed to the fresh handle.
+        return self.poll_flags_async()
 
     def _flush_stale_tables(self) -> None:
         """Zero table rows of retired slots that did NOT get a new tenant
@@ -1532,18 +1560,40 @@ class ContinuousBatcher:
         )
 
     def poll_flags_async(self):
-        """Snapshot the poll flags as ONE tiny [3, B] device array from the
-        CURRENT state — call BEFORE dispatching the next chunk, materialize
-        (np.asarray) after: the device->host transfer then overlaps the
-        chunk's compute instead of costing a serial round trip after it
-        (~27 ms through the tunneled runtime — the dominant serving-loop
-        cost once chunks are batched). Retirement decisions lag one chunk;
-        a slot that finishes mid-chunk idles through the next chunk, which
-        its inactive lane no-ops through anyway."""
-        return self._snap(
+        """Snapshot the poll flags as ONE tiny [4, B] device array from the
+        CURRENT state — call BEFORE dispatching the next chunk. Retirement
+        decisions lag one chunk; a slot that finishes mid-chunk idles
+        through the next chunk, which its inactive lane no-ops through
+        anyway.
+
+        The token/length/logprob buffers ride the same snapshot, keyed to
+        the returned handle: a retirement decided from THIS snapshot reads
+        rows of slots already inactive in it, and an inactive lane no-ops
+        through the chunk — so the pre-chunk rows are exactly the final
+        rows. The whole tuple is materialized by ONE jax.device_get on a
+        background thread: copy_to_host_async doesn't beat the tunneled
+        runtime (a later np.asarray still pays the ~27 ms relay RTT —
+        measured), but the thread pays that RTT CONCURRENTLY with the
+        chunk the main thread dispatches next, so the poll/retire path
+        reads finished numpy. Staggered (mixed-workload) retirements
+        previously paid up to three sequential RTTs per poll — retire_ms
+        2.7 s of a 5.6 s wall, occupancy_r4_mixed.json."""
+        handle, tok, lp = self._snap(
             self.state.active, self.state.proposed, self.state.accepted,
-            self.state.lengths,
+            self.state.lengths, self.state.tokens, self.state.token_logprobs,
         )
+        fut = self._fetcher.submit(jax.device_get, (handle, tok, lp))
+        self._retire_prefetch = (handle, fut)
+        return handle
+
+    def _prefetched(self, flags):
+        """The background-fetched (flags, tokens, logprobs) numpy tuple for
+        this poll handle, or None if the prefetch doesn't match (stale
+        handle, admission invalidated it, or a sync caller)."""
+        pf = self._retire_prefetch
+        if pf is not None and flags is not None and pf[0] is flags:
+            return pf[1].result()
+        return None
 
     def start_trace(self) -> None:
         """Record a per-poll occupancy trace (occupied slots, committed
@@ -1551,15 +1601,16 @@ class ContinuousBatcher:
         docs/results/serving. Cheap (host lists only); on by demand."""
         self.trace = []
 
-    def _fetch_tokens(self):
-        # Predictive prefetch (see _prefetch_retire): the copies already
-        # rode the wave's chunk; np.asarray just materializes them. The
-        # handles are only valid if the state hasn't been replaced since
-        # the prefetch — callers prefetch right after the chunk dispatch.
-        pf = self._retire_prefetch
-        self._retire_prefetch = None
-        if pf is not None and pf[0] is self.state.tokens:
-            return tuple(np.asarray(a) for a in pf)
+    def _fetch_tokens(self, flags=None):
+        # Pipelined prefetch (see poll_flags_async): the copies rode the
+        # chunk; np.asarray just materializes them. A prefetch is only
+        # valid for the retirement decided from the SAME flags snapshot —
+        # the handle is the key — because only then are the prefetched
+        # rows of the retiring (already-inactive) slots final.
+        got = self._prefetched(flags)
+        if got is not None:
+            self._retire_prefetch = None
+            return got[1], got[0][3], got[2]
         # ONE device_get for all three arrays — each separate np.asarray
         # costs a full relay round trip on tunneled runtimes.
         t, ln, lp = jax.device_get(
@@ -1610,7 +1661,9 @@ class ContinuousBatcher:
         # (pipelined polling — the fetch overlapped the last chunk).
         t_poll = time.perf_counter()
         if flags is not None:
-            f = np.asarray(flags)
+            got = self._prefetched(flags)
+            f = got[0] if got is not None else np.asarray(flags)
+            self.stats.poll_wait_ms += (time.perf_counter() - t_poll) * 1e3
             active, proposed, accepted, lengths_now = (
                 f[0].astype(bool), f[1], f[2], f[3]
             )
@@ -1654,10 +1707,10 @@ class ContinuousBatcher:
             if req is None or req.prefilling or active[slot]:
                 continue
             if tokens is None:
-                # Through the overridable fetchers: _fetch_tokens is ONE
-                # combined device_get here and a process allgather under
-                # MultiHostBatcher (host-uniform values).
-                tokens, lengths, logprobs = self._fetch_tokens()
+                # Through the overridable fetchers: _fetch_tokens is the
+                # pipelined prefetch (or one combined device_get) here and
+                # a process allgather under MultiHostBatcher.
+                tokens, lengths, logprobs = self._fetch_tokens(flags)
                 tops = (
                     self._fetch_tops()
                     if self.engine.config.logprobs_topk

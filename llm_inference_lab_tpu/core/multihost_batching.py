@@ -101,9 +101,9 @@ class MultiHostBatcher(ContinuousBatcher):
         )
         return tuple(np.asarray(v) for v in vals)
 
-    def _fetch_tokens(self):
+    def _fetch_tokens(self, flags=None):
         if self.n_procs == 1:
-            return super()._fetch_tokens()
+            return super()._fetch_tokens(flags)
         vals = _allgather(
             (self.state.tokens, self.state.lengths, self.state.token_logprobs)
         )

@@ -146,11 +146,13 @@ def main() -> int:
     # group sizes; staggered mixed-workload retirements produce every
     # bucket), so the timed drain measures steady-state serving, not
     # one-time jit compiles — a long-running server pays these once.
-    for g in (args.slots, 4, 2):
+    g = args.slots
+    while g >= 1:
         for i in range(g):
             b.submit(f"{prompt} #{i}", max_new_tokens=8)
         b._admit_pending()
         b.run()
+        g //= 2
 
     # --- the drain run with trace --------------------------------------
     rng = np.random.default_rng(0)

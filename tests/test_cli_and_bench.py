@@ -92,10 +92,17 @@ def test_bench_real_weights_branch(tmp_path):
     import subprocess
     import sys
 
+    import torch
     import transformers
 
+    # Seeded, and wide enough (hidden 64) that the top-2 logits aren't a
+    # float-noise tie: a hidden-16 draw can produce near-degenerate logits
+    # where the draft forward (K positions) and verify forward (K+1
+    # positions) argmax-flip the same tie EVERY step -> acceptance exactly
+    # 0 and a flaky run of bench.py's nonzero-acceptance assertion.
+    torch.manual_seed(0)
     hf_cfg = transformers.LlamaConfig(
-        vocab_size=64, hidden_size=16, intermediate_size=32,
+        vocab_size=64, hidden_size=64, intermediate_size=128,
         num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
         max_position_embeddings=1024, tie_word_embeddings=True,
     )
