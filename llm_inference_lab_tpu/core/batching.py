@@ -358,15 +358,35 @@ def make_admit_many(target_model, draft_model):
 
         def splice(cache, sub):
             if not paged:
-                # Static-length slice write into each admitted lane; rows
-                # past P keep stale data, which attention masks by length
-                # (same invariant retired lanes rely on).
-                return KVCache(
-                    cache.k.at[:, slots, :, :P, :].set(sub.k),
-                    cache.v.at[:, slots, :, :P, :].set(sub.v),
-                    cache.k_scale.at[:, slots, :, :P].set(sub.k_scale),
-                    cache.v_scale.at[:, slots, :, :P].set(sub.v_scale),
+                # Per-lane dynamic_update_slice under fori_loop: the obvious
+                # `cache.k.at[:, slots, :, :P, :].set(sub.k)` lowers to a
+                # generic scatter HLO that TPU executes ~6x slower than the
+                # whole [G, P] prefill forward it follows (measured: 45 ms
+                # admission wave vs 6.4 ms forward, 2026-08-20); G block
+                # copies at dynamic lane offsets are near-free and donate
+                # in place. Rows past P keep stale data, which attention
+                # masks by length (same invariant retired lanes rely on).
+                def lane(x, i):
+                    return jax.lax.dynamic_slice_in_dim(x, i, 1, axis=1)
+
+                def body(i, c):
+                    k, v, ks, vs = c
+                    s = slots[i]
+                    k = jax.lax.dynamic_update_slice(
+                        k, lane(sub.k, i), (0, s, 0, 0, 0))
+                    v = jax.lax.dynamic_update_slice(
+                        v, lane(sub.v, i), (0, s, 0, 0, 0))
+                    ks = jax.lax.dynamic_update_slice(
+                        ks, lane(sub.k_scale, i), (0, s, 0, 0))
+                    vs = jax.lax.dynamic_update_slice(
+                        vs, lane(sub.v_scale, i), (0, s, 0, 0))
+                    return (k, v, ks, vs)
+
+                k, v, ks, vs = jax.lax.fori_loop(
+                    0, G, body,
+                    (cache.k, cache.v, cache.k_scale, cache.v_scale),
                 )
+                return KVCache(k, v, ks, vs)
             # Paged: scatter each page-size chunk of every scratch lane into
             # its allocated page. A request whose own allocation is shorter
             # than the group's padded P scatters the excess into page 0 —
@@ -802,6 +822,21 @@ class ContinuousBatcher:
         # Per-slot committed-length watermark for token accounting: set to
         # the prompt length at admission, advanced at each poll.
         self._counted = np.zeros(n_slots, np.int64)
+        # Host-side LOWER bound on each occupied lane's current length, for
+        # exact-retirement chunk scheduling (_next_chunk_len): set to the
+        # prompt length at admission, advanced by the dispatched chunk
+        # length (active lanes commit >= 1 token/step; exactly 1 non-spec),
+        # resynced from fresh device lengths at each poll. A lower bound on
+        # length gives an UPPER bound on remaining steps — a chunk is never
+        # cut short of a lane's guaranteed finish.
+        self._sched_len = np.zeros(n_slots, np.int64)
+        self._last_chunk_n = self.poll_every  # horizon for _prefetch_retire
+        self._n_cache: Dict[int, jax.Array] = {}  # device step-count scalars
+        # Chunk-scheduling cost model (see _next_chunk_len). Defaults
+        # measured on the v5e axon relay; both are per-deployment constants
+        # a server can recalibrate from its own BatcherStats.
+        self.chunk_boundary_ms = 8.0  # fixed dispatch cost per chunk
+        self.chunk_step_ms = 6.6      # full-batch decode step
         # Paged KV: page pool + host-side allocator. Pool defaults to the
         # contiguous-equivalent size; cap it with cfg.kv_pages to make
         # serving memory proportional to the LIVE token budget (admission
@@ -973,6 +1008,7 @@ class ContinuousBatcher:
             )
             self._slots[slot] = req
             self._counted[slot] = len(ids)
+            self._sched_len[slot] = len(ids)
             self.stats.admitted += 1
             self._stale_tables.discard(slot)  # admission wrote the row
             # Publish this request's own full prompt chunks for reuse.
@@ -993,6 +1029,7 @@ class ContinuousBatcher:
         self.stats.admit_dispatch_ms += (time.perf_counter() - t_d) * 1e3
         self._slots[slot] = req
         self._counted[slot] = len(ids)
+        self._sched_len[slot] = len(ids)
         self.stats.admitted += 1
         self._stale_tables.discard(slot)  # admission wrote the row
 
@@ -1161,6 +1198,7 @@ class ContinuousBatcher:
         req.prefilling = False
         self._prefilling = None
         self._counted[pf["slot"]] = len(req.admit_ids)
+        self._sched_len[pf["slot"]] = len(req.admit_ids)
         self.stats.admitted += 1
         self._stale_tables.discard(pf["slot"])  # splice wrote the row
 
@@ -1317,6 +1355,7 @@ class ContinuousBatcher:
                 self.allocator.free(vr.pages)
                 self._slots[victim] = None
                 self._counted[victim] = 0
+                self._sched_len[victim] = 0
                 got = self.allocator.alloc(need)
             if got is None:
                 continue
@@ -1396,6 +1435,7 @@ class ContinuousBatcher:
         req.slot = None
         self._slots[slot] = None
         self._counted[slot] = 0
+        self._sched_len[slot] = 0
         # Fold the slot's (snapshot) acceptance counters into the retired
         # accumulators — the in-flight sum no longer covers this slot, and
         # readmission zeroes the device counters.
@@ -1496,6 +1536,7 @@ class ContinuousBatcher:
         for req in reqs:
             self._slots[req.slot] = req
             self._counted[req.slot] = len(req.admit_ids)
+            self._sched_len[req.slot] = len(req.admit_ids)
             self.stats.admitted += 1
             self._stale_tables.discard(req.slot)  # admission wrote the row
 
@@ -1516,7 +1557,9 @@ class ContinuousBatcher:
         got = self._prefetched(flags)
         lengths = got[0][3] if got is not None else np.asarray(flags)[3]
         bound = (self.engine._max_k + 1) if self.engine.is_spec else 1
-        horizon = self.poll_every * bound
+        # Horizon = the chunk actually dispatched (exact-retirement chunks
+        # are often shorter than poll_every).
+        horizon = self._last_chunk_n * bound
         n_fin = 0
         for slot, req in enumerate(self._slots):
             if req is None or req.prefilling:
@@ -1683,6 +1726,7 @@ class ContinuousBatcher:
             if d > 0:
                 delta += d
                 self._counted[s] = int(lengths_now[s])
+                self._sched_len[s] = max(self._sched_len[s], int(lengths_now[s]))
         st.committed_tokens += delta
         if self.trace is not None:
             self.trace.append({
@@ -1724,6 +1768,7 @@ class ContinuousBatcher:
             if tail > 0:
                 st.committed_tokens += tail
             self._counted[slot] = 0
+            self._sched_len[slot] = 0
             st.retired += 1
             text_ids = [t for t in gen if t != self.engine.eos_token_id]
             prop, acc = int(proposed[slot]), int(accepted[slot])
@@ -1822,19 +1867,86 @@ class ContinuousBatcher:
             return self.engine._max_k  # static bound; ctrl_k adapts on device
         return self.engine.controller.get_k(self._steps)
 
+    def _next_chunk_len(self) -> int:
+        """Retirement-aligned chunk scheduling: pick the next chunk length
+        that minimizes overhead-per-step, trading the fixed per-chunk
+        dispatch cost (~8 ms through the axon relay — measured static ==
+        dynamic, 2026-08-20) against dead lane-steps. A lane past its
+        budget costs NOTHING in step time (shapes are static, inactive
+        lanes no-op through a full-price step) — its only cost is the
+        missed refill of its slot with queued work, worth one lane's share
+        of a step (~0.4 ms at 16 slots). So cutting a chunk early only
+        pays for retirement WAVES (>= ~20 saved dead lane-steps), never
+        for a single straggler; with an empty queue there is nothing to
+        refill and the chunk always runs full (the device while_loop
+        early-exits when every lane drains anyway).
+
+        _sched_len is a lower bound on each lane's length (active lanes
+        commit >= 1 token/step, exactly 1 non-spec), so target - _sched_len
+        is an upper bound on remaining steps: a cut at that bound never
+        strands a lane short of its guaranteed finish, and non-spec
+        budget-bound lanes retire exactly at the chunk boundary. EOS /
+        cancel / early spec finishes still retire via the normal lagged
+        poll, at most one chunk late."""
+        P = self.poll_every
+        if not self.scheduler.pending():
+            return P
+        rems = []
+        for slot, req in enumerate(self._slots):
+            if req is None or req.prefilling:
+                continue
+            target = len(req.admit_ids) + req.remaining_new
+            rem = target - int(self._sched_len[slot])
+            if rem < P:
+                rems.append(max(rem, 1))
+        if not rems:
+            return P
+        lane_ms = self.chunk_step_ms / max(self.n_slots, 1)
+        best, best_rate = P, (
+            self.chunk_boundary_ms + sum(P - r for r in rems) * lane_ms
+        ) / P
+        for c in sorted(set(rems)):
+            dead = sum(c - r for r in rems if r < c)
+            rate = (self.chunk_boundary_ms + dead * lane_ms) / c
+            if rate < best_rate:
+                best, best_rate = c, rate
+        return best
+
     def step_chunk(self, n: Optional[int] = None) -> None:
         """Up to n decode steps in ONE device dispatch (bounded while_loop;
         exits early when all slots drain). Keeps host round trips to one per
-        admission poll instead of one per step."""
-        n = n or self.poll_every
+        admission poll instead of one per step. n=None self-schedules via
+        _next_chunk_len (exact-retirement chunks) under one dynamic-bound
+        compile; an explicit n keeps the static-bound loop (one compile per
+        distinct n — probes and tests that time fixed-length chunks)."""
+        dynamic = n is None
+        n = self._next_chunk_len() if dynamic else n
         self._flush_stale_tables()
         eng = self.engine
         k = self._current_k()
-        loop_fn = eng._get_loop(k, max_steps=n)
-        if not eng.is_spec:
-            self.state = loop_fn(eng.target.params, {}, self.state)
+        if dynamic:
+            loop_fn = eng._get_loop(k, max_steps=self.poll_every,
+                                    dynamic=True)
+            # Device-resident step-count scalars, created once per value:
+            # a fresh np.int32 argument is a host->device transfer on EVERY
+            # chunk — ~18 ms through the axon relay, dwarfing short chunks.
+            n_dev = self._n_cache.get(n)
+            if n_dev is None:
+                n_dev = self._n_cache.setdefault(
+                    n, jax.device_put(jnp.int32(n))
+                )
+            args = (self.state, n_dev)
         else:
-            self.state = loop_fn(eng.target.params, eng._draft_params, self.state)
+            loop_fn = eng._get_loop(k, max_steps=n)
+            args = (self.state,)
+        if not eng.is_spec:
+            self.state = loop_fn(eng.target.params, {}, *args)
+        else:
+            self.state = loop_fn(eng.target.params, eng._draft_params, *args)
+        self._last_chunk_n = n
+        for slot, req in enumerate(self._slots):
+            if req is not None and not req.prefilling:
+                self._sched_len[slot] += n
         self._steps += n
         self.stats.chunks += 1
         self.stats.steps += n
@@ -1857,8 +1969,8 @@ class ContinuousBatcher:
             # Pipelined poll: snapshot flags BEFORE the chunk, materialize
             # after — the device->host transfer overlaps the chunk compute.
             flags = self.poll_flags_async()
-            self.step_chunk(self.poll_every)
-            steps += self.poll_every
+            self.step_chunk()
+            steps += self._last_chunk_n
             fresh = self._prefetch_retire(flags)
             self._retire_finished(fresh if fresh is not None else flags)
             self._admit_pending()

@@ -575,16 +575,19 @@ class Engine:
             self._step_cache[key] = fn
         return fn
 
-    def _get_loop(self, k: int, max_steps: int):
+    def _get_loop(self, k: int, max_steps: int, dynamic: bool = False):
         """Device-side decode loop (see make_decode_loop): the fast path
         when K is fixed and per-step host observation isn't needed.
         `max_steps` bounds the loop — the continuous batcher uses small
-        chunks so admissions can interleave."""
-        key = ("loop", k, max_steps)
+        chunks so admissions can interleave. dynamic=True adds a traced
+        per-call step bound (exact-retirement chunk scheduling) under the
+        same static cap, sharing one compile across chunk lengths."""
+        key = ("loop", k, max_steps, dynamic)
         fn = self._step_cache.get(key)
         if fn is None:
             raw = self._build_step(k, jit=False)
-            fn = make_decode_loop(raw, max_steps=max_steps, is_spec=self.is_spec)
+            fn = make_decode_loop(raw, max_steps=max_steps,
+                                  is_spec=self.is_spec, dynamic=dynamic)
             self._step_cache[key] = fn
         return fn
 

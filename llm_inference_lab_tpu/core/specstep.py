@@ -840,7 +840,8 @@ def make_spec_step(
     return jax.jit(step, donate_argnums=(2,) if donate else ())
 
 
-def make_decode_loop(step_fn, max_steps: int, is_spec: bool = True, donate: bool = True):
+def make_decode_loop(step_fn, max_steps: int, is_spec: bool = True,
+                     donate: bool = True, dynamic: bool = False):
     """Wrap an UNJITTED step function in a device-side lax.while_loop.
 
     One dispatch decodes everything: the loop exits exactly when all lanes
@@ -851,7 +852,34 @@ def make_decode_loop(step_fn, max_steps: int, is_spec: bool = True, donate: bool
     whole generation is one compiled program. The host-loop path in
     core/engine.py remains for adaptive-K (K changes shapes) and per-step
     profiling.
+
+    dynamic=True adds a traced `n_steps` bound (clamped to the static
+    max_steps cap) so the continuous batcher can end a chunk exactly at
+    the earliest guaranteed lane retirement with ONE compiled loop —
+    per-value static bounds would recompile the whole decode program for
+    every distinct chunk length the scheduler picks.
     """
+
+    if dynamic:
+        def loop_dyn(target_params, draft_params, state: DecodeState,
+                     n_steps):
+            start = state.steps
+            cap = jnp.minimum(
+                jnp.asarray(max_steps, jnp.int32),
+                jnp.asarray(n_steps, jnp.int32),
+            )
+
+            def cond(s: DecodeState):
+                return jnp.any(s.active) & (s.steps - start < cap)
+
+            def body(s: DecodeState):
+                if is_spec:
+                    return step_fn(target_params, draft_params, s)
+                return step_fn(target_params, s)
+
+            return jax.lax.while_loop(cond, body, state)
+
+        return jax.jit(loop_dyn, donate_argnums=(2,) if donate else ())
 
     def loop(target_params, draft_params, state: DecodeState):
         start = state.steps

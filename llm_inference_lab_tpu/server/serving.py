@@ -172,8 +172,10 @@ class InferenceServer:
                 continue
 
             # Pipelined poll: flags snapshot transfers while the chunk runs.
+            # n=None: exact-retirement chunk scheduling ends the chunk at
+            # the earliest guaranteed lane retirement.
             flags = b.poll_flags_async()
-            b.step_chunk(b.poll_every)
+            b.step_chunk()
             fresh = b._prefetch_retire(flags)
             b._retire_finished(fresh if fresh is not None else flags)
             b._admit_pending()

@@ -45,6 +45,9 @@ def main() -> int:
                     default="uniform")
     ap.add_argument("--arrival-rate", type=float, default=0.0,
                     help="mixed: mean Poisson arrivals/sec (0 = all at t=0)")
+    ap.add_argument("--sched", choices=["auto", "fixed"], default="auto",
+                    help="chunk scheduling: auto = cost-rate retirement "
+                    "alignment (_next_chunk_len), fixed = always poll_every")
     ap.add_argument("--out", default="docs/results/serving/occupancy_r4.json")
     args = ap.parse_args()
 
@@ -70,6 +73,8 @@ def main() -> int:
     )
     eng = Engine(cfg)
     b = ContinuousBatcher(eng, n_slots=args.slots, poll_every=args.poll_every)
+    if args.sched == "fixed":
+        b._next_chunk_len = lambda: args.poll_every
 
     prompt = "Probe request: the quick brown fox jumps over the lazy dog"
 
@@ -180,7 +185,7 @@ def main() -> int:
                          max_new_tokens=int(budgets[nxt]))
                 nxt += 1
             flags = b.poll_flags_async()
-            b.step_chunk(args.poll_every)
+            b.step_chunk()  # exact-retirement scheduling picks the length
             fresh = b._prefetch_retire(flags)
             b._retire_finished(fresh if fresh is not None else flags)
             b._admit_pending()
@@ -207,6 +212,7 @@ def main() -> int:
             "slots": args.slots, "poll_every": args.poll_every,
             "requests": args.requests, "max_tokens": args.max_tokens,
             "workload": args.workload, "arrival_rate": args.arrival_rate,
+            "sched": args.sched,
             "backend": jax.default_backend(),
         },
         "micro": {

@@ -232,3 +232,56 @@ def test_wave_admission_matches_single_slot_paged():
         return [out[rid]["generated_ids"] for rid in ids]
 
     assert run(batched=True) == run(batched=False)
+
+
+def test_exact_retirement_chunk_scheduling():
+    """step_chunk(None) aligns chunk boundaries with retirement waves when
+    queued work is waiting for the slots (non-spec commits exactly 1
+    token/step, so budget finishes are exactly predictable) — and with an
+    empty queue it never cuts a chunk (a dead lane costs nothing unless a
+    refill is waiting). Results must match the fixed-chunk path."""
+    eng = make_engine(draft_model=None, max_new_tokens=16)
+    b = ContinuousBatcher(eng, n_slots=2, poll_every=8)
+    b.submit("short one", max_new_tokens=3)
+    b.submit("much longer request", max_new_tokens=11)
+    b.submit("queued third", max_new_tokens=5)  # stays pending (2 slots)
+    b._admit_pending()
+    assert b._next_chunk_len() == 3  # cut at the guaranteed finish
+    b.step_chunk()
+    assert b._last_chunk_n == 3
+    b._retire_finished()  # poll retires the finished lane
+    b._admit_pending()    # queued third takes the slot; queue now empty
+    assert b._next_chunk_len() == b.poll_every  # no refill waiting: full
+    out = b.run()
+    assert [r["generated_tokens"] for r in out] == [3, 11, 5]
+
+    # Same workload through fixed chunks must match token-for-token.
+    b2 = ContinuousBatcher(eng, n_slots=2, poll_every=8)
+    b2.submit("short one", max_new_tokens=3)
+    b2.submit("much longer request", max_new_tokens=11)
+    b2.submit("queued third", max_new_tokens=5)
+    b2._admit_pending()
+    while any(s is not None for s in b2._slots) or b2.scheduler.pending():
+        b2.step_chunk(8)
+        b2._retire_finished()
+        b2._admit_pending()
+    out2 = [b2._done[rid].result for rid in sorted(b2._done)]
+    assert [r["generated_ids"] for r in out] == [
+        r["generated_ids"] for r in out2
+    ]
+
+
+def test_dynamic_loop_matches_static():
+    """The dynamic-bound decode loop (one compile, traced n) must commit
+    exactly the same tokens as the static-bound loop."""
+    eng = make_engine(max_new_tokens=12)
+    b = ContinuousBatcher(eng, n_slots=2, poll_every=4)
+    b.submit("alpha prompt")
+    b.submit("beta prompt longer")
+    b._admit_pending()
+    b.step_chunk()  # dynamic
+    b.step_chunk(4)  # static
+    out = b.run()
+    single = [eng.generate("alpha prompt")["generated_ids"],
+              eng.generate("beta prompt longer")["generated_ids"]]
+    assert [r["generated_ids"] for r in out] == single
