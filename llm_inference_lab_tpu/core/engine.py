@@ -14,6 +14,7 @@ sequence buffer to 128) so repeated calls reuse compiled programs.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, List, Optional
 
@@ -251,6 +252,7 @@ class Engine:
         self.profiler = StructuredProfiler(
             enabled=cfg.profile or self.flags.profile or self.flags.detailed_metrics
         )
+        self._phase_cache: Dict[tuple, Dict[str, Any]] = {}
         self.profiler.run_metadata = {
             "base_model": cfg.base_model,
             "draft_model": cfg.draft_model,
@@ -863,6 +865,109 @@ class Engine:
         )
 
     # ------------------------------------------------------------------
+    def profile_phases(self, batch: int = 1) -> Dict[str, Any]:
+        """Per-phase decode-step attribution: draft / verify / commit ms.
+
+        Reference parity: StructuredProfiler's per-step draft/verify/
+        acceptance timing (/root/reference/src/metrics/
+        structured_profiler.py:88-156). On TPU the step is ONE fused XLA
+        program — phases cannot be event-timed inside it — so each phase
+        is slope-timed as an isolated program over a dependent chain
+        (metrics.profiler.slope_chain_ms, the technique proven in
+        scripts/attn_b_probe.py) and the residual step - draft - verify
+        is the sampling/acceptance/commit overhead:
+
+          draft_ms   = K x one single-token draft-model forward
+          verify_ms  = one target forward over K+1 token rows
+          commit_ms  = full engine step - draft_ms - verify_ms
+
+        Draft-model-free modes (medusa/eagle/ngram/tree) draft inside the
+        target forward or from the token buffer: draft_ms is 0 and their
+        cost lands in verify/commit where it actually runs. Results are
+        cached per (k, batch) — the chains cost seconds, not per-call.
+        """
+        from llm_inference_lab_tpu.metrics.profiler import slope_chain_ms
+
+        k = self._max_k if self.is_spec else 0
+        key = (k, batch)
+        cached = self._phase_cache.get(key)
+        if cached is not None:
+            return cached
+        B = batch
+        T = self.config.max_seq_len
+        tgt = self.target
+
+        draft1 = 0.0
+        if self.draft is not None and k > 0:
+            d = self.draft
+
+            def dfwd(params, carry):
+                tok, cache = carry
+                logits, cache = d.apply_fn(
+                    params, tok, jnp.full((B, 1), 8, jnp.int32), cache,
+                    jnp.full((B,), 7, jnp.int32),
+                )
+                return (
+                    jnp.argmax(logits[:, -1:], -1).astype(jnp.int32), cache
+                )
+
+            draft1 = slope_chain_ms(
+                dfwd, self._draft_params,
+                (jnp.ones((B, 1), jnp.int32), d.init_cache(B, T)),
+            )
+
+        R = k + 1  # verify rows per lane
+
+        def vfwd(params, carry):
+            tok, cache = carry
+            logits, cache = tgt.apply_fn(
+                params, tok,
+                jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32) + 8, (B, R)),
+                cache, jnp.full((B,), 7, jnp.int32),
+            )
+            nxt = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+            return jnp.concatenate([tok[:, 1:], nxt], axis=1), cache
+
+        verify = slope_chain_ms(
+            vfwd, tgt.params,
+            (jnp.ones((B, R), jnp.int32), tgt.init_cache(B, T)),
+        )
+
+        raw_step = self._build_step(max(k, 1) if self.is_spec else 1,
+                                    jit=False)
+        state = init_state(
+            tgt, self.draft, B, T, max_new_tokens=10_000,
+            temperature=0.0 if self.config.greedy else self.config.temperature,
+        )
+        state = state.replace(
+            lengths=jnp.full((B,), 8, jnp.int32),
+            prompt_lens=jnp.full((B,), 8, jnp.int32),
+            active=jnp.ones((B,), bool),
+            tokens=state.tokens.at[:, :8].set(1),
+        )
+        if self.is_spec:
+            def sfwd(params, st):
+                return raw_step(params[0], params[1], st)
+
+            step = slope_chain_ms(
+                sfwd, (tgt.params, self._draft_params), state
+            )
+        else:
+            step = slope_chain_ms(raw_step, tgt.params, state)
+
+        out = {
+            "k": k,
+            "batch": B,
+            "draft_forwards": k if self.draft is not None else 0,
+            "draft_ms": round(k * draft1, 4),
+            "draft_ms_per_forward": round(draft1, 4),
+            "verify_ms": round(verify, 4),
+            "commit_sample_ms": round(step - k * draft1 - verify, 4),
+            "step_ms": round(step, 4),
+        }
+        self._phase_cache[key] = out
+        return out
+
     def _build_results(
         self, state: DecodeState, prompts, plens, max_new, steps_run, decode_s, total_s
     ) -> List[Dict[str, Any]]:
@@ -989,4 +1094,17 @@ class Engine:
                     **mem,
                 }
             )
+        if (
+            self.profiler.enabled
+            and self.profiler.phase_ms is None
+            and os.environ.get("SPECDX_PROFILE_PHASES", "1") == "1"
+            and self.mesh is None  # phase chains are single-device probes
+        ):
+            # Populate the per-phase breakdown once per engine (cached):
+            # --profile runs then carry draft/verify/commit ms in
+            # profiler.summary() (round-3/4 VERDICT missing item).
+            try:
+                self.profiler.phase_ms = self.profile_phases()
+            except Exception as e:  # never fail a generation over profiling
+                self.profiler.phase_ms = {"error": str(e)}
         return results

@@ -65,6 +65,7 @@ class MultiHostBatcher(ContinuousBatcher):
     # host-uniformly from the synced plan; long admissions stay one-shot
     # here (see ContinuousBatcher._supports_incremental_admit).
     _supports_incremental_admit = False
+    _supports_overlap_admit = False
     # Round-4: lazy page growth/preemption IS supported — the coordinator
     # plans (_plan_growth: allocator + slot bookkeeping) and the fixed-shape
     # op list is broadcast; every host applies the same device effects in
@@ -97,7 +98,7 @@ class MultiHostBatcher(ContinuousBatcher):
             return super()._fetch_flags()
         vals = _allgather(
             (self.state.active, self.state.proposed, self.state.accepted,
-             self.state.lengths)
+             self.state.lengths, self.state.steps)
         )
         return tuple(np.asarray(v) for v in vals)
 

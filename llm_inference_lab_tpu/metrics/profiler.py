@@ -66,6 +66,41 @@ def device_memory_stats() -> MemoryStats:
     return out
 
 
+def slope_chain_ms(fn, params, init, lo: int = 10, hi: int = 40) -> float:
+    """Slope-timed cost of one fn(params, carry) -> carry call.
+
+    Times a dependent lax.scan chain at two lengths and returns
+    (t(hi) - t(lo)) / (hi - lo): the fixed dispatch + completion-fetch
+    overhead (a full relay RTT on tunneled TPU runtimes, ~27 ms — more
+    than a 3B decode step) cancels out. Completion is forced with a
+    data-dependent scalar device_get, not block_until_ready, which can
+    ack early through tunnels (docs/RESULTS.md "measurement trap").
+    Params are a jit argument — closing over them would embed multi-GB
+    weight constants in the compiled program. The same technique drives
+    scripts/attn_b_probe.py and scripts/batch_scaling_probe.py."""
+    t_lo = _chain_once(fn, params, init, lo)
+    t_hi = _chain_once(fn, params, init, hi)
+    return (t_hi - t_lo) / (hi - lo)
+
+
+def _chain_once(fn, params, init, iters: int) -> float:
+    @jax.jit
+    def chain(params, carry):
+        return jax.lax.scan(
+            lambda c, _: (fn(params, c), None), carry, None, length=iters
+        )[0]
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        out = chain(params, init)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        jax.device_get(leaf.ravel()[:1])
+        return (time.perf_counter() - t0) * 1e3
+
+    run()  # compile
+    return sorted(run() for _ in range(3))[1]
+
+
 def _mean_std(xs: List[float]) -> Dict[str, float]:
     if not xs:
         return {"mean": 0.0, "std": 0.0, "n": 0}
@@ -81,6 +116,11 @@ class StructuredProfiler:
     prefill_ms: List[float] = field(default_factory=list)
     accept_hist: Counter = field(default_factory=Counter)
     run_metadata: Dict[str, Any] = field(default_factory=dict)
+    # Per-phase step attribution (draft/verify/commit ms — reference
+    # structured_profiler.py:88-156). Populated by Engine.profile_phases:
+    # the TPU step is one fused XLA program, so phases are slope-timed as
+    # isolated programs, not event-timed inside the step.
+    phase_ms: Optional[Dict[str, Any]] = None
 
     def record_step(self, ms: float, accepted: Optional[int] = None) -> None:
         if not self.enabled:
@@ -109,6 +149,7 @@ class StructuredProfiler:
             "enabled": self.enabled,
             "step_ms": _mean_std(self.step_ms),
             "prefill_ms": _mean_std(self.prefill_ms),
+            "phase_ms": self.phase_ms,
             "acceptance_histogram": dict(sorted(self.accept_hist.items())),
             "memory": device_memory_stats().as_dict(),
             "run_metadata": self.run_metadata,

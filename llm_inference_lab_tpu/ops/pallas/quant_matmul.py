@@ -149,8 +149,14 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, layer_idx=None,
     # BN=512 by ~15% on the llama matmul shapes (fewer grid steps, larger
     # DMAs) — int4 [2048,8192] 0.0207 -> 0.0173 ms, [8192,2048]
     # 0.0189 -> 0.0163 ms; ~60% of the HBM speed-of-light per matmul.
-    if not bn and not bk and qt.bits == 4 and (K, N) in _INT4_TILES:
-        bn, bk = _INT4_TILES[(K, N)]
+    import os as _os
+
+    if (
+        not bn and not bk and qt.bits == 4
+        and _os.environ.get("SPECDX_INT4_TILE_TABLE", "1") == "1"
+        and (M, K, N) in _INT4_TILES
+    ):
+        bn, bk = _INT4_TILES[(M, K, N)]
     BN = bn or (
         1024
         if N % 1024 == 0

@@ -159,7 +159,13 @@ class InferenceServer:
                                lora=p.lora)
                 self._inflight[rid] = p
                 drained = True
-            if drained or b.scheduler.pending():
+            if (drained or b.scheduler.pending()) and not any(
+                s is not None for s in b._slots
+            ):
+                # Nothing decoding: admit eagerly (no chunk to overlap
+                # with). Otherwise arrivals are admitted overlapped with
+                # the decode chunk below — their ~10 ms dispatch+relay
+                # rides the chunk instead of stalling the loop.
                 b._admit_pending()
 
             if not any(s is not None for s in b._slots):
@@ -176,6 +182,7 @@ class InferenceServer:
             # the earliest guaranteed lane retirement.
             flags = b.poll_flags_async()
             b.step_chunk()
+            b._admit_overlapped()
             fresh = b._prefetch_retire(flags)
             b._retire_finished(fresh if fresh is not None else flags)
             b._admit_pending()

@@ -186,6 +186,7 @@ def main() -> int:
                 nxt += 1
             flags = b.poll_flags_async()
             b.step_chunk()  # exact-retirement scheduling picks the length
+            b._admit_overlapped()  # arrivals ride the in-flight chunk
             fresh = b._prefetch_retire(flags)
             b._retire_finished(fresh if fresh is not None else flags)
             b._admit_pending()

@@ -95,11 +95,18 @@ def test_bench_real_weights_branch(tmp_path):
     import torch
     import transformers
 
-    # Seeded, and wide enough (hidden 64) that the top-2 logits aren't a
-    # float-noise tie: a hidden-16 draw can produce near-degenerate logits
-    # where the draft forward (K positions) and verify forward (K+1
-    # positions) argmax-flip the same tie EVERY step -> acceptance exactly
-    # 0 and a flaky run of bench.py's nonzero-acceptance assertion.
+    # The flake history (rounds 3-4): random-init hidden-64 weights produce
+    # logits whose top-2 margin is float-noise-sized, and the draft forward
+    # (K positions) and verify forward (K+1 positions) reduce in different
+    # orders — on CPU the split depends on the thread count, so under a
+    # loaded suite a near-tie argmax-flips differently per run (observed as
+    # acceptance==0 in full-suite runs where this test passed alone).
+    # Round-5 fix is STRUCTURAL, not a rescale: the tied embedding is a
+    # scaled identity (vocab == hidden == 64), so the residual stream is
+    # dominated by one coordinate (~5.0) against default-init (std 0.02)
+    # transformer perturbations — top-2 logit margins are O(1), orders
+    # above even bf16 rounding (~0.04 at these magnitudes), and the margin
+    # is ASSERTED on the greedy trajectory before the checkpoint ships.
     torch.manual_seed(0)
     hf_cfg = transformers.LlamaConfig(
         vocab_size=64, hidden_size=64, intermediate_size=128,
@@ -107,14 +114,23 @@ def test_bench_real_weights_branch(tmp_path):
         max_position_embeddings=1024, tie_word_embeddings=True,
     )
     m = transformers.LlamaForCausalLM(hf_cfg).eval()
-    # Sharpen the tied embed/head so argmax margins dwarf float noise: the
-    # draft forward (K positions) and verify forward (K+1 positions) reduce
-    # in different orders — and on CPU the reduction split depends on the
-    # thread count, so under a loaded suite a near-tie can argmax-flip
-    # differently per run (observed once as acceptance==0 in a full-suite
-    # run where this test passed in isolation).
     with torch.no_grad():
-        m.model.embed_tokens.weight.mul_(3.0)
+        m.model.embed_tokens.weight.copy_(5.0 * torch.eye(64))
+    # Tie-free-ness proof: greedy-decode the torch model and require every
+    # step's top-2 logit margin to dwarf cross-shape reduction noise.
+    with torch.no_grad():
+        ids = torch.arange(1, 17)[None]
+        min_margin = float("inf")
+        for _ in range(48):
+            logits = m(ids).logits[0, -1]
+            top2 = torch.topk(logits, 2).values
+            min_margin = min(min_margin, float(top2[0] - top2[1]))
+            ids = torch.cat(
+                [ids, logits.argmax()[None, None]], dim=1
+            )
+    assert min_margin > 0.5, (
+        f"synthetic checkpoint not provably tie-free: margin {min_margin}"
+    )
     snap = tmp_path / "hub" / "models--llama-tiny" / "snapshots" / "s0"
     snap.mkdir(parents=True)
     m.save_pretrained(snap, safe_serialization=True)
@@ -123,6 +139,12 @@ def test_bench_real_weights_branch(tmp_path):
     env = dict(
         os.environ, HF_HOME=str(tmp_path), SPECDX_BENCH_SMALL="1",
         SPECDX_BENCH_QUANT="int8", SPECDX_BENCH_K="2",
+        # Kill the load-dependence too: single-threaded XLA CPU makes the
+        # draft/verify reduction order deterministic regardless of suite
+        # parallelism (the subprocess doesn't need the conftest's virtual
+        # device mesh).
+        XLA_FLAGS="--xla_cpu_multi_thread_eigen=false",
+        OMP_NUM_THREADS="1",
     )
     r = subprocess.run(
         [sys.executable, "-c",

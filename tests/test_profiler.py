@@ -48,3 +48,45 @@ def test_time_step_context():
 def test_memory_stats_shape():
     d = device_memory_stats().as_dict()
     assert set(d) == {"device_mem_mb", "device_peak_mb", "mem_rss_mb"}
+
+
+def test_profile_phase_breakdown():
+    """A profiled run must surface per-phase attribution (draft/verify/
+    commit ms) in the summary — reference StructuredProfiler parity
+    (/root/reference/src/metrics/structured_profiler.py:88-156). The TPU
+    step is one fused program, so phases are slope-timed as isolated
+    programs (Engine.profile_phases)."""
+    import jax
+
+    from llm_inference_lab_tpu.config import EngineConfig
+    from llm_inference_lab_tpu.core.engine import Engine
+    from llm_inference_lab_tpu.models.llama import LlamaModel
+
+    def tiny(seed):
+        return LlamaModel.create(
+            "llama-tiny", rng=jax.random.PRNGKey(seed),
+            dtype=jax.numpy.float32,
+        )
+
+    eng = Engine(
+        EngineConfig(implementation="hf", max_draft=2, max_new_tokens=4,
+                     max_seq_len=128, dtype="float32", profile=True),
+        target_model=tiny(0), draft_model=tiny(1),
+    )
+    eng.generate("phase attribution probe")
+    s = eng.profiler.summary()
+    ph = s["phase_ms"]
+    assert ph is not None and "error" not in ph, ph
+    assert ph["k"] == 2 and ph["draft_forwards"] == 2
+    for key in ("draft_ms", "verify_ms", "commit_sample_ms", "step_ms"):
+        assert key in ph
+    # The decomposition sums to the measured step by construction; the
+    # parts must be sane (non-negative draft/verify, step covers them).
+    assert ph["draft_ms"] >= 0 and ph["verify_ms"] >= 0
+    assert abs(
+        ph["draft_ms"] + ph["verify_ms"] + ph["commit_sample_ms"]
+        - ph["step_ms"]
+    ) < 1e-6
+    # Cached per (k, batch): a second call must not re-measure.
+    again = eng.profile_phases()
+    assert again is ph or again == ph

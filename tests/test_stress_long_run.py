@@ -66,7 +66,10 @@ def test_stress_churn_hundreds_of_steps():
     )
     assert report["completed"] == 120
     assert report["all_nonempty"]
-    assert report["decode_steps"] >= 200, report["decode_steps"]
+    # decode_steps counts device-EXECUTED steps (polls resync stats.steps
+    # from the state's step counter; the dispatched chunk bound used to
+    # inflate this by the early-exit gap — round-4 ADVICE #4).
+    assert report["decode_steps"] >= 150, report["decode_steps"]
     assert report["rss_growth_mb"] < 600, report["rss_growth_mb"]
     assert report["latency_degradation"] < 2.5, report["latency_degradation"]
 
