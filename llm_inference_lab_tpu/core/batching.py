@@ -623,6 +623,7 @@ class BatcherStats:
     occupied_slot_polls: int = 0  # sum over polls of occupied (decoding) slots
     slot_polls: int = 0           # sum over polls of n_slots
     admitted: int = 0             # admissions executed (one-shot or splice)
+    admit_waves: int = 0          # batched wave admissions (_admit_group)
     admit_ms: float = 0.0         # host wall blocked in admission calls
     admit_plan_ms: float = 0.0    # ... of which: host-side planning
     admit_dispatch_ms: float = 0.0  # ... of which: jit dispatch calls
@@ -654,6 +655,7 @@ class BatcherStats:
                 if self.polls else 0.0
             ),
             "admitted": self.admitted,
+            "admit_waves": self.admit_waves,
             "admit_ms_total": round(self.admit_ms, 1),
             "admit_plan_ms": round(self.admit_plan_ms, 1),
             "admit_dispatch_ms": round(self.admit_dispatch_ms, 1),
@@ -1604,6 +1606,7 @@ class ContinuousBatcher:
             rows, plens, slots, maxnews, tables, *cols,
         )
         self.stats.admit_dispatch_ms += (time.perf_counter() - t_d) * 1e3
+        self.stats.admit_waves += 1
         for req in reqs:
             self._slots[req.slot] = req
             self._counted[req.slot] = len(req.admit_ids)

@@ -1,23 +1,24 @@
-"""int4 Pallas dequant-matmul (BN, BK) tile sweep — STACKED-path retune.
+"""int4 dequant-matmul tile check — STACKED-path A/B (round 5).
 
 Round 4 adopted `_INT4_TILES` from a sweep (scripts/int4_tile_sweep.py)
 that benched the FLAT `quant_matmul_pallas(x, qt)` form — but the model's
 layer scan reads layer-STACKED weights via a scalar-prefetched index map
 (QuantStackRef), whose DMA pattern strides across a [L, Kp, N] buffer.
 The flat winners regressed the shipped headline 180.3 -> 154.6 tok/s
-(BENCH_r03 vs BENCH_r04); bypassing the table recovered 192.0 tok/s
-(round-5 A/B, docs/results/serving/int4_ab_r5.json).
+(BENCH_r03 vs BENCH_r04); bypassing the table recovered 192.0 tok/s.
 
-This sweep benches the path the model actually runs: stacked weights
-(L=4), layer index cycling 0..L-1 inside the timing scan (like a real
-decode step's layer scan), at M in {2, 16} — M=2 is the BS=1 K=1 verify
-row count (the headline), M=16 the serving decode batch. NOTE
-quant_matmul_pallas pads M up to the 16-row sublane tile, so M only
-changes padding, not the grid; both are swept to confirm that.
+This A/B benches the path the model actually runs: stacked weights (L=4),
+layer index cycling 0..L-1 inside the timing scan like a real decode
+step's layer scan. Per shape it times the HEURISTIC default (BN=1024 +
+whole-half-K when it fits 2 MB VMEM) against the r4-adopted tile and the
+r4 sweep's best measured alternative. M is benched at 16 only:
+quant_matmul_pallas pads every decode M up to the 16-row sublane tile, so
+M in 1..16 compiles to the same kernel. Tile-table entries are kept ONLY
+where this artifact shows a >3% stacked-path win over the heuristic.
 
-Candidates: the heuristic default (BN=1024 + whole-half-K when it fits
-2 MB VMEM) plus the (BN, BK) product space. Winners are adopted into
-`_INT4_TILES` ONLY where they beat the heuristic by >3% in this artifact.
+A full (BN, BK) product sweep at this compile cost (~30 s/combo through
+the remote-compile relay) exceeds the round budget — combos are capped
+and results stream to the artifact incrementally.
 
 Run: python scripts/int4_tile_sweep_r5.py
 Artifact: docs/results/serving/int4_tiles_r5.json
@@ -32,12 +33,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-L = 4  # stacked layers — enough to exercise the strided stacked DMA path
+L = 4  # stacked layers — exercises the strided stacked DMA path
+OUT = "docs/results/serving/int4_tiles_r5.json"
 
 
-def slope_ms(fn, x, qt_stack, lo=200, hi=1200):
-    """Slope-timed ms/call over a dependent chain; the layer index cycles
-    through the stack every iteration like the model's layer scan."""
+def slope_ms(fn, x, qt_stack, lo=200, hi=2200):
+    """Slope-timed ms/call; layer index cycles through the stack like the
+    model's layer scan. The chain-length gap must dwarf the relay RTT's
+    run-to-run variance (several ms): at ~0.01 ms/call a 2000-iteration
+    gap is ~20-30 ms of real compute. Median of 5 per length."""
     import jax
     import jax.numpy as jnp
 
@@ -64,23 +68,23 @@ def slope_ms(fn, x, qt_stack, lo=200, hi=1200):
         return (time.perf_counter() - t0) * 1e3
 
     run(c_lo), run(c_hi)
-    t_lo = sorted(run(c_lo) for _ in range(3))[1]
-    t_hi = sorted(run(c_hi) for _ in range(3))[1]
+    t_lo = sorted(run(c_lo) for _ in range(5))[2]
+    t_hi = sorted(run(c_hi) for _ in range(5))[2]
     return (t_hi - t_lo) / (hi - lo)
 
 
-# The ACTUAL quantized matmul shapes of the decode step (loader fuses
-# q/k/v -> w_qkv, gate+up -> w_gate_up): llama-3.2-3B and llama-3.1-8B.
-SHAPES = [
-    (3072, 5120),    # 3B w_qkv
-    (3072, 3072),    # 3B wo
-    (3072, 16384),   # 3B w_gate_up
-    (8192, 3072),    # 3B w_down
-    (4096, 6144),    # 8B w_qkv
-    (4096, 4096),    # 8B wo
-    (4096, 28672),   # 8B w_gate_up
-    (14336, 4096),   # 8B w_down
-]
+# (K, N) -> [candidate (BN, BK) tiles]: the r4-adopted tile + the best
+# measured alternative from the r4 flat sweep (int4_tiles_r4.json).
+SHAPES = {
+    (3072, 5120): [(1024, 1536), (512, 1536)],
+    (3072, 3072): [(3072, 768), (1024, 1536)],
+    (3072, 16384): [(1024, 1536), (2048, 512)],
+    (8192, 3072): [(512, 2048), (1024, 2048)],
+    (4096, 6144): [(1024, 2048), (2048, 1024)],
+    (4096, 4096): [(2048, 1024), (1024, 2048)],
+    (4096, 28672): [(1024, 2048), (2048, 1024)],
+    (14336, 4096): [(2048, 1024), (1024, 2048)],
+}
 
 
 def main() -> int:
@@ -93,18 +97,15 @@ def main() -> int:
     )
     from llm_inference_lab_tpu.ops.quant import QuantTensor, quantize_int4
 
-    os.environ["SPECDX_INT4_TILE_TABLE"] = "0"  # sweep from a clean slate
+    os.environ["SPECDX_INT4_TILE_TABLE"] = "0"  # bench from a clean slate
 
     rng = np.random.default_rng(0)
-    budget = 2 << 20
     results = []
-    for K, N in SHAPES:
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    for (K, N), cands in SHAPES.items():
         q4 = quantize_int4(jnp.asarray(
             rng.normal(size=(K, N)).astype(np.float32)
         ))
-        # Stack L copies -> [L, K//2, N] data, [L, N] scales (the loader's
-        # layer-stacked form; contents per layer identical, DMA cost isn't
-        # affected by values).
         q4s = QuantTensor(
             jnp.broadcast_to(q4.data, (L, *q4.data.shape)).copy(),
             jnp.broadcast_to(q4.scale, (L, *q4.scale.shape)).copy(),
@@ -112,58 +113,56 @@ def main() -> int:
         )
         half = K // 2
         sol = K * N / 2 / 819e9 * 1e3
-        shape_out = {"K": K, "N": N, "SoL_ms": round(sol, 4), "by_M": {}}
-        for M in (2, 16):
-            x = jnp.ones((M, K), jnp.bfloat16)
-            rows = []
+        x = jnp.ones((16, K), jnp.bfloat16)
+        rows = []
 
-            def bench(bn, bk, label):
-                try:
-                    t = slope_ms(
-                        lambda c, q, li, bn=bn, bk=bk: quant_matmul_pallas(
-                            c, q, layer_idx=li, bn=bn, bk=bk
-                        ),
-                        x, q4s,
-                    )
-                except Exception as e:
-                    print(f"  ({K},{N}) M={M} {label}: {e}")
-                    return
-                rows.append({
-                    "label": label, "BN": bn, "BK": bk,
-                    "ms": round(t, 4), "pct_SoL": round(100 * sol / t, 1),
-                })
-                print(f"({K},{N}) M={M} {label} BN={bn} BK={bk}: "
-                      f"{t:.4f} ms ({rows[-1]['pct_SoL']}% SoL)")
+        def bench(bn, bk, label):
+            try:
+                t = slope_ms(
+                    lambda c, q, li, bn=bn, bk=bk: quant_matmul_pallas(
+                        c, q, layer_idx=li, bn=bn, bk=bk
+                    ),
+                    x, q4s,
+                )
+            except Exception as e:
+                print(f"  ({K},{N}) {label}: {e}", flush=True)
+                return
+            rows.append({
+                "label": label, "BN": bn, "BK": bk,
+                "ms": round(t, 4), "pct_SoL": round(100 * sol / t, 1),
+            })
+            print(f"({K},{N}) {label} BN={bn} BK={bk}: {t:.4f} ms "
+                  f"({rows[-1]['pct_SoL']}% SoL)", flush=True)
 
-            bench(0, 0, "heuristic")  # the shipped default path
-            for BN in (2048, 1024, 512, 256):
-                if N % BN:
-                    continue
-                for BK in dict.fromkeys((half, 2048, 1024, 512, 256)):
-                    if half % BK or BK * BN > budget:
-                        continue
-                    bench(BN, BK, f"tile({BN},{BK})")
-            heur = next(r for r in rows if r["label"] == "heuristic")
-            best = min(rows, key=lambda r: r["ms"])
-            shape_out["by_M"][str(M)] = {
-                "heuristic": heur, "best": best,
-                "best_vs_heuristic_pct": round(
-                    100 * (heur["ms"] - best["ms"]) / heur["ms"], 1),
-                "rows": sorted(rows, key=lambda r: r["ms"]),
-            }
-        results.append(shape_out)
-
-    out = "docs/results/serving/int4_tiles_r5.json"
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+        bench(0, 0, "heuristic")
+        for bn, bk in cands:
+            if N % bn == 0 and half % bk == 0 and bn * bk <= (2 << 20):
+                bench(bn, bk, f"tile({bn},{bk})")
+            else:
+                print(f"  ({K},{N}) tile({bn},{bk}): invalid for shape "
+                      f"(divisibility/VMEM) — the r4 table shipped it "
+                      f"anyway" if (bn, bk) == cands[0] else "", flush=True)
+        heur = next((r for r in rows if r["label"] == "heuristic"), None)
+        best = min(rows, key=lambda r: r["ms"]) if rows else None
+        results.append({
+            "K": K, "N": N, "M": 16, "stacked_L": L,
+            "SoL_ms": round(sol, 4),
+            "heuristic": heur, "best": best,
+            "best_vs_heuristic_pct": (
+                round(100 * (heur["ms"] - best["ms"]) / heur["ms"], 1)
+                if heur and best else None
+            ),
+            "rows": sorted(rows, key=lambda r: r["ms"]),
+        })
+        with open(OUT, "w") as f:  # incremental: survive timeouts
+            json.dump(results, f, indent=1)
     print("\nsummary (best vs heuristic):")
     for r in results:
-        for m, d in r["by_M"].items():
-            print(f"  ({r['K']},{r['N']}) M={m}: heuristic "
-                  f"{d['heuristic']['ms']} ms ({d['heuristic']['pct_SoL']}%)"
-                  f" | best {d['best']['label']} {d['best']['ms']} ms "
-                  f"({d['best']['pct_SoL']}%), +{d['best_vs_heuristic_pct']}%")
+        h, b = r["heuristic"], r["best"]
+        if h and b:
+            print(f"  ({r['K']},{r['N']}): heuristic {h['ms']} ms "
+                  f"({h['pct_SoL']}%) | best {b['label']} {b['ms']} ms "
+                  f"({b['pct_SoL']}%), +{r['best_vs_heuristic_pct']}%")
     return 0
 
 

@@ -1,0 +1,90 @@
+"""Pre-snapshot perf self-gate — bench.py regressions must not ship silently.
+
+Round-4 shipped a 14% headline regression (BENCH_r03 180.27 -> BENCH_r04
+154.58 tok/s) because bench.py was only ever run by the driver, AFTER the
+snapshot: the M=16-swept int4 tile table was adopted without re-measuring
+the BS=1 flagship config. This gate is the fix: run it ON TPU before any
+commit that touches the compute path. It executes the exact bench.py the
+driver runs, compares the median against the newest committed BENCH_r*.json
+for the SAME metric string, and exits nonzero on a >5% drop.
+
+Run: python scripts/perf_gate.py [--tolerance 0.05] [--out docs/results/perf_gate_r5.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def last_committed_bench() -> dict | None:
+    """Newest BENCH_r*.json at the repo root (the driver's records)."""
+    paths = glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
+
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_r0*(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    best = max(paths, key=round_no, default=None)
+    if best is None:
+        return None
+    with open(best) as f:
+        data = json.load(f)
+    parsed = data.get("parsed") or {}
+    parsed["_source"] = os.path.basename(best)
+    return parsed
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tolerance", type=float, default=0.05,
+                    help="max allowed fractional drop vs the last artifact")
+    ap.add_argument("--out", default=None,
+                    help="write the gate result JSON here")
+    args = ap.parse_args()
+
+    prev = last_committed_bench()
+    r = subprocess.run(
+        [sys.executable, "bench.py"], cwd=ROOT, capture_output=True,
+        text=True, timeout=1800,
+    )
+    if r.returncode != 0:
+        print(r.stdout + r.stderr)
+        print("FAIL: bench.py exited nonzero")
+        return 2
+    now = json.loads(r.stdout.strip().splitlines()[-1])
+    print(json.dumps(now))
+
+    result = {"current": now, "previous": prev}
+    rc = 0
+    if prev is None or "value" not in prev:
+        print("NOTE: no committed BENCH artifact to compare against")
+    elif prev.get("metric") != now.get("metric"):
+        print(f"NOTE: metric changed ({prev.get('metric')} -> "
+              f"{now.get('metric')}); no gate applied")
+    else:
+        drop = (prev["value"] - now["value"]) / prev["value"]
+        result["drop_frac"] = round(drop, 4)
+        verdict = "PASS" if drop <= args.tolerance else "FAIL"
+        result["verdict"] = verdict
+        print(f"{verdict}: {now['value']} vs {prev['value']} "
+              f"({prev['_source']}) — drop {100 * drop:.1f}% "
+              f"(tolerance {100 * args.tolerance:.0f}%)")
+        if verdict == "FAIL":
+            rc = 1
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,15 +40,30 @@ def _load(path):
         return json.load(f)
 
 
+def _newest(pattern: str):
+    """Newest artifact matching the round-numbered pattern, or None."""
+    files = sorted(glob.glob(os.path.join(ROOT, pattern)))
+    return files[-1] if files else None
+
+
 def render() -> str:
     bench_files = sorted(glob.glob(os.path.join(ROOT, "BENCH_r0*.json")))
     bench = _load(bench_files[-1])["parsed"]
     bench_src = os.path.basename(bench_files[-1])
-    try:
-        head = _load("docs/results/headline_r4.json")
-    except FileNotFoundError:
-        head = {}  # rows render once scripts/headline_suite.py has run
-    occ = _load("docs/results/serving/occupancy_r4.json")
+    head_file = _newest("docs/results/headline_r*.json")
+    head = _load(head_file) if head_file else {}
+    head_src = (
+        os.path.relpath(head_file, ROOT) if head_file
+        else "docs/results/headline_r*.json (absent)"
+    )
+    occ_files = sorted(
+        f for f in glob.glob(
+            os.path.join(ROOT, "docs/results/serving/occupancy_r*.json")
+        )
+        if re.fullmatch(r"occupancy_r\d+\.json", os.path.basename(f))
+    )
+    occ = _load(occ_files[-1])
+    occ_src = os.path.relpath(occ_files[-1], ROOT)
 
     def row(label, v, ref=None, note=""):
         vs = f"{v / ref:.1f}× its {ref} baseline" if ref else note or "—"
@@ -88,8 +103,8 @@ def render() -> str:
         "",
         f"Rendered by scripts/regen_results.py from {bench_src} (median of "
         f"{len(bench['runs'])} driver-captured runs: {bench['runs']}), "
-        "docs/results/headline_r4.json, and "
-        "docs/results/serving/occupancy_r4.json. All measured at worst-case",
+        f"{head_src}, and "
+        f"{occ_src}. All measured at worst-case",
         "~0 acceptance (random init — no hub access). Separately, as an",
         "*extrapolation, not a measurement*: at the pair's published",
         "0.62–0.86 acceptance the K=1 headline row would scale to roughly",
