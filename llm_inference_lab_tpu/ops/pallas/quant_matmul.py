@@ -31,24 +31,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# int4 (BN, BK) winners from scripts/int4_tile_sweep.py on TPU v5e
-# (docs/results/serving/int4_tiles_r4.json, M=16 decode rows) — keyed by
-# the LOGICAL (K, N) of every llama-3B/8B fused projection. The round-3
-# weak spot was the square 8B attention shapes: BN=1024 + whole-K gave
-# grid (4, 1), too few steps for cross-step DMA double-buffering to hide
-# the 2 MB weight-tile fetches (50.6% of HBM speed-of-light); the swept
-# tiles put every shape at 70-87%. Shapes not listed fall back to the
-# heuristic below.
-_INT4_TILES = {
-    (3072, 5120): (1024, 1536),   # 3B w_qkv    70.7% SoL
-    (3072, 3072): (3072, 768),    # 3B wo       72.1%
-    (3072, 16384): (1024, 1536),  # 3B gate_up  78.9%
-    (8192, 3072): (512, 2048),    # 3B w_down   76.7%
-    (4096, 6144): (1024, 2048),   # 8B w_qkv    75.9%
-    (4096, 4096): (2048, 1024),   # 8B wo       72.0%
-    (4096, 28672): (1024, 2048),  # 8B gate_up  86.9%
-    (14336, 4096): (2048, 1024),  # 8B w_down   79.7%
-}
+# int4 (BN, BK) tile override table — EMPTY by design after the round-5
+# re-measurement; kept (with its env gate) as the mechanism for future
+# per-deployment tuning. History, with artifacts:
+#
+# Round 4 populated this table from a FLAT-buffer sweep
+# (scripts/int4_tile_sweep.py, int4_tiles_r4.json) and regressed the
+# shipped BS=1 headline 180.3 -> 154.6 tok/s (BENCH_r03 vs BENCH_r04;
+# A/B isolating the table: docs/results/serving/int4_ab_r5.json). The
+# round-5 re-measurement on the STACKED scalar-prefetch path the model
+# actually runs (scripts/int4_tile_sweep_r5.py, int4_tiles_r5.json, L=4
+# layer stack with the layer index cycling per call) found that every
+# candidate "winner" is PARAMETER-IDENTICAL to the heuristic below
+# (BN=1024; BK = whole half-K when it fits the 2 MB VMEM budget, else
+# 2048): the apparent 2-14% spreads between identically-tiled runs bound
+# the slope-timing noise, not a win. The two r4 entries that actually
+# differed from the heuristic — (3072,3072)->(3072,768), which exceeds
+# the kernel's own VMEM tile budget, and (8192,3072)->(512,2048) — are
+# what the headline paid 14% for. Conclusion: the heuristic is optimal
+# within measurement noise on every llama-3B/8B projection; ship no
+# overrides. Keys are (Mp, K, N) with Mp the PADDED row count (all
+# decode M <= 16 share the 16-row kernel).
+_INT4_TILES: dict = {}
 
 
 def _kernel_int8(x_ref, w_ref, s_ref, o_ref, acc_ref):
@@ -154,9 +158,9 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, layer_idx=None,
     if (
         not bn and not bk and qt.bits == 4
         and _os.environ.get("SPECDX_INT4_TILE_TABLE", "1") == "1"
-        and (M, K, N) in _INT4_TILES
+        and (Mp, K, N) in _INT4_TILES
     ):
-        bn, bk = _INT4_TILES[(M, K, N)]
+        bn, bk = _INT4_TILES[(Mp, K, N)]
     BN = bn or (
         1024
         if N % 1024 == 0
