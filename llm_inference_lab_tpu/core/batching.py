@@ -316,7 +316,7 @@ def make_admit_prefix(target_model, draft_model):
     return jax.jit(admit, donate_argnums=(2,))
 
 
-def make_admit_many(target_model, draft_model):
+def make_admit_many(target_model, draft_model, jit: bool = True):
     """Jitted G-slot admission: ONE [G, P] prefill forward + one vectorized
     splice. A retirement wave (uniform workloads finish whole slot cohorts
     at once) previously paid G sequential [1, P] prefill dispatches — the
@@ -326,19 +326,47 @@ def make_admit_many(target_model, draft_model):
     once for all G prompts) and the per-dispatch relay round trips.
 
     jax.jit caches per (G, P) shape; callers bucket G to powers of two and
-    P to power-of-two token buckets so the compile set stays tiny."""
+    P to power-of-two token buckets so the compile set stays tiny.
+
+    Argument packing: the per-request scalars/rows arrive as TWO packed
+    host arrays — `ints` [G, P + M + nb + 7] (prompt rows, page-table row,
+    bias ids, then plens/slots/max_news/seeds/fsm/lora/top_k columns) and
+    `floats` [G, nb + 6] (bias values, then temperature/top_p/min_p and
+    the three penalties) — with the widths static. Through the axon relay
+    EVERY host->device argument transfer costs milliseconds of host wall
+    (the measured reason an 8-wide wave admission cost ~75 ms while its
+    device work is ~10 ms), so 17 arrays -> 2 is the difference between
+    admission taxing the serving loop and riding it. Build the blocks
+    with ContinuousBatcher._group_args."""
     target_apply = target_model.apply_fn
     draft_apply = draft_model.apply_fn if draft_model is not None else None
 
-    def admit(target_params, draft_params, state, prompt_rows,  # [G, P]
-              prompt_lens, slots, max_news, table_rows,  # [G],[G],[G],[G,M]
-              temperature, top_k, top_p, min_p,  # [G] each
-              rep_penalty, presence_penalty, freq_penalty,  # [G] each
-              bias_ids, bias_vals, seeds, fsm_inits, lora_ids):  # [G,nb]x2,[G]x3
+    def admit(target_params, draft_params, state, ints, floats,
+              p_width: int, m_width: int, nb_width: int):
         from llm_inference_lab_tpu.models.base import KVCache
         from llm_inference_lab_tpu.models.paged import PagedKVCache
 
-        G, P = prompt_rows.shape
+        P, M, nb = p_width, m_width, nb_width
+        prompt_rows = ints[:, :P]
+        table_rows = ints[:, P:P + M]
+        bias_ids = ints[:, P + M:P + M + nb]
+        c0 = P + M + nb
+        prompt_lens = ints[:, c0 + 0]
+        slots = ints[:, c0 + 1]
+        max_news = ints[:, c0 + 2]
+        seeds = ints[:, c0 + 3]
+        fsm_inits = ints[:, c0 + 4]
+        lora_ids = ints[:, c0 + 5]
+        top_k = ints[:, c0 + 6]
+        bias_vals = floats[:, :nb]
+        temperature = floats[:, nb + 0]
+        top_p = floats[:, nb + 1]
+        min_p = floats[:, nb + 2]
+        rep_penalty = floats[:, nb + 3]
+        presence_penalty = floats[:, nb + 4]
+        freq_penalty = floats[:, nb + 5]
+
+        G = prompt_rows.shape[0]
         positions = jnp.broadcast_to(
             jnp.arange(P, dtype=jnp.int32)[None], (G, P)
         )
@@ -468,7 +496,9 @@ def make_admit_many(target_model, draft_model):
             token_logprobs=state.token_logprobs.at[slots].set(lp_lanes),
         )
 
-    return jax.jit(admit, donate_argnums=(2,))
+    if not jit:
+        return admit  # composed into a larger jit (fused admit+chunk)
+    return jax.jit(admit, static_argnums=(5, 6, 7), donate_argnums=(2,))
 
 
 def make_admit_incremental(target_model, draft_model, chunk: int):
@@ -623,7 +653,8 @@ class BatcherStats:
     occupied_slot_polls: int = 0  # sum over polls of occupied (decoding) slots
     slot_polls: int = 0           # sum over polls of n_slots
     admitted: int = 0             # admissions executed (one-shot or splice)
-    admit_waves: int = 0          # batched wave admissions (_admit_group)
+    admit_waves: int = 0          # batched wave admissions (group or fused)
+    admit_fused: int = 0          # ... of admitted: rode a chunk dispatch
     admit_ms: float = 0.0         # host wall blocked in admission calls
     admit_plan_ms: float = 0.0    # ... of which: host-side planning
     admit_dispatch_ms: float = 0.0  # ... of which: jit dispatch calls
@@ -656,6 +687,7 @@ class BatcherStats:
             ),
             "admitted": self.admitted,
             "admit_waves": self.admit_waves,
+            "admit_fused": self.admit_fused,
             "admit_ms_total": round(self.admit_ms, 1),
             "admit_plan_ms": round(self.admit_plan_ms, 1),
             "admit_dispatch_ms": round(self.admit_dispatch_ms, 1),
@@ -683,6 +715,10 @@ class ContinuousBatcher:
     # Overlapped (mid-chunk) admission would need its own broadcast round
     # under multi-controller execution; MultiHostBatcher admits at polls.
     _supports_overlap_admit = True
+    # Fused admit+chunk dispatch (Engine._get_admit_loop): planning happens
+    # pre-chunk, which under multi-controller execution would race the
+    # synced plan broadcast; MultiHostBatcher admits at polls instead.
+    _supports_fused_admit = True
     # Lazy page growth/preemption are host decisions that would need their
     # own broadcast round under multi-controller execution; MultiHostBatcher
     # keeps worst-case reservation instead.
@@ -1498,15 +1534,45 @@ class ContinuousBatcher:
         if self.stats.admitted != n0:
             self.stats.admit_ms += (time.perf_counter() - t0) * 1e3
 
+    def _admit_post_poll(self) -> None:
+        """Post-retirement admission point for the serving loops. With the
+        fused admit+chunk program available, one-shot admissions DEFER to
+        the next step_chunk dispatch — the very next statement the loop
+        executes — so they cost zero extra dispatches and the admitted
+        lanes decode in the chunk that admits them. Only work the fused
+        program can't absorb happens here: completing a ready incremental
+        admission (splice)."""
+        import os as _os
+
+        if (
+            not self._supports_fused_admit
+            or _os.environ.get("SPECDX_FUSED_ADMIT", "0") != "1"
+        ):
+            self._admit_pending()
+            return
+        pf = self._prefilling
+        if pf is not None and pf.get("ready"):
+            t0 = time.perf_counter()
+            # The splice rewrites a slot the un-consumed snapshot may
+            # still describe; invalidate like _admit_pending does.
+            self._retire_prefetch = None
+            self._finish_admission()
+            self.stats.admit_ms += (time.perf_counter() - t0) * 1e3
+
     def _admit_overlapped(self) -> None:
-        """Admission overlapped with the in-flight decode chunk. Staggered
-        (Poisson) arrivals used to pay their ~10 ms dispatch+relay strictly
-        BETWEEN chunks, serializing against the decode loop
-        (admit_dispatch_ms 927.6 of a 4,824 ms wall —
-        docs/results/serving/occupancy_r4_mixed.json). Called right after
-        step_chunk() dispatches: the admission jits queue behind the chunk
+        """Admission dispatched right after the decode chunk — OFF by
+        default; a measured NEGATIVE result kept as an env-gated
+        experiment. The theory: the admission jits queue behind the chunk
         on the device stream, so their host-side dispatch cost rides the
-        chunk's device execution instead of stalling the loop.
+        chunk's device execution. The measurement (mixed Poisson workload,
+        2026-08-20): the relay serializes dispatch against in-flight
+        device work, so issuing admissions mid-chunk LENGTHENED the cycle
+        — 1,459 -> 1,160 tok/s, admit_dispatch_ms 927 -> 2,236
+        (docs/results/serving/occupancy_r5_mixed.json vs the
+        SPECDX_OVERLAP_ADMIT=0 A/B at 1,468.5). The fix that works is the
+        FUSED admit+chunk program (step_chunk ride path /
+        Engine._get_admit_loop): zero extra dispatches instead of
+        overlapped ones. Enable with SPECDX_OVERLAP_ADMIT=1.
 
         Only slots free at the live snapshot are eligible (slots are freed
         by retirement, which hasn't run since), so the un-consumed snapshot
@@ -1514,7 +1580,11 @@ class ContinuousBatcher:
         stays valid. Admitted slots are parked in _snap_fresh: this poll's
         retirement/occupancy/growth skips them; the next snapshot picks
         them up."""
-        if not self._supports_overlap_admit:
+        import os as _os
+
+        if not self._supports_overlap_admit or _os.environ.get(
+            "SPECDX_OVERLAP_ADMIT", "0"
+        ) != "1":
             return
         pf = self._prefilling
         has_work = (
@@ -1555,9 +1625,10 @@ class ContinuousBatcher:
                 self._admit_one(req.slot, req)
             else:
                 group.append(req)
-        if len(group) == 1:
-            self._admit_one(group[0].slot, group[0])
-        elif group:
+        if group:
+            # G=1 goes through the group path too: its packed two-array
+            # argument block costs 2 host->device transfers where the solo
+            # _admit jit's 13 arrays cost one relay round trip EACH.
             # Sort by length so power-of-two sub-groups pad to similar P.
             group.sort(key=lambda r: len(r.admit_ids))
             while group:
@@ -1567,10 +1638,16 @@ class ContinuousBatcher:
                 self._admit_group(group[:n])
                 group = group[n:]
 
-    def _admit_group(self, reqs: List[_Request]) -> None:
-        """Collective half of a batched wave admission: one make_admit_many
-        call for G one-shot requests (same contract as _admit_one, G at a
-        time). Inputs stay host-uniform numpy for multihost replayability."""
+    def _group_args(self, reqs: List[_Request], pad_g: int = 0) -> tuple:
+        """Packed host-uniform argument blocks for make_admit_many over G
+        requests: (ints [Gp, P+M+nb+7], floats [Gp, nb+6], P, M, nb).
+        TWO arrays instead of 17 because every host->device argument
+        transfer through the axon relay costs milliseconds of host wall
+        (see make_admit_many). pad_g > G pads the group by REPEATING
+        entry 0 — every splice write is then a duplicate index carrying
+        identical values (idempotent), so a padded group computes the same
+        state as the unpadded one while hitting a power-of-two compile
+        bucket."""
         eng = self.engine
         G = len(reqs)
         bucket = eng.config.kv_page_size if self.paged else 32
@@ -1581,32 +1658,52 @@ class ContinuousBatcher:
             P *= 2
         if P > lane:
             P = need
+        Gp = max(pad_g, G)
         M = self._pages_per_seq if self.paged else 1
-        rows = np.zeros((G, P), np.int32)
-        plens = np.zeros((G,), np.int32)
-        slots = np.zeros((G,), np.int32)
-        maxnews = np.zeros((G,), np.int32)
-        tables = np.zeros((G, M), np.int32)
-        metas = []
-        for i, req in enumerate(reqs):
+        nb = self.state.bias_ids.shape[1]
+        ints = np.zeros((Gp, P + M + nb + 7), np.int32)
+        floats = np.zeros((Gp, nb + 6), np.float32)
+        c0 = P + M + nb
+        for i in range(Gp):
+            req = reqs[i] if i < G else reqs[0]
             ids = req.admit_ids
-            rows[i, : len(ids)] = ids
-            plens[i] = len(ids)
-            slots[i] = req.slot
-            maxnews[i] = req.remaining_new
+            ints[i, : len(ids)] = ids
             if self.paged:
-                tables[i, : len(req.pages)] = req.pages
-            metas.append(self._admission_meta(req))
-        # Stack the per-request meta tuples into [G]-vectors (bias arrays
-        # stack to [G, nb]).
-        cols = [np.stack([m[j] for m in metas]) for j in range(len(metas[0]))]
+                ints[i, P : P + len(req.pages)] = req.pages
+            (temp, topk, topp, minp, rep, pres, freq,
+             b_ids, b_vals, seed, fsm, lora) = self._admission_meta(req)
+            ints[i, P + M : c0] = b_ids
+            ints[i, c0 + 0] = len(ids)
+            ints[i, c0 + 1] = req.slot
+            ints[i, c0 + 2] = req.remaining_new
+            ints[i, c0 + 3] = seed
+            ints[i, c0 + 4] = fsm
+            ints[i, c0 + 5] = lora
+            ints[i, c0 + 6] = topk
+            floats[i, :nb] = b_vals
+            floats[i, nb + 0] = temp
+            floats[i, nb + 1] = topp
+            floats[i, nb + 2] = minp
+            floats[i, nb + 3] = rep
+            floats[i, nb + 4] = pres
+            floats[i, nb + 5] = freq
+        return (ints, floats, P, M, nb)
+
+    def _admit_group(self, reqs: List[_Request]) -> None:
+        """Collective half of a batched wave admission: one make_admit_many
+        call for G one-shot requests (same contract as _admit_one, G at a
+        time). Inputs stay host-uniform numpy for multihost replayability."""
+        eng = self.engine
+        args = self._group_args(reqs)
         t_d = time.perf_counter()
         self.state = self._admit_many(
-            eng.target.params, eng._draft_params, self.state,
-            rows, plens, slots, maxnews, tables, *cols,
+            eng.target.params, eng._draft_params, self.state, *args,
         )
         self.stats.admit_dispatch_ms += (time.perf_counter() - t_d) * 1e3
         self.stats.admit_waves += 1
+        self._note_admitted(reqs)
+
+    def _note_admitted(self, reqs: List[_Request]) -> None:
         for req in reqs:
             self._slots[req.slot] = req
             self._counted[req.slot] = len(req.admit_ids)
@@ -1822,9 +1919,13 @@ class ContinuousBatcher:
                 if drift > 0:
                     self._steps -= drift
                     self.stats.steps = max(0, self.stats.steps - drift)
+        # `occupied` counts tenancy (occupancy stats); `described` is the
+        # subset the snapshot's rows actually describe — slots admitted
+        # after the snapshot (fused/overlapped admission) carry the old
+        # tenant's junk and must not feed token/acceptance accounting.
         occupied = [s for s, r in enumerate(self._slots)
-                    if r is not None and not r.prefilling
-                    and s not in fresh_slots]
+                    if r is not None and not r.prefilling]
+        described = [s for s in occupied if s not in fresh_slots]
         # Occupancy accounting: committed tokens = per-slot length advance
         # past the admission watermark (rides the same snapshot transfer).
         st = self.stats
@@ -1832,7 +1933,7 @@ class ContinuousBatcher:
         st.occupied_slot_polls += len(occupied)
         st.slot_polls += self.n_slots
         delta = 0
-        for s in occupied:
+        for s in described:
             d = int(lengths_now[s]) - int(self._counted[s])
             if d > 0:
                 delta += d
@@ -1854,8 +1955,8 @@ class ContinuousBatcher:
                 "steps": st.steps,
             }
             self.trace.append(trace_row)
-        prop_total = self._done_prop + int(proposed[occupied].sum())
-        acc_total = self._done_acc + int(accepted[occupied].sum())
+        prop_total = self._done_prop + int(proposed[described].sum())
+        acc_total = self._done_acc + int(accepted[described].sum())
         self.scheduler.record_step(
             prop_total - self._prev_prop, acc_total - self._prev_acc
         )
@@ -2075,21 +2176,75 @@ class ContinuousBatcher:
         self.chunk_step_ms += blend * (slope - self.chunk_step_ms)
         self.chunk_boundary_ms += blend * (intercept - self.chunk_boundary_ms)
 
+    def _plan_chunk_admissions(self) -> Optional[List[_Request]]:
+        """Plan admissions that will RIDE the next decode chunk dispatch
+        (fused admit+loop program — Engine._get_admit_loop). Returns the
+        one-shot group, or None. Specialized admissions (prefix-cached,
+        incremental) keep their own per-slot dispatches here.
+
+        OFF by default — a measured negative result kept as an env-gated
+        experiment (SPECDX_FUSED_ADMIT=1), like _admit_overlapped. On the
+        axon relay (2026-08-20): post-retire group admission dispatches
+        ASYNC — the host pays ~1-5 ms and the admission's device work
+        overlaps the next poll's snapshot wait — while the fused program
+        serializes the same work into the chunk the host then blocks on,
+        and measured +130 ms per admission-carrying chunk end-to-end
+        (uniform drain 2,152 -> 1,679 tok/s; mixed 1,459 -> 950). Each new
+        (G, P) bucket also compiles its own fused program (minutes through
+        the remote-compile relay). The durable win from this line of work
+        is the PACKED argument block (_group_args): 17 host->device
+        transfers -> 2 on every admission dispatch, fused or not."""
+        import os as _os
+
+        if (
+            not self._supports_fused_admit
+            or _os.environ.get("SPECDX_FUSED_ADMIT", "0") != "1"
+            or not self.scheduler.pending()
+            or not any(s is None for s in self._slots)
+        ):
+            return None
+        planned = self._plan_admissions()
+        ride: List[_Request] = []
+        for req in planned:
+            if (
+                self._admit_prefix is not None
+                or (self._admit_incr is not None
+                    and len(req.admit_ids) > self.engine.config.admit_chunk)
+            ):
+                # Specialized path, dispatched now — but still AFTER the
+                # live poll snapshot, so it must be fenced like the ride
+                # group or the stale snapshot retires the new tenant with
+                # empty output.
+                self._snap_fresh.add(req.slot)
+                self._admit_one(req.slot, req)
+            else:
+                ride.append(req)
+        return ride or None
+
     def step_chunk(self, n: Optional[int] = None) -> None:
         """Up to n decode steps in ONE device dispatch (bounded while_loop;
         exits early when all slots drain). Keeps host round trips to one per
         admission poll instead of one per step. n=None self-schedules via
         _next_chunk_len (exact-retirement chunks) under one dynamic-bound
-        compile; an explicit n keeps the static-bound loop (one compile per
-        distinct n — probes and tests that time fixed-length chunks)."""
+        compile — and folds any pending one-shot admissions into the SAME
+        dispatch (fused admit+loop): through the axon relay every extra jit
+        dispatch costs ~10 ms of host wall and serializes against in-flight
+        device work, so staggered arrivals ride the chunk program itself
+        and start decoding in the chunk that admits them. An explicit n
+        keeps the static-bound loop (one compile per distinct n — probes
+        and tests that time fixed-length chunks)."""
         dynamic = n is None
+        ride = self._plan_chunk_admissions() if dynamic else None
+        if ride:
+            for req in ride:
+                # The fused admission overwrites these rows; don't pay a
+                # separate clear dispatch for them.
+                self._stale_tables.discard(req.slot)
         n = self._next_chunk_len() if dynamic else n
         self._flush_stale_tables()
         eng = self.engine
         k = self._current_k()
         if dynamic:
-            loop_fn = eng._get_loop(k, max_steps=self.poll_every,
-                                    dynamic=True)
             # Device-resident step-count scalars, created once per value:
             # a fresh np.int32 argument is a host->device transfer on EVERY
             # chunk — ~18 ms through the axon relay, dwarfing short chunks.
@@ -2098,7 +2253,30 @@ class ContinuousBatcher:
                 n_dev = self._n_cache.setdefault(
                     n, jax.device_put(jnp.int32(n))
                 )
-            args = (self.state, n_dev)
+            if ride:
+                G = len(ride)
+                Gp = 1
+                while Gp < G:
+                    Gp *= 2
+                t_plan = time.perf_counter()
+                ints, floats, P, M, nb = self._group_args(ride, pad_g=Gp)
+                self.stats.admit_plan_ms += (
+                    time.perf_counter() - t_plan
+                ) * 1e3
+                loop_fn = eng._get_admit_loop(
+                    k, Gp, P, M, nb, max_steps=self.poll_every,
+                )
+                args = (self.state, n_dev, ints, floats)
+                self.stats.admit_waves += 1
+                self.stats.admit_fused += G
+                self._note_admitted(ride)
+                for req in ride:
+                    # The live poll snapshot predates this admission.
+                    self._snap_fresh.add(req.slot)
+            else:
+                loop_fn = eng._get_loop(k, max_steps=self.poll_every,
+                                        dynamic=True)
+                args = (self.state, n_dev)
         else:
             loop_fn = eng._get_loop(k, max_steps=n)
             args = (self.state,)
@@ -2156,7 +2334,9 @@ class ContinuousBatcher:
                     self._last_chunk_n,
                     (time.perf_counter() - t_iter) * 1e3,
                 )
-            self._admit_pending()
+            # One-shot admissions ride the NEXT chunk dispatch (fused
+            # admit+loop); only incremental splices complete here.
+            self._admit_post_poll()
         self._retire_finished()
         self._flush_stale_tables()
         return [

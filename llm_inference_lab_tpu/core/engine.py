@@ -593,6 +593,39 @@ class Engine:
             self._step_cache[key] = fn
         return fn
 
+    def _get_admit_loop(self, k: int, G: int, P: int, M: int, nb: int,
+                        max_steps: int):
+        """Fused wave admission + dynamic-bound decode chunk: ONE compiled
+        program, ONE dispatch. Through the axon relay a jit dispatch costs
+        ~10 ms of host wall and serializes against in-flight device work
+        (measured: 'overlapped' admission dispatches made the mixed
+        workload WORSE, 1459 -> 1160 tok/s — occupancy_r5_mixed.json), so
+        the only way staggered arrivals don't tax the decode loop is to
+        ride the chunk dispatch itself: admit G requests, then run the
+        bounded decode loop, inside one jit. The admitted lanes decode in
+        the very chunk that admits them — a latency win on top of the
+        dispatch win. Cache key (k, G, P, cap): callers bucket G and P to
+        powers of two so the compile set stays tiny."""
+        key = ("admit_loop", k, G, P, M, nb, max_steps)
+        fn = self._step_cache.get(key)
+        if fn is None:
+            from llm_inference_lab_tpu.core.batching import make_admit_many
+
+            admit_raw = make_admit_many(self.target, self.draft, jit=False)
+            step_raw = self._build_step(k, jit=False)
+            loop_raw = make_decode_loop(
+                step_raw, max_steps=max_steps, is_spec=self.is_spec,
+                dynamic=True, jit=False,
+            )
+
+            def fused(tp, dp, state, n_steps, ints, floats):
+                state = admit_raw(tp, dp, state, ints, floats, P, M, nb)
+                return loop_raw(tp, dp, state, n_steps)
+
+            fn = jax.jit(fused, donate_argnums=(2,))
+            self._step_cache[key] = fn
+        return fn
+
     # ------------------------------------------------------------------
     def generate(self, prompt: str, **kw) -> Dict[str, Any]:
         """Single-prompt generation (reference pipeline.generate,

@@ -66,6 +66,7 @@ class MultiHostBatcher(ContinuousBatcher):
     # here (see ContinuousBatcher._supports_incremental_admit).
     _supports_incremental_admit = False
     _supports_overlap_admit = False
+    _supports_fused_admit = False
     # Round-4: lazy page growth/preemption IS supported — the coordinator
     # plans (_plan_growth: allocator + slot bookkeeping) and the fixed-shape
     # op list is broadcast; every host applies the same device effects in

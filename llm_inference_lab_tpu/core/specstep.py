@@ -841,7 +841,8 @@ def make_spec_step(
 
 
 def make_decode_loop(step_fn, max_steps: int, is_spec: bool = True,
-                     donate: bool = True, dynamic: bool = False):
+                     donate: bool = True, dynamic: bool = False,
+                     jit: bool = True):
     """Wrap an UNJITTED step function in a device-side lax.while_loop.
 
     One dispatch decodes everything: the loop exits exactly when all lanes
@@ -879,6 +880,8 @@ def make_decode_loop(step_fn, max_steps: int, is_spec: bool = True,
 
             return jax.lax.while_loop(cond, body, state)
 
+        if not jit:
+            return loop_dyn  # composed into a larger jit (fused admit+chunk)
         return jax.jit(loop_dyn, donate_argnums=(2,) if donate else ())
 
     def loop(target_params, draft_params, state: DecodeState):
@@ -894,6 +897,8 @@ def make_decode_loop(step_fn, max_steps: int, is_spec: bool = True,
 
         return jax.lax.while_loop(cond, body, state)
 
+    if not jit:
+        return loop
     return jax.jit(loop, donate_argnums=(2,) if donate else ())
 
 

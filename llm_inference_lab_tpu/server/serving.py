@@ -181,11 +181,11 @@ class InferenceServer:
             # n=None: exact-retirement chunk scheduling ends the chunk at
             # the earliest guaranteed lane retirement.
             flags = b.poll_flags_async()
-            b.step_chunk()
+            b.step_chunk()  # pending one-shot admissions ride this dispatch
             b._admit_overlapped()
             fresh = b._prefetch_retire(flags)
             b._retire_finished(fresh if fresh is not None else flags)
-            b._admit_pending()
+            b._admit_post_poll()
             while True:  # client-disconnect cancels from handler threads
                 try:
                     gone = self._cancels.get_nowait()

@@ -185,11 +185,11 @@ def main() -> int:
                          max_new_tokens=int(budgets[nxt]))
                 nxt += 1
             flags = b.poll_flags_async()
-            b.step_chunk()  # exact-retirement scheduling picks the length
-            b._admit_overlapped()  # arrivals ride the in-flight chunk
+            b.step_chunk()  # pending admissions ride this dispatch (fused)
+            b._admit_overlapped()
             fresh = b._prefetch_retire(flags)
             b._retire_finished(fresh if fresh is not None else flags)
-            b._admit_pending()
+            b._admit_post_poll()
         b._retire_finished()
         wall = time.perf_counter() - t0
     else:
@@ -212,6 +212,29 @@ def main() -> int:
     zero_polls = sum(
         1 for row in b.trace if row["committed"] == 0 and row["occupied"] > 0
     )
+    # Arrival-aware oracle: the full-occupancy bound assumes 16 busy lanes
+    # for the whole wall, but a Poisson arrival schedule with a spread of
+    # small budgets is ARRIVAL-limited at the front and tail-limited at the
+    # end (the last request alone needs budget/lane_tok_s seconds after it
+    # lands). This greedy M/G/slots simulation — zero admission cost, zero
+    # poll lag, every lane at full-occupancy speed — is the best ANY
+    # scheduler could do on this workload; pct_of_oracle is the honest
+    # efficiency number for mixed workloads (pct_of_bound stays for
+    # cross-round comparability).
+    import heapq
+
+    if args.workload == "mixed" and args.arrival_rate > 0:
+        arr = list(arrivals)
+    else:
+        arr = [0.0] * args.requests
+    free_at = [0.0] * args.slots
+    heapq.heapify(free_at)
+    oracle_wall = 0.0
+    for t_a, bud in zip(arr, budgets):
+        t_start = max(heapq.heappop(free_at), t_a)
+        t_end = t_start + float(bud) / lane_tok_s
+        heapq.heappush(free_at, t_end)
+        oracle_wall = max(oracle_wall, t_end)
     out = {
         "config": {
             "base": cfg.base_model, "draft": cfg.draft_model,
@@ -235,6 +258,11 @@ def main() -> int:
             "tokens": toks,
             "aggregate_tok_s": round(toks / wall, 1),
             "pct_of_bound": round(100 * toks / wall / bound, 1),
+            "oracle_wall_s": round(oracle_wall, 3),
+            "oracle_tok_s": round(toks / oracle_wall, 1) if oracle_wall else None,
+            "pct_of_oracle": (
+                round(100 * oracle_wall / wall, 1) if oracle_wall else None
+            ),
             "zero_commit_polls": zero_polls,
             **rep,
         },
