@@ -747,27 +747,28 @@ class Engine:
 
         enc = [self.tokenizer.encode(p)[: cfg.max_seq_len - max_new - self._max_k - 2]
                for p in prompts]
-        if self.flags.debug:
-            # Trust-boundary token validation (reference validates ~15x per
-            # step because eager mutation can corrupt ids anywhere,
-            # token_validation.py:15; the pure jitted step needs it only
-            # here, on tokenizer output entering the device).
-            from llm_inference_lab_tpu.utils.validation import (
-                validate_and_clamp_tokens,
-            )
-
-            vocab = self.target.config.vocab_size
-            for i, e in enumerate(enc):
-                clamped, n_bad = validate_and_clamp_tokens(
-                    jnp.asarray(e, jnp.int32), vocab
-                )
-                if int(n_bad):
+        # Trust-boundary token validation — ALWAYS on (reference validates
+        # ~15x per step, token_validation.py:15; the pure jitted step needs
+        # it only here, on tokenizer output entering the device). This is
+        # not optional hygiene: an out-of-vocab id (e.g. the ByteTokenizer
+        # fallback against a small-vocab model) reaches the embedding
+        # jnp.take, whose out-of-bounds gather FILLS NaN — the whole
+        # forward silently degrades to NaN logits, and downstream argmax/
+        # acceptance behavior becomes implementation-defined (found via a
+        # round-5 full-suite flake: XLA argmax(all-NaN)=0 "agreed" while
+        # the Pallas verify kernel's max-compare rejects NaN rows).
+        vocab = self.target.config.vocab_size
+        for i, e in enumerate(enc):
+            if e and (max(e) >= vocab or min(e) < 0):
+                if self.flags.debug:
                     import logging
 
+                    n_bad = sum(1 for t in e if t < 0 or t >= vocab)
                     logging.getLogger(__name__).warning(
-                        "prompt %d: %d out-of-vocab token ids clamped", i, int(n_bad)
+                        "prompt %d: %d out-of-vocab token ids clamped",
+                        i, n_bad,
                     )
-                    enc[i] = [int(t) for t in np.asarray(clamped)]
+                enc[i] = [min(max(t, 0), vocab - 1) for t in e]
         plens = np.array([len(e) for e in enc], np.int32)
         P = _round_up(max(int(plens.max()), 1), 32)
         if cfg.prefill_chunk and P > cfg.prefill_chunk:

@@ -29,6 +29,12 @@ def _kernel(d_ref, l_ref, mask_ref):
     logits = l_ref[0].astype(jnp.float32)  # [K, V]
     mx = jnp.max(logits, axis=-1, keepdims=True)
     col = jax.lax.broadcasted_iota(jnp.int32, (K, V), 1)
+    # NaN semantics: an all-NaN row gives mx=NaN, `logits == mx` false
+    # everywhere, arg=V -> never matches -> REJECT. jnp.argmax returns 0
+    # for such a row, so the XLA reference would "match" a draft token 0.
+    # NaN logits mean the forward itself is broken (e.g. out-of-vocab ids
+    # before the engine's trust-boundary clamp); rejecting is the safe
+    # divergence and the only one between the two implementations.
     arg = jnp.min(jnp.where(logits == mx, col, V), axis=-1)  # [K], ties -> lowest
     match = arg == d_ref[b, :]
     idx = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]

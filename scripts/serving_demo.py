@@ -83,17 +83,25 @@ def main() -> int:
     # Warm/compile: one request (decode loop + single admission), then one
     # full concurrent wave (the batched make_admit_many shapes a wave of
     # retirements hits) — so the timed run measures steady-state serving.
+    # Client concurrency 2x slots: with exactly `slots` in flight the
+    # closed loop starves the server at every retirement wave (the freed
+    # slots idle while responses travel to the client and new requests
+    # travel back), measuring the CLIENT's turnaround instead of the
+    # server's capacity. 2x keeps the admission queue non-empty, the same
+    # saturation semantics as the occupancy probe's pre-filled queue.
+    workers = min(args.requests, 2 * args.slots)
     one(0)
-    with concurrent.futures.ThreadPoolExecutor(max_workers=args.slots) as ex:
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
         list(ex.map(one, range(args.slots)))
     t0 = time.perf_counter()
-    with concurrent.futures.ThreadPoolExecutor(max_workers=args.slots) as ex:
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
         results = list(ex.map(one, range(args.requests)))
     wall = time.perf_counter() - t0
     lats = sorted(r[0] for r in results)
     toks = sum(r[1] for r in results)
     out = {
         "requests": args.requests,
+        "client_concurrency": workers,
         "slots": args.slots,
         "max_tokens": args.max_tokens,
         "poll_every": args.poll_every,

@@ -154,8 +154,17 @@ def test_bench_real_weights_branch(tmp_path):
     m.save_pretrained(snap, safe_serialization=True)
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(
-        os.environ, HF_HOME=str(tmp_path), SPECDX_BENCH_SMALL="1",
+    # Scrub session-polluted SPECDX_* vars: pytest COLLECTION imports every
+    # test module, and test_kv_quant/test_pallas_kernels set
+    # SPECDX_PALLAS_INTERPRET=1 at module level — inherited here, it put
+    # the subprocess engine on interpret-mode kernels whose CPU numerics
+    # broke draft/verify agreement (the full-suite-only acceptance=0.0
+    # failures of rounds 3-5; passes in targeted runs where only this
+    # file is collected).
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("SPECDX_")}
+    env.update(
+        HF_HOME=str(tmp_path), SPECDX_BENCH_SMALL="1",
         SPECDX_BENCH_QUANT="int8", SPECDX_BENCH_K="2",
         # Kill the load-dependence too: single-threaded XLA CPU makes the
         # draft/verify reduction order deterministic regardless of suite
