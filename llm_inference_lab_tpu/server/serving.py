@@ -123,6 +123,14 @@ class InferenceServer:
         self._started_at = time.time()
         self._served = 0
         self.request_timeout = request_timeout
+        # Engine-loop section attribution (ms): where a serving cycle's
+        # host wall goes outside the batcher's own counters — the
+        # decomposition of the HTTP-vs-direct-drive gap (exposed in
+        # /stats as loop_ms).
+        self.loop_ms: Dict[str, float] = {
+            "submit": 0.0, "decode_poll": 0.0, "admit": 0.0,
+            "cancel_scan": 0.0, "streams": 0.0, "finalize": 0.0,
+        }
 
     # ------------------------------------------------------------- engine
     def _engine_loop(self) -> None:
@@ -142,6 +150,8 @@ class InferenceServer:
                     job[4] = str(e)
                 event.set()
             # Admit everything waiting.
+            lm = self.loop_ms
+            t_sec = time.perf_counter()
             drained = False
             while True:
                 try:
@@ -159,13 +169,13 @@ class InferenceServer:
                                lora=p.lora)
                 self._inflight[rid] = p
                 drained = True
+            lm["submit"] += (time.perf_counter() - t_sec) * 1e3
             if (drained or b.scheduler.pending()) and not any(
                 s is not None for s in b._slots
             ):
-                # Nothing decoding: admit eagerly (no chunk to overlap
-                # with). Otherwise arrivals are admitted overlapped with
-                # the decode chunk below — their ~10 ms dispatch+relay
-                # rides the chunk instead of stalling the loop.
+                # Nothing decoding: admit eagerly. Otherwise arrivals are
+                # admitted at the post-poll point below, batched into one
+                # packed group dispatch per cycle.
                 b._admit_pending()
 
             if not any(s is not None for s in b._slots):
@@ -180,12 +190,17 @@ class InferenceServer:
             # Pipelined poll: flags snapshot transfers while the chunk runs.
             # n=None: exact-retirement chunk scheduling ends the chunk at
             # the earliest guaranteed lane retirement.
+            t_sec = time.perf_counter()
             flags = b.poll_flags_async()
-            b.step_chunk()  # pending one-shot admissions ride this dispatch
+            b.step_chunk()
             b._admit_overlapped()
             fresh = b._prefetch_retire(flags)
             b._retire_finished(fresh if fresh is not None else flags)
+            t2 = time.perf_counter()
+            lm["decode_poll"] += (t2 - t_sec) * 1e3
             b._admit_post_poll()
+            t3 = time.perf_counter()
+            lm["admit"] += (t3 - t2) * 1e3
             while True:  # client-disconnect cancels from handler threads
                 try:
                     gone = self._cancels.get_nowait()
@@ -200,7 +215,11 @@ class InferenceServer:
                 for rid, p in list(self._inflight.items()):
                     if p.result is None and now - p.created > self.request_timeout:
                         b.cancel(rid)
+            t4 = time.perf_counter()
+            lm["cancel_scan"] += (t4 - t3) * 1e3
             self._observe_streams()
+            t5 = time.perf_counter()
+            lm["streams"] += (t5 - t4) * 1e3
             for rid, req in list(b._done.items()):
                 pend = self._inflight.pop(rid, None)
                 if pend is not None:
@@ -208,6 +227,7 @@ class InferenceServer:
                     self._finalize(pend)
                     self._served += 1
                 del b._done[rid]
+            lm["finalize"] += (time.perf_counter() - t5) * 1e3
 
     def _decode(self, ids) -> str:
         eos = self.engine.eos_token_id
@@ -289,6 +309,17 @@ class InferenceServer:
                         "uptime_s": round(time.time() - outer._started_at, 1),
                         "served": outer._served,
                         "model": outer.engine.config.base_model,
+                    })
+                elif self.path == "/stats":
+                    self._json(200, {
+                        "served": outer._served,
+                        "loop_ms": {
+                            k: round(v, 1)
+                            for k, v in outer.loop_ms.items()
+                        },
+                        "batcher": outer.batcher.stats.report(
+                            outer.batcher.n_slots
+                        ),
                     })
                 elif self.path == "/v1/models":
                     # Base model + every loaded LoRA adapter (vLLM-style:

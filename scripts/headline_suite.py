@@ -54,7 +54,7 @@ def _row_specs(small: bool):
     }
 
 
-def measure(cfg_kw: dict, max_new: int = 64, reps: int = 3) -> dict:
+def measure(cfg_kw: dict, max_new: int = 64, reps: int = 5) -> dict:
     import jax
 
     from llm_inference_lab_tpu.config import EngineConfig
@@ -71,8 +71,13 @@ def measure(cfg_kw: dict, max_new: int = 64, reps: int = 3) -> dict:
         runs.append(r["tokens_per_sec"])
         accs.append(r["acceptance_rate"])
     del eng  # free HBM before the next (possibly 8B) row
+    # The axon relay's health oscillates minute-to-minute (measured same-
+    # code medians 148-192 on the BENCH config, int4_ab_r5.json): the
+    # median absorbs single bad runs, and best_tok_s records the healthy-
+    # window ceiling the hardware actually reaches.
     return {
         "tok_s": round(sorted(runs)[len(runs) // 2], 1),
+        "best_tok_s": round(max(runs), 1),
         "runs": [round(x, 1) for x in runs],
         "acceptance_rate": round(sum(accs) / len(accs), 4),
         "backend": jax.default_backend(),
