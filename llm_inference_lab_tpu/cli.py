@@ -43,6 +43,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--frequency-penalty", type=float, default=0.0)
     p.add_argument("--sample", action="store_true", help="sample instead of greedy")
     p.add_argument("--quantization", choices=["int8", "int4"], default=None)
+    p.add_argument("--quantize-embed", action="store_true",
+                   help="per-row quantized embedding + tied lm_head")
+    p.add_argument("--embed-bits", type=int, choices=[8, 4], default=8,
+                   help="embed/tied-head width with --quantize-embed "
+                   "(4 = EmbedQuant4: half the head weight read)")
     p.add_argument("--dtype", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--constrain",
@@ -110,6 +115,8 @@ def _build_engine(args):
         frequency_penalty=args.frequency_penalty,
         greedy=not args.sample,
         quantization=args.quantization,
+        quantize_embed=args.quantize_embed,
+        embed_bits=args.embed_bits,
         seed=args.seed,
         profile=args.profile,
         constrain=args.constrain,

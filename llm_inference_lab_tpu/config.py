@@ -193,7 +193,11 @@ class EngineConfig:
     dtype: str = "bfloat16"  # compute/weights dtype on TPU
     quantization: Optional[str] = None  # None | "int8" | "int4"
     kv_quantization: Optional[str] = None  # None | "int8"
-    quantize_embed: bool = False  # int8 per-row embed + tied lm_head
+    quantize_embed: bool = False  # per-row quantized embed + tied lm_head
+    # Embed/tied-head bit width when quantize_embed: 8 (default, EmbedQuant)
+    # or 4 (opt-in EmbedQuant4 — halves the head's weight read; gate on the
+    # perplexity harness before adopting for real checkpoints).
+    embed_bits: int = 8
     # Random-init directly in quantized form (benchmarking models whose bf16
     # params would not fit HBM during init, e.g. 8B int4 on one 16GB chip).
     quantized_init: bool = False

@@ -107,8 +107,15 @@ class Engine:
         # Models (dependency injection supported, reference test_pipeline_new
         # :178; otherwise the factory path pipeline.py:464-515).
         qinit = cfg.quantization if (cfg.quantized_init and cfg.quantization) else None
+        # quantize_embed carries the bit width through the model factories
+        # (True == int8; 4 == EmbedQuant4 head-layout int4).
+        qe = (
+            (4 if cfg.embed_bits == 4 else True)
+            if cfg.quantize_embed
+            else False
+        )
         model_kw = (
-            dict(quantized_init=qinit, quantize_embed=cfg.quantize_embed)
+            dict(quantized_init=qinit, quantize_embed=qe)
             if qinit and cfg.implementation != "fake"
             else {}
         )
@@ -132,12 +139,13 @@ class Engine:
         if cfg.quantization and not cfg.quantized_init:
             self.target.params = quantize_params(
                 self.target.params, cfg.quantization,
-                include_embed=cfg.quantize_embed,
+                include_embed=cfg.quantize_embed, embed_bits=cfg.embed_bits,
             )
             if self.draft is not None and cfg.implementation != "fake":
                 self.draft.params = quantize_params(
                     self.draft.params, cfg.quantization,
                     include_embed=cfg.quantize_embed,
+                    embed_bits=cfg.embed_bits,
                 )
 
         # Tensor/data parallelism: place params per the GSPMD sharding rules;

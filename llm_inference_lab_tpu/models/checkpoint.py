@@ -21,12 +21,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from llm_inference_lab_tpu.ops.quant import EmbedQuant, QuantTensor
+from llm_inference_lab_tpu.ops.quant import (
+    EmbedQuant,
+    EmbedQuant4,
+    QuantTensor,
+    repack_int4_rows,
+)
 
 _QDATA = "/__qdata__"
 _QSCALE = "/__qscale__"
 _EDATA = "/__edata__"
 _ESCALE = "/__escale__"
+_E4DATA = "/__e4data__"
+_E4SCALE = "/__e4scale__"
 
 
 def _to_np(x: jax.Array) -> np.ndarray:
@@ -54,6 +61,11 @@ def save_params(params: Any, path: str) -> None:
         elif isinstance(node, EmbedQuant):
             tensors[prefix + _EDATA] = _to_np(node.q)
             tensors[prefix + _ESCALE] = _to_np(node.scale)
+        elif isinstance(node, EmbedQuant4):
+            # The row layout (rq) is derived — repacked on load, not saved.
+            tensors[prefix + _E4DATA] = _to_np(node.qt.data)
+            tensors[prefix + _E4SCALE] = _to_np(node.qt.scale)
+            quant_meta[prefix] = 4  # nibble layout covered by int4_fmt=v2
         else:
             tensors[prefix] = _to_np(node)
 
@@ -103,6 +115,18 @@ def load_params(path: str, dtype=None) -> Any:
             put(out, base.split("/"),
                 EmbedQuant(jnp.asarray(loaded[base + _EDATA]),
                            jnp.asarray(loaded[base + _ESCALE])))
+        elif name.endswith(_E4DATA) or name.endswith(_E4SCALE):
+            base = name.rsplit("/__", 1)[0]
+            if base in done_quant:
+                continue
+            done_quant.add(base)
+            e4 = jnp.asarray(loaded[base + _E4DATA])
+            put(out, base.split("/"), EmbedQuant4(
+                QuantTensor(
+                    e4, jnp.asarray(loaded[base + _E4SCALE]), bits=4
+                ),
+                repack_int4_rows(e4),
+            ))
         elif name.endswith(_QDATA) or name.endswith(_QSCALE):
             base = name.rsplit("/__", 1)[0]
             if base in done_quant:

@@ -337,7 +337,7 @@ def forward(
     and attention through the paged ops; the page table is loop-invariant
     across layers so it rides the closure, not the scan."""
     from llm_inference_lab_tpu.models.paged import PagedKVCache
-    from llm_inference_lab_tpu.ops.quant import EmbedQuant
+    from llm_inference_lab_tpu.ops.quant import EmbedQuant, EmbedQuant4
 
     page_table = cache.table if isinstance(cache, PagedKVCache) else None
     if (
@@ -365,7 +365,7 @@ def forward(
             )
 
     embed = params["embed"]
-    if isinstance(embed, EmbedQuant):
+    if isinstance(embed, (EmbedQuant, EmbedQuant4)):
         x = embed.lookup(tokens, cfg.dtype)
     else:
         x = jnp.take(embed, tokens, axis=0).astype(cfg.dtype)
@@ -469,12 +469,12 @@ def forward(
 def lm_head_logits(cfg: ModelConfig, params: Any, x: jax.Array) -> jax.Array:
     """Project hidden states [.., D] to vocab logits (shared with the
     Medusa/EAGLE heads)."""
-    from llm_inference_lab_tpu.ops.quant import EmbedQuant
+    from llm_inference_lab_tpu.ops.quant import EmbedQuant, EmbedQuant4
 
     head = None
     if cfg.tie_word_embeddings:
         embed = params["embed"]
-        if isinstance(embed, EmbedQuant):
+        if isinstance(embed, (EmbedQuant, EmbedQuant4)):
             logits = embed.head_logits(x)
         else:
             head = embed.T
@@ -540,9 +540,28 @@ def init_params_quantized(cfg: ModelConfig, rng: jax.Array, mode: str = "int8",
         params["layers"]["w_gate_up"] = rand_qt(next(keys), D, 2 * F, L)
         params["layers"]["w_down"] = rand_qt(next(keys), F, D, L)
     if quantize_embed:
-        eq = rand_bytes(next(keys), (cfg.vocab_size, D))
-        params["embed"] = EmbedQuant(eq, jnp.full((cfg.vocab_size,), 0.02 / 127,
-                                                  jnp.float32))
+        # quantize_embed carries the bit width: True/8 -> int8 EmbedQuant,
+        # 4 -> int4 head-layout EmbedQuant4 (opt-in, EngineConfig.embed_bits).
+        if quantize_embed == 4:
+            from llm_inference_lab_tpu.ops.quant import (
+                EmbedQuant4,
+                repack_int4_rows,
+            )
+
+            e4 = rand_bytes(next(keys), (D // 2, cfg.vocab_size))
+            params["embed"] = EmbedQuant4(
+                QuantTensor(
+                    e4,
+                    jnp.full((cfg.vocab_size,), 0.02 / 7, jnp.float32),
+                    bits=4,
+                ),
+                repack_int4_rows(e4),
+            )
+        else:
+            eq = rand_bytes(next(keys), (cfg.vocab_size, D))
+            params["embed"] = EmbedQuant(
+                eq, jnp.full((cfg.vocab_size,), 0.02 / 127, jnp.float32)
+            )
         if not cfg.tie_word_embeddings:
             params["lm_head"] = rand_qt(next(keys), D, cfg.vocab_size)
     elif not cfg.tie_word_embeddings:

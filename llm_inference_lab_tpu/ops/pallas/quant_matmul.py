@@ -164,6 +164,11 @@ def quant_matmul_pallas(x: jax.Array, qt: QuantTensor, layer_idx=None,
     BN = bn or (
         1024
         if N % 1024 == 0
+        # 768 catches llama's 128k vocab head (128256 = 167*768): without
+        # it the fallback lands on BN=256 (501 grid steps of small DMAs,
+        # 57.3% SoL measured for the int4 EmbedQuant4 head —
+        # docs/results/serving/int4_head_r5.json).
+        else 768 if N % 768 == 0
         else 512 if N % 512 == 0 else 256 if N % 256 == 0 else 128
     )
 

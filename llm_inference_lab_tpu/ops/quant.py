@@ -241,6 +241,88 @@ def quantize_embed(embed: jax.Array) -> EmbedQuant:
     return EmbedQuant(q, scale)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class EmbedQuant4:
+    """INT4 embedding table + tied lm_head (opt-in: EngineConfig.embed_bits=4).
+
+    TWO packings of the SAME int4 values, one per access pattern:
+
+    - `qt`: head-layout QuantTensor — packed [D//2, V] split-K-halves the
+      int4 dequant-matmul kernel consumes directly (quant_matmul.py), with
+      the per-TOKEN-row scales [V] on the kernel's output-channel axis.
+      `head_logits` is exactly a `dense` call reading HALF the bytes of
+      the int8 EmbedQuant head (197 MB vs 394 MB on llama's 128k vocab;
+      the head is 0.543 ms of the 3.06 ms 3B int4 decode step at ~90% of
+      its int8 roofline — batch_scaling_r5_int4.json).
+    - `rq`: row-layout [V, D//2] — byte j of row v packs w[v, j] (low
+      nibble) and w[v, j + D/2] (high), so `lookup` is a contiguous ROW
+      gather. A first cut gathered COLUMNS of `qt` instead: the strided
+      access pattern cost ~0.9 ms/step and made e2e SLOWER than int8
+      (265 -> 203.6 tok/s, int4_head_r5.json) despite the faster head.
+
+    Total bytes equal the int8 EmbedQuant (two half-size copies), but the
+    per-step head READ halves — capacity is spent once, bandwidth every
+    step. Quality note: int4 rows carry ~8x the int8 quantization noise —
+    gate adoption on the perplexity harness (bench/quality_eval.py)
+    against real weights; this stays opt-in.
+    """
+
+    qt: QuantTensor  # bits=4, data [D//2, V], scale [V] (head layout)
+    rq: jax.Array  # int8 [V, D//2] packed rows (lookup layout)
+
+    def tree_flatten(self):
+        return (self.qt, self.rq), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):  # logical [V, D] like a bf16 table / EmbedQuant
+        return (self.qt.data.shape[1], self.qt.data.shape[0] * 2)
+
+    def lookup(self, tokens: jax.Array, dtype) -> jax.Array:
+        b = jnp.take(self.rq, tokens, axis=0)  # [*tok, D/2], contiguous
+        t = b & 0x0F  # lo_biased in 0..15
+        lo = (t - 8).astype(jnp.float32)
+        # byte = 16*h + (l+8) exactly, so (byte - t) is 16*h; the int32
+        # shift is an exact divide (XLA path — the Mosaic i8-shift
+        # restriction is kernel-only).
+        hi = ((b.astype(jnp.int32) - t.astype(jnp.int32)) >> 4).astype(
+            jnp.float32
+        )
+        rows = jnp.concatenate([lo, hi], axis=-1)  # [*tok, D]
+        return (rows * jnp.take(self.qt.scale, tokens, axis=0)[..., None]).astype(
+            dtype
+        )
+
+    def head_logits(self, x: jax.Array) -> jax.Array:
+        return dense(x, self.qt).astype(jnp.float32)
+
+
+def repack_int4_rows(qt_data: jax.Array) -> jax.Array:
+    """Head-layout packed [D//2, V] -> row-layout packed [V, D//2] of the
+    SAME int4 values (lookup and head must read one table, two layouts).
+    Unpacks to [D, V] int values, transposes, and repacks split-half along
+    the row — a one-time quantize/load cost."""
+    t = (qt_data & 0x0F).astype(jnp.int32)  # lo_biased
+    lo = t - 8  # rows [0, D/2)
+    hi = (qt_data.astype(jnp.int32) - t) >> 4  # rows [D/2, D)
+    lo_r = lo.T  # [V, D/2] values for d in [0, D/2)
+    hi_r = hi.T  # [V, D/2] values for d in [D/2, D)
+    return (((lo_r + 8) & 0x0F) | ((hi_r & 0x0F) << 4)).astype(jnp.int8)
+
+
+def quantize_embed4(embed: jax.Array) -> EmbedQuant4:
+    """[V, D] table -> int4 dual-layout: per-token-row scales become the
+    transposed matmul's per-output-channel scales, so quantize_int4 on the
+    transpose is exactly the right head packing; the row layout repacks
+    the same values for contiguous lookup gathers."""
+    qt = quantize_int4(embed.T.astype(jnp.float32))
+    return EmbedQuant4(qt, repack_int4_rows(qt.data))
+
+
 def dense(x: jax.Array, w: Any, b: Optional[jax.Array] = None) -> jax.Array:
     """The single matmul entry point for all model projections.
 
@@ -270,7 +352,8 @@ def _quantize_leaf(w: jax.Array, mode: str) -> QuantTensor:
 
 
 def quantize_params(
-    params: Any, mode: str, min_size: int = 1 << 16, include_embed: bool = False
+    params: Any, mode: str, min_size: int = 1 << 16,
+    include_embed: bool = False, embed_bits: int = 8,
 ) -> Any:
     """Quantize every 2-D weight leaf >= min_size elements (norms stay high
     precision); stacked [L, d_in, d_out] layer leaves are vmapped over the
@@ -296,7 +379,7 @@ def quantize_params(
                 node[key] = walk(node[key], f"{prefix}.{key}")
             return node
         if include_embed and prefix.endswith(".embed") and isinstance(node, jax.Array):
-            return quantize_embed(node)
+            return quantize_embed4(node) if embed_bits == 4 else quantize_embed(node)
         if should_quant(prefix, node):
             return _quantize_leaf(node, mode)
         return node

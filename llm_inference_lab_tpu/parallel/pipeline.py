@@ -85,7 +85,7 @@ def forward_pp(
     Scope: contiguous KV cache (no paging) and no ring-attention prefill
     (cp) — both guarded explicitly. DP and TP compose (see module doc)."""
     from llm_inference_lab_tpu.models.paged import PagedKVCache
-    from llm_inference_lab_tpu.ops.quant import EmbedQuant
+    from llm_inference_lab_tpu.ops.quant import EmbedQuant, EmbedQuant4
 
     if cp is not None:
         raise NotImplementedError("ring-attention prefill under pipeline "
@@ -105,7 +105,7 @@ def forward_pp(
 
     # ---- embedding (replicated over stage; batch-sharded over data) ----
     embed = params["embed"]
-    if isinstance(embed, EmbedQuant):
+    if isinstance(embed, (EmbedQuant, EmbedQuant4)):
         x = embed.lookup(tokens, cfg.dtype)
     else:
         x = jnp.take(embed, tokens, axis=0).astype(cfg.dtype)

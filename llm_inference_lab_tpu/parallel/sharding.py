@@ -83,13 +83,31 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     expert = "expert" in mesh.axis_names
 
     def place(path, leaf):
-        from llm_inference_lab_tpu.ops.quant import EmbedQuant
+        from llm_inference_lab_tpu.ops.quant import EmbedQuant, EmbedQuant4
 
         name = jax.tree_util.keystr(path)
         if isinstance(leaf, EmbedQuant):
             return EmbedQuant(
                 jax.device_put(leaf.q, NamedSharding(mesh, P("model", None))),
                 jax.device_put(leaf.scale, NamedSharding(mesh, P("model"))),
+            )
+        if isinstance(leaf, EmbedQuant4):
+            # Vocab shards on "model" everywhere it appears: axis 1 of the
+            # head layout, axis 0 of the row-lookup layout, the scale —
+            # mirroring EmbedQuant's vocab-row sharding.
+            return EmbedQuant4(
+                QuantTensor(
+                    jax.device_put(
+                        leaf.qt.data, NamedSharding(mesh, P(None, "model"))
+                    ),
+                    jax.device_put(
+                        leaf.qt.scale, NamedSharding(mesh, P("model"))
+                    ),
+                    bits=4,
+                ),
+                jax.device_put(
+                    leaf.rq, NamedSharding(mesh, P("model", None))
+                ),
             )
         if isinstance(leaf, QuantTensor):
             dspec = _spec_for(name, leaf.data.ndim, stage, expert)
@@ -107,9 +125,11 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
         )
 
     from llm_inference_lab_tpu.ops.quant import EmbedQuant as _EQ
+    from llm_inference_lab_tpu.ops.quant import EmbedQuant4 as _EQ4
 
     return jax.tree_util.tree_map_with_path(
-        place, params, is_leaf=lambda x: isinstance(x, (QuantTensor, _EQ))
+        place, params,
+        is_leaf=lambda x: isinstance(x, (QuantTensor, _EQ, _EQ4)),
     )
 
 

@@ -144,3 +144,22 @@ def test_multihost_helpers_single_process():
     mesh = make_multihost_mesh(model_per_host=4)
     assert mesh.shape["model"] == 4
     assert mesh.shape["data"] == 2
+
+
+def test_embed4_sharding_distributes_vocab():
+    """EmbedQuant4's vocab axis must shard on 'model' in BOTH layouts
+    (head [D/2, V] axis 1; row-lookup [V, D/2] axis 0) and the scale."""
+    import numpy as np
+
+    from llm_inference_lab_tpu.ops.quant import quantize_embed4
+
+    mesh = make_mesh(data=1, model=4)
+    e = jnp.asarray(
+        np.random.default_rng(0).normal(size=(256, 16)).astype(np.float32)
+    )
+    sharded = shard_params({"embed": quantize_embed4(e)}, mesh)["embed"]
+    assert sharded.qt.data.sharding.shard_shape(
+        sharded.qt.data.shape
+    ) == (8, 64)
+    assert sharded.rq.sharding.shard_shape(sharded.rq.shape) == (64, 8)
+    assert sharded.qt.scale.sharding.shard_shape((256,)) == (64,)

@@ -83,10 +83,13 @@ def test_profile_phase_breakdown():
     # The decomposition sums to the measured step by construction; the
     # parts must be sane (non-negative draft/verify, step covers them).
     assert ph["draft_ms"] >= 0 and ph["verify_ms"] >= 0
+    # Each phase is round()ed to 4 decimals independently, so the sum can
+    # be off by a few 1e-4 — the tolerance must cover the rounding, not
+    # just float noise (failed a full-suite run at 1e-6 exactly here).
     assert abs(
         ph["draft_ms"] + ph["verify_ms"] + ph["commit_sample_ms"]
         - ph["step_ms"]
-    ) < 1e-6
+    ) < 1e-3
     # Cached per (k, batch): a second call must not re-measure.
     again = eng.profile_phases()
     assert again is ph or again == ph
