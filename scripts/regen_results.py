@@ -84,6 +84,14 @@ def render() -> str:
     if "nonspec_3b_int4" in head:
         lines.append(row("Non-speculative baseline, 3B int4",
                          head["nonspec_3b_int4"]["tok_s"], ref=REF_BASE))
+    head4_file = _newest("docs/results/serving/int4_head_r*.json")
+    if head4_file:
+        h4 = _load(head4_file).get("e2e_nonspec_3b_embed4")
+        if h4:
+            lines.append(row(
+                "Non-speculative 3B int4 + int4 embed/head "
+                "(opt-in --embed-bits 4)",
+                h4["tok_s"], ref=REF_BASE))
     if "nonspec_8b_int4" in head:
         lines.append(row("Non-speculative baseline, 8B int4 (one 16 GB chip)",
                          head["nonspec_8b_int4"]["tok_s"]))
@@ -103,7 +111,8 @@ def render() -> str:
         "",
         f"Rendered by scripts/regen_results.py from {bench_src} (median of "
         f"{len(bench['runs'])} driver-captured runs: {bench['runs']}), "
-        f"{head_src}, and "
+        f"{head_src}, "
+        f"docs/results/serving/int4_head_r5.json, and "
         f"{occ_src}. All measured at worst-case",
         "~0 acceptance (random init — no hub access). Separately, as an",
         "*extrapolation, not a measurement*: at the pair's published",
